@@ -1,0 +1,91 @@
+"""Engine configuration.
+
+Plays the role the reference's ``cdk.json`` context plays (all names,
+paths, cadences and flags in one place — reference
+``cdk.json:3-26`` and the env-var plumbing in
+``cdk_infrastructure/__init__.py:125-131,206-223,400-418``), but as a
+plain dataclass a SparkSession-based engine can consume.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """All knobs for the engine in one place (reference O3 operator)."""
+
+    # --- namespaces (reference: Redshift database/schema/table 3-level naming,
+    # `load_s3_files...handler.py:73,88-89`; `start_dms...handler.py:49-51`)
+    warehouse_database: str = "warehouse"
+    sql_path_schema: str = "rds_to_redshift_database"
+    sql_path_table: str = "rds_cdc_table"
+    nosql_path_schema: str = "dynamodb_schema"
+    nosql_path_table: str = "dynamodb_cdc_table"
+
+    # --- key column of the NoSQL document store (reference: DynamoDB
+    # partition key `id: STRING`, `cdk_infrastructure/__init__.py:287-289`)
+    document_key: str = "id"
+
+    # --- staging prefixes (reference `cdk.json:8-9`)
+    unprocessed_prefix: str = "unprocessed_dynamodb_streams"
+    processed_prefix: str = "processed_and_safe_to_delete"
+
+    # --- cadence (reference: EventBridge 5-minute rate rule,
+    # `cdk_infrastructure/__init__.py:492-511`; stream micro-batch bound
+    # <=100 records / <=5 s, `__init__.py:355-356`)
+    trigger_interval: str = "5 minutes"
+    stream_trigger_interval: str = "5 seconds"
+    max_files_per_trigger: int = 100
+
+    # --- apply semantics (SURVEY §7 hard part 3: bug-compatible append
+    # vs clean upsert must be a visible switch)
+    apply_mode: str = "append"  # "append" | "upsert"
+    propagate_deletes: bool = False  # reference drops REMOVE (README.md:30)
+
+    # --- reconciliation flag (reference `cdk.json:24`
+    # PRINT_RDS_AND_REDSHIFT_NUM_ROWS)
+    print_reconciliation: bool = True
+
+    # --- local roots
+    warehouse_root: str = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+        )
+    )
+    checkpoint_root: str = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_GRAFT_CHECKPOINTS", "/tmp/spark_graft_checkpoints"
+        )
+    )
+
+    def qualified(self, schema: str, table: str) -> str:
+        """3-level name -> Spark catalog 2-level name ``schema.table``.
+
+        The reference's ``database.schema.table`` collapses to
+        ``database.table`` in Spark's 2-level catalog; we keep the middle
+        (schema) level because it carries the meaning.
+        """
+        return f"{schema}.{table}"
+
+
+SF_DIRS = {
+    0.001: "/root/testdata/sf0.001",
+    0.01: "/root/testdata/sf0.01",
+    0.1: "/root/testdata/sf0.1",
+}
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

@@ -1,0 +1,571 @@
+"""Warehouse analytics plans over the TESTDATA star schema.
+
+The reference has no joins / group-bys / windows of its own — it delegates
+them to Redshift (SURVEY.md §2.5-§2.7, reference README.md:3). This module
+supplies that surface Spark-natively. Every plan is declarative DataFrame
+API so Catalyst chooses broadcast vs shuffle joins, pushes filters into
+the parquet scan, and prunes columns.
+
+Scale notes (100 TB posture), applied throughout:
+- dimension tables (region/nation/customer/supplier/part) are explicitly
+  ``F.broadcast()`` where they are small relative to the fact side, so the
+  big fact scan never shuffles for the join;
+- aggregations are expressed as single groupBy/agg so Spark plans
+  partial (map-side) + final aggregation automatically;
+- filters sit directly on the scan columns (no wrapping expressions) so
+  they reach the parquet reader as PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .registry import register_query
+
+
+from ..sources.testdata import load_table as _t
+
+
+def _money(c: str):
+    """Exact decimal view of a 2-decimal money double (see registry.py)."""
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _frac(c: str):
+    """Exact decimal view of a 2-decimal fraction in [0,1] (discount/tax)."""
+    return F.col(c).cast("decimal(3,2)")
+
+
+def _one():
+    # function, not module constant: F.lit needs an active SparkContext
+    return F.lit(1).cast("decimal(3,2)")
+
+# SQL-side equivalents of the helpers above (DuckDB syntax identical).
+_M = "CAST({c} AS DECIMAL(12,2))"
+_FR = "CAST({c} AS DECIMAL(3,2))"
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (flagship). TPC-H Q1 shape: scan + filter + 2-key
+# group + 8 exact aggregates. Single shuffle, partial agg map-side.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+           AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
+    charge = disc_price * (_one() + _frac("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_money("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.sum(_frac("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority: 3-way join, group, deterministic top-10.
+# customer is the small side -> broadcast; orders⋈lineitem shuffles on the
+# join key which is also the group key, so the agg reuses the partitioning.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way star join (all dims broadcast), group
+# by nation. The only shuffle is the final 1-key aggregation.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical totals (region -> nation -> grand total) over
+# customer account balances. Spark computes rollup as one shuffle with
+# grouping-set expansion; exact decimal sums keep the hash stable.
+# ---------------------------------------------------------------------------
+@register_query(
+    "rollup_acctbal_by_region_nation",
+    oracle="""
+    SELECT
+      r_name,
+      n_name,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+      count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_money("c_acctbal")).cast("double").alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations of (brand, size-bucket).
+# ---------------------------------------------------------------------------
+@register_query(
+    "cube_part_brand_size",
+    oracle="""
+    SELECT
+      p_brand,
+      p_size % 5 AS size_mod,
+      CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      count(*) AS n_parts
+    FROM part
+    GROUP BY CUBE (p_brand, p_size % 5)
+    ORDER BY p_brand NULLS FIRST, size_mod NULLS FIRST
+    """,
+)
+def cube_part_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").withColumn("size_mod", F.col("p_size") % 5)
+    return (
+        part.cube("p_brand", "size_mod")
+        .agg(
+            F.sum(_money("p_retailprice")).cast("double").alias("total_price"),
+            F.count("*").alias("n_parts"),
+        )
+        .orderBy(F.asc_nulls_first("p_brand"), F.asc_nulls_first("size_mod"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: top-3 orders per customer by total price (rank + filter), the
+# canonical top-k-per-group pattern -> one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+@register_query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rk
+      FROM orders
+    ) t
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: running revenue per customer over order dates (cumulative sum),
+# exact decimal running total cast to double per row.
+# ---------------------------------------------------------------------------
+@register_query(
+    "running_total_per_customer",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS).
+# ---------------------------------------------------------------------------
+@register_query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register_query(
+    "suppliers_with_shipments_semi",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def suppliers_with_shipments_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation: per-brand distinct type/size counts plus exact
+# distinct across the whole table (Spark plans expand + two-phase agg).
+# ---------------------------------------------------------------------------
+@register_query(
+    "distinct_types_per_brand",
+    oracle="""
+    SELECT
+      p_brand,
+      count(DISTINCT p_type) AS n_types,
+      count(DISTINCT p_size) AS n_sizes,
+      count(*) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def distinct_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_type").alias("n_types"),
+            F.countDistinct("p_size").alias("n_sizes"),
+            F.count("*").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT over derived key sets.
+# ---------------------------------------------------------------------------
+@register_query(
+    "set_ops_purchasers_vs_clickers",
+    oracle="""
+    WITH purchasers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), clickers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    )
+    SELECT 'both' AS cohort, user_id FROM (
+      SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM clickers
+    )
+    UNION ALL
+    SELECT 'click_only' AS cohort, user_id FROM (
+      SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers
+    )
+    ORDER BY cohort, user_id
+    """,
+)
+def set_ops_purchasers_vs_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    both = clickers.intersect(purchasers).select(
+        F.lit("both").alias("cohort"), "user_id"
+    )
+    click_only = clickers.exceptAll(purchasers).select(
+        F.lit("click_only").alias("cohort"), "user_id"
+    )
+    return both.unionAll(click_only).orderBy("cohort", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Manual pivot (conditional aggregation) — portable across engines, same
+# plan Spark's .pivot() produces for an explicit value list.
+# ---------------------------------------------------------------------------
+@register_query(
+    "pivot_order_status_by_priority",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+           FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS filled_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_order_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", _money("o_totalprice")))
+            .cast("double")
+            .alias("filled_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregation (batch shape of the streaming
+# windowed agg — same query runs under readStream with a watermark).
+# ---------------------------------------------------------------------------
+@register_query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS hour,
+      event_type,
+      count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_money("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of style join: for every purchase event, the most recent click by the
+# same user strictly before it. Spark plan: pair the two event sets per
+# user and take max(click_ts) < purchase_ts — a range join expressed as
+# join + filter + agg so Catalyst can keep it a single shuffle on user_id.
+# ---------------------------------------------------------------------------
+@register_query(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT
+      p.event_id AS purchase_id,
+      p.user_id,
+      p.ts AS purchase_ts,
+      max(c.ts) AS last_click_ts,
+      count(c.event_id) AS n_prior_clicks
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user_id)
+            & (clicks.click_ts < purchases.purchase_ts),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(
+            F.max("click_ts").alias("last_click_ts"),
+            F.count("click_id").alias("n_prior_clicks"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive limit: global top-k with deterministic tiebreak (Spark
+# plans TakeOrderedAndProject — no full sort of the table).
+# ---------------------------------------------------------------------------
+@register_query(
+    "top20_lineitems_by_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def top20_lineitems_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
