@@ -1,0 +1,233 @@
+"""Structured-Streaming restatement of the reference's NoSQL CDC path (EP2).
+
+Reference topology (SURVEY.md §3 EP2):
+
+  DynamoDB stream --(Lambda: filter INSERT/MODIFY, decode, NDJSON)--> S3
+  S3 --(Lambda: list prefix, COPY to Redshift, move file)--> warehouse
+
+Engine topology (one process, two streaming hops, checkpoints replace
+both the event-source-mapping offsets and the processed/unprocessed
+prefix dance — exactly-once per sink, strictly stronger than the
+reference's at-least-once R4):
+
+  readStream(stream records) -> guard/filter/decode -> NDJSON staging dir
+  readStream(staging dir)    -> foreachBatch apply   -> warehouse parquet
+
+The collapsed single-hop variant (``run_envelope_apply``) is the
+Spark-idiomatic form: envelope feed -> foreachBatch apply_changes. The
+two-hop form exists for observable parity with the reference's staging
+contract (file naming T4/T5, empty-batch markers K4, FIXTURES.md F5).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import EngineConfig
+from ..functions.dynamodb_json import _unwrap  # typed tag-stripping
+from ..operators.apply import apply_changes
+from ..sources.change_feed import (
+    read_dynamodb_stream,
+    read_envelope_feed,
+    raise_if_unknown_ops,
+)
+
+
+def decode_stream_records(records: DataFrame, after_schema: T.StructType) -> DataFrame:
+    """P2+P3+T1+T2 as one projection: filter INSERT/MODIFY, keep only the
+    NewImage, strip wire tags into typed columns, carry seq + event time.
+
+    All column expressions — JVM side, streaming-safe."""
+    kept = records.filter(F.col("eventName").isin("INSERT", "MODIFY"))
+    image = F.col("dynamodb.NewImage")
+    decoded = [
+        _unwrap(image.getField(f.name), f.dataType).alias(f.name)
+        for f in after_schema.fields
+    ]
+    return kept.select(
+        *decoded,
+        F.col("dynamodb.SequenceNumber").cast("long").alias("_seq"),
+        F.col("dynamodb.ApproximateCreationDateTime").alias("_ts_ms"),
+    )
+
+
+def _parity_filename(n_records: int) -> str:
+    """K3/K4 naming: ``{utc_stamp}__{uuid4}__{n}__inserted_or_modified_records.json``
+    (reference ``write_dynamodb_stream_to_s3_lambda/handler.py:43-58``).
+
+    One deliberate deviation: the reference's S3 keys embed ``:`` in the
+    ISO timestamp; Hadoop Path URIs reject colons, so we use ``-``."""
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H-%M-%SZ")
+    if n_records:
+        return f"{stamp}__{uuid.uuid4()}__{n_records}__inserted_or_modified_records.json"
+    return f"{stamp}__{uuid.uuid4()}__0__no_inserted_or_modified_records.txt"
+
+
+def run_stream_to_staging(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    feed_dir: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    after_schema: T.StructType,
+    parity_naming: bool = True,
+):
+    """Hop 1: raw stream records -> decoded NDJSON staging files.
+
+    ``parity_naming=True`` reproduces the reference's one-file-per-batch
+    contract (fine here: batches are bounded by maxFilesPerTrigger, and
+    the reference itself is one-file-per-Lambda-invocation). At scale you
+    set it False and the plain distributed JSON sink takes over.
+    """
+    records = read_dynamodb_stream(
+        spark,
+        feed_dir,
+        after_schema,
+        streaming=True,
+        max_files_per_trigger=cfg.max_files_per_trigger,
+    )
+    os.makedirs(staging_dir, exist_ok=True)
+
+    if not parity_naming:
+        decoded = decode_stream_records(records, after_schema)
+        return (
+            decoded.writeStream.format("json")
+            .option("path", staging_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def stage_batch(batch: DataFrame, epoch_id: int) -> None:
+        raise_if_unknown_ops(batch)  # P2's raise-on-unknown guard
+        decoded = decode_stream_records(batch, after_schema)
+        tmp = f"{staging_dir}__tmp_{epoch_id}_{uuid.uuid4().hex[:8]}"
+        # single staging object per micro-batch = reference parity; the
+        # count is in the filename, so one pass writes, one rename commits
+        decoded.coalesce(1).write.mode("overwrite").json(tmp)
+        parts = glob.glob(f"{tmp}/part-*.json") or glob.glob(f"{tmp}/part-*")
+        n = sum(1 for p in parts for _ in open(p))
+        name = _parity_filename(n)
+        if n:
+            os.rename(parts[0], os.path.join(staging_dir, name))
+        else:
+            open(os.path.join(staging_dir, name), "w").close()  # K4 marker
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        records.writeStream.foreachBatch(stage_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def staging_line_schema(after_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(after_schema.fields)
+        + [
+            T.StructField("_seq", T.LongType(), True),
+            T.StructField("_ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+def run_staging_to_warehouse(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    staging_dir: str,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    after_schema: T.StructType,
+    key: str | None = None,
+):
+    """Hop 2: staging NDJSON -> warehouse (K5/S7), mode per cfg.apply_mode.
+
+    The streaming file source + checkpoint replaces the reference's
+    unprocessed/processed prefix protocol (K8) — files are processed
+    exactly once without ever being moved. The 0-byte ``.txt`` markers
+    (K4) are naturally excluded by the ``*.json`` glob.
+    """
+    key = key or cfg.document_key
+    lines = (
+        spark.readStream.schema(staging_line_schema(after_schema))
+        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+        .json(f"{staging_dir}/*.json")
+    )
+
+    def load_batch(batch: DataFrame, epoch_id: int) -> None:
+        if cfg.apply_mode == "append":
+            # reference bug-compat: straight COPY-append of each staged row
+            batch.drop("_seq", "_ts_ms").write.mode("append").parquet(warehouse_path)
+            return
+        envelope = batch.select(
+            F.lit("MODIFY").alias("op"),
+            F.col(key).cast("string").alias("key"),
+            F.struct(*[F.col(f.name) for f in after_schema.fields]).alias("after"),
+            F.col("_ts_ms").alias("ts_ms"),
+            F.col("_seq").alias("seq"),
+        )
+        apply_changes(
+            spark,
+            envelope,
+            warehouse_path,
+            key,
+            mode="upsert",
+            propagate_deletes=cfg.propagate_deletes,
+        )
+
+    return (
+        lines.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_envelope_apply(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    feed_dir: str,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    after_schema: T.StructType,
+    key: str | None = None,
+):
+    """Collapsed pipeline: envelope feed -> apply_changes per micro-batch.
+
+    This is also the SQL-path (EP1) replication hop: DMS's
+    full-load-and-cdc becomes an initial snapshot append plus this
+    continuous apply (S5) — same envelope, same sink."""
+    key = key or cfg.document_key
+    feed = read_envelope_feed(
+        spark,
+        feed_dir,
+        after_schema,
+        streaming=True,
+        max_files_per_trigger=cfg.max_files_per_trigger,
+    )
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        apply_changes(
+            spark,
+            batch,
+            warehouse_path,
+            key,
+            mode=cfg.apply_mode,
+            propagate_deletes=cfg.propagate_deletes,
+        )
+
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

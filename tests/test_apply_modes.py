@@ -1,0 +1,90 @@
+"""Apply-mode semantics: append (bug-compat) vs upsert (latest-wins),
+REMOVE handling, replay convergence (R4/R8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+    apply_changes,
+    read_warehouse,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+    envelope_schema,
+    read_envelope_feed,
+)
+
+from .fixtures import TRADE_SCHEMA, make_trade, write_envelope_file
+
+
+def _feed(spark, tmp_path, events, name="feed"):
+    d = str(tmp_path / name)
+    write_envelope_file(d, "batch1.json", events)
+    return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+
+def test_append_mode_one_row_per_event(spark, tmp_path):
+    t0, t1 = make_trade(0), make_trade(1)
+    t1b = dict(t1, price=222.0)
+    events = [("INSERT", t0, 1), ("INSERT", t1, 2), ("MODIFY", t1b, 3),
+              ("REMOVE", None, 4)]
+    changes = _feed(spark, tmp_path, events)
+    target = str(tmp_path / "wh_append")
+    apply_changes(spark, changes, target, "id", mode="append")
+    out = spark.read.parquet(target)
+    # 3 INSERT/MODIFY rows land; REMOVE never reaches the warehouse
+    assert out.count() == 3
+    assert out.filter(F.col("id") == t1["id"]).count() == 2  # both images
+
+
+def test_upsert_mode_latest_wins(spark, tmp_path):
+    t0, t1 = make_trade(0), make_trade(1)
+    t1b = dict(t1, price=222.0)
+    events = [("INSERT", t0, 1), ("INSERT", t1, 2), ("MODIFY", t1b, 3)]
+    changes = _feed(spark, tmp_path, events)
+    target = str(tmp_path / "wh_upsert")
+    apply_changes(spark, changes, target, "id", mode="upsert")
+    out = read_warehouse(spark, target)
+    assert out.count() == 2
+    assert out.filter(F.col("id") == t1["id"]).first()["price"] == 222.0
+
+
+def test_upsert_across_batches_and_replay(spark, tmp_path):
+    t0 = make_trade(0)
+    target = str(tmp_path / "wh_replay")
+    b1 = _feed(spark, tmp_path, [("INSERT", t0, 1)], "f1")
+    apply_changes(spark, b1, target, "id", mode="upsert")
+    t0b = dict(t0, price=999.0)
+    b2 = _feed(spark, tmp_path, [("MODIFY", t0b, 5)], "f2")
+    apply_changes(spark, b2, target, "id", mode="upsert")
+    assert read_warehouse(spark, target).first()["price"] == 999.0
+    # replay of an OLD batch (at-least-once delivery) must not regress
+    apply_changes(spark, b1, target, "id", mode="upsert")
+    assert read_warehouse(spark, target).first()["price"] == 999.0
+    assert read_warehouse(spark, target).count() == 1
+
+
+def test_remove_semantics(spark, tmp_path):
+    t0, t1 = make_trade(0), make_trade(1)
+    rm = {"id": t1["id"]}  # REMOVE carries the key only
+    events = [("INSERT", t0, 1), ("INSERT", t1, 2), ("REMOVE", rm, 3)]
+    # default: REMOVE dropped (reference README.md:30 divergence)
+    target1 = str(tmp_path / "wh_keep")
+    apply_changes(spark, _feed(spark, tmp_path, events, "fa"), target1, "id",
+                  mode="upsert", propagate_deletes=False)
+    assert read_warehouse(spark, target1).count() == 2
+    # opt-in delete propagation: the key disappears
+    target2 = str(tmp_path / "wh_del")
+    apply_changes(spark, _feed(spark, tmp_path, events, "fb"), target2, "id",
+                  mode="upsert", propagate_deletes=True)
+    out = read_warehouse(spark, target2)
+    assert out.count() == 1
+    assert out.first()["id"] == t0["id"]
+
+
+def test_unknown_op_raises(spark, tmp_path):
+    events = [("UPSERT", make_trade(0), 1)]
+    changes = _feed(spark, tmp_path, events, "bad")
+    with pytest.raises(ValueError, match="unexpected change-event op"):
+        apply_changes(spark, changes, str(tmp_path / "wh_bad"), "id")

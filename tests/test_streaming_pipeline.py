@@ -1,0 +1,125 @@
+"""EP2 end-to-end under Structured Streaming: stream records -> staging
+NDJSON -> warehouse, both hops checkpointed; plus the collapsed
+envelope->apply pipeline and the EP1 replication restatement."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.config import EngineConfig
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import read_warehouse
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.manager import ensure_started, find_query
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.pipeline import (
+    run_envelope_apply,
+    run_staging_to_warehouse,
+    run_stream_to_staging,
+)
+
+from .fixtures import TRADE_SCHEMA, make_trade, write_envelope_file, write_stream_records_file
+
+
+def _await(q):
+    q.awaitTermination(120)
+
+
+def test_two_hop_pipeline_append(spark, tmp_path):
+    cfg = EngineConfig(apply_mode="append")
+    feed = str(tmp_path / "feed")
+    staging = str(tmp_path / "staging")
+    wh = str(tmp_path / "warehouse")
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+    write_stream_records_file(
+        feed, "b1.json",
+        [("INSERT", t0, 1), ("INSERT", t1, 2), ("REMOVE", {"id": t2["id"]}, 3)],
+    )
+    write_stream_records_file(
+        feed, "b2.json", [("MODIFY", dict(t1, price=333.0), 4)]
+    )
+
+    q1 = run_stream_to_staging(
+        spark, cfg, feed, staging, str(tmp_path / "ck1"), TRADE_SCHEMA
+    )
+    _await(q1)
+    staged = sorted(os.listdir(staging))
+    # parity naming: data files say how many records they carry (K3)
+    assert all("__inserted_or_modified_records.json" in f or
+               "__no_inserted_or_modified_records.txt" in f for f in staged)
+    data_files = [f for f in staged if f.endswith(".json")]
+    assert sum(int(f.split("__")[2]) for f in data_files) == 3  # REMOVE filtered
+
+    q2 = run_staging_to_warehouse(
+        spark, cfg, staging, wh, str(tmp_path / "ck2"), TRADE_SCHEMA
+    )
+    _await(q2)
+    out = spark.read.parquet(wh)
+    assert out.count() == 3  # append mode: one row per INSERT/MODIFY event
+    assert out.filter(F.col("id") == t1["id"]).count() == 2
+
+    # restart both hops with same checkpoints: no new input => no new rows
+    _await(run_stream_to_staging(spark, cfg, feed, staging, str(tmp_path / "ck1"), TRADE_SCHEMA))
+    _await(run_staging_to_warehouse(spark, cfg, staging, wh, str(tmp_path / "ck2"), TRADE_SCHEMA))
+    assert spark.read.parquet(wh).count() == 3
+
+
+def test_two_hop_pipeline_upsert(spark, tmp_path):
+    cfg = EngineConfig(apply_mode="upsert")
+    feed = str(tmp_path / "feed")
+    staging = str(tmp_path / "staging")
+    wh = str(tmp_path / "warehouse")
+    t1 = make_trade(1)
+    write_stream_records_file(feed, "b1.json", [("INSERT", t1, 1)])
+    write_stream_records_file(feed, "b2.json", [("MODIFY", dict(t1, price=333.0), 2)])
+    _await(run_stream_to_staging(spark, cfg, feed, staging, str(tmp_path / "ck1"), TRADE_SCHEMA))
+    _await(run_staging_to_warehouse(spark, cfg, staging, wh, str(tmp_path / "ck2"), TRADE_SCHEMA))
+    out = read_warehouse(spark, wh)
+    assert out.count() == 1
+    assert out.first()["price"] == 333.0
+
+
+def test_empty_batch_writes_marker(spark, tmp_path):
+    cfg = EngineConfig()
+    feed = str(tmp_path / "feed")
+    staging = str(tmp_path / "staging")
+    t2 = make_trade(2)
+    # a file whose only event is REMOVE -> zero survivors -> K4 marker
+    write_stream_records_file(feed, "b1.json", [("REMOVE", {"id": t2["id"]}, 1)])
+    _await(run_stream_to_staging(spark, cfg, feed, staging, str(tmp_path / "ck"), TRADE_SCHEMA))
+    markers = [f for f in os.listdir(staging) if f.endswith("__no_inserted_or_modified_records.txt")]
+    assert markers and os.path.getsize(os.path.join(staging, markers[0])) == 0
+
+
+def test_envelope_apply_collapsed_upsert(spark, tmp_path):
+    cfg = EngineConfig(apply_mode="upsert", propagate_deletes=True)
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "warehouse")
+    t0, t1 = make_trade(0), make_trade(1)
+    write_envelope_file(feed, "b1.json", [("INSERT", t0, 1), ("INSERT", t1, 2)])
+    write_envelope_file(feed, "b2.json", [("MODIFY", dict(t0, shares=777), 3),
+                                          ("REMOVE", {"id": t1["id"]}, 4)])
+    _await(run_envelope_apply(spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA))
+    out = read_warehouse(spark, wh)
+    assert out.count() == 1
+    row = out.first()
+    assert row["id"] == t0["id"] and row["shares"] == 777
+
+
+def test_manager_start_if_not_active(spark, tmp_path):
+    cfg = EngineConfig()
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "warehouse")
+    write_envelope_file(feed, "b1.json", [("INSERT", make_trade(0), 1)])
+    started = []
+
+    def start():
+        q = run_envelope_apply(spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA)
+        started.append(q)
+        return q
+
+    q = ensure_started(spark, "replication", start)
+    assert len(started) == 1
+    _await(q)
+    assert find_query(spark, "replication") is None  # availableNow finished
