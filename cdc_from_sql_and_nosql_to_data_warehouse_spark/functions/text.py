@@ -1,0 +1,115 @@
+"""Text-analysis primitives for LLM-data pipelines (north-star NEW ops).
+
+All built-in column expressions — no Python in the hot path. Designed so
+each primitive has an exact ANSI-SQL twin (documented inline) that the
+DuckDB oracle can evaluate identically:
+
+- tokenization: whitespace split of trimmed text
+- 60-bit token hash: first 15 hex chars of md5, parsed base-16 (md5 is
+  identical across engines; 60 bits keeps the value inside a signed
+  int64 in both)
+- language ID: stopword-overlap argmax over a fixed per-language list
+- quality scoring: ratios of exact integer counts (single double
+  divisions — deterministic IEEE in any engine)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Fixed stopword lists for the n-gram/stopword language heuristic. The
+# testdata 'lang' labels are synthetic; the heuristic's contract is
+# deterministic scoring, verified engine-vs-engine (not vs the labels).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),
+    "de": ("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "des"),
+}
+
+
+def tokens(col) -> Column:
+    """SQL twin: ``regexp_split_to_array(trim(text), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def distinct_tokens(col) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_hash60(token_col: Column) -> Column:
+    """60-bit integer hash of a token via md5 — engine-portable.
+
+    SQL twin: ``CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(token_col), 1, 15), 16, 10).cast("bigint")
+
+
+def stopword_hits(col, lang: str) -> Column:
+    """# distinct tokens that are stopwords of ``lang``.
+
+    SQL twin: ``len(list_intersect(list_distinct(toks), [...]))``.
+    """
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(distinct_tokens(col), stop))
+
+
+def lang_id(col) -> Column:
+    """Argmax language by stopword hits; ties break by language-code
+    order; zero hits everywhere -> 'und' (undetermined)."""
+    hits = {lang: stopword_hits(col, lang) for lang in sorted(LANG_STOPWORDS)}
+    best = None
+    best_hits = None
+    for lang in sorted(LANG_STOPWORDS):  # later langs must beat, not tie
+        if best is None:
+            best, best_hits = F.lit(lang), hits[lang]
+        else:
+            cond = hits[lang] > best_hits
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+
+def n_tokens(col) -> Column:
+    return F.size(tokens(col))
+
+
+def lexical_diversity(col) -> Column:
+    """distinct/total token ratio — one double division of two ints."""
+    return F.size(distinct_tokens(col)).cast("double") / F.size(tokens(col))
+
+
+def mean_token_length(col) -> Column:
+    """(len(text without whitespace)) / n_tokens, both exact ints."""
+    c = F.col(col) if isinstance(col, str) else col
+    compact = F.length(F.regexp_replace(F.trim(c), TOKEN_SPLIT_RE, ""))
+    return compact.cast("double") / F.size(tokens(col))
+
+
+def all_stopword_hits(col) -> Column:
+    """Total stopword hits across all tracked languages."""
+    out = None
+    for lang in sorted(LANG_STOPWORDS):
+        h = stopword_hits(col, lang)
+        out = h if out is None else out + h
+    return out
+
+
+def quality_score(col) -> Column:
+    """Composite quality heuristic in a FIXED evaluation order so the
+    double arithmetic is reproducible across engines:
+
+    ``0.5 * lexical_diversity + 0.1 * min(mean_token_len, 10)/10
+    + 0.4 * min(n_tokens, 100)/100``
+    """
+    div = lexical_diversity(col)
+    mtl = mean_token_length(col)
+    nt = n_tokens(col)
+    t1 = F.lit(0.5) * div
+    t2 = F.lit(0.1) * (F.least(mtl, F.lit(10.0)) / F.lit(10.0))
+    t3 = F.lit(0.4) * (F.least(nt.cast("double"), F.lit(100.0)) / F.lit(100.0))
+    return t1 + t2 + t3

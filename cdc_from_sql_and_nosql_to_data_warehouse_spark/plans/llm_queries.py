@@ -12,12 +12,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
 from ..sources.testdata import load_table
 from .registry import register_query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
 
 
 # ---------------------------------------------------------------------------
@@ -123,4 +130,216 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("content_md5"),
         F.element_at(toks, 1).alias("first_token"),
         F.element_at(toks, -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup: MinHash+LSH with exact-Jaccard verify. The LSH stage is a
+# recall-~1 candidate generator (see operators/dedup.py), so the output
+# equals the brute-force answer — which is what the oracle computes.
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_minhash_jaccard_pairs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(a.sh || b.sh)) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return DD.minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.9, ngram=1
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# n-gram (bigram-shingle) Jaccard near-dup — stricter than unigram
+# because word order matters.
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+1], ' ')
+                            FOR i IN range(1, greatest(len(toks), 1))]) AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(a.sh || b.sh)) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return DD.minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, ngram=2
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures — portable 60-bit md5-based hash so the signature
+# itself (not just derived pairs) is oracle-checkable.
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_simhash_signatures",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(
+        list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                            >> j) & 1 = 1
+                      THEN 1 ELSE -1 END) AS score
+      FROM tok CROSS JOIN range(60) r(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           sum(CASE WHEN score > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", DD.simhash60(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: exact brute-force cosine top-k (the baseline the
+# LSH path is measured against). Cosine doubles are bit-identical between
+# the Spark fold and DuckDB's list_cosine_similarity.
+# ---------------------------------------------------------------------------
+@register_query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@register_query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-overlap argmax (ties -> alphabetical language
+# code; no hits -> 'und').
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_lang_id",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+            ['der','die','das','und','von','zu','den','mit','ist','des'])) AS de_hits,
+        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+            ['the','and','of','to','in','is','that','for','with','as'])) AS en_hits,
+        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+            ['el','la','de','que','y','en','un','una','los','las'])) AS es_hits,
+        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+            ['le','la','de','et','les','des','un','une','du','que'])) AS fr_hits
+      FROM documents
+    )
+    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+      CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+           WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+           WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+           WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM h ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.stopword_hits(F.col("text"), "de").alias("de_hits"),
+        TX.stopword_hits(F.col("text"), "en").alias("en_hits"),
+        TX.stopword_hits(F.col("text"), "es").alias("es_hits"),
+        TX.stopword_hits(F.col("text"), "fr").alias("fr_hits"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: exact integer counts + fixed-order double arithmetic.
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_quality_scores",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+        length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_compact
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+      n_distinct::DOUBLE / n_tokens AS lexical_diversity,
+      n_compact::DOUBLE / n_tokens AS mean_token_len,
+      0.5 * (n_distinct::DOUBLE / n_tokens)
+        + 0.1 * (least(n_compact::DOUBLE / n_tokens, 10.0) / 10.0)
+        + 0.4 * (least(n_tokens::DOUBLE, 100.0) / 100.0) AS quality_score
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.n_tokens(F.col("text")).alias("n_tokens"),
+        TX.lexical_diversity(F.col("text")).alias("lexical_diversity"),
+        TX.mean_token_length(F.col("text")).alias("mean_token_len"),
+        TX.quality_score(F.col("text")).alias("quality_score"),
     ).orderBy("doc_id")
