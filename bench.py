@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: times the engine's representative queries.
+
+Runs every headline query from the plan registry at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced with a full collect of its result (the driver's
+correctness harness does the same), timed end-to-end including plan
+compilation. Session setup / parquet cache warmup are excluded via one
+untimed warmup action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans import QUERIES
+
+# Representative slice of SURVEY.md §2: scan+agg, joins, windows,
+# rollup/cube, set ops, as-of, event-time rollup, CDC apply modes, and
+# every north-star LLM-pipeline family (exact/fuzzy dedup, simhash,
+# embedding similarity, text analysis).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rollup_acctbal_by_region_nation",
+    "top3_orders_per_customer",
+    "customers_without_orders",
+    "pivot_order_status_by_priority",
+    "events_hourly_rollup",
+    "asof_last_click_before_purchase",
+    "cdc_upsert_latest_wins",
+    "cdc_count_reconciliation",
+    "dedup_exact_survivors",
+    "dedup_minhash_jaccard_pairs",
+    "dedup_simhash_signatures",
+    "embedding_cosine_topk",
+    "text_lang_id",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cdc-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table once so JVM/classloader/IO warmup is not
+    # attributed to the first query
+    QUERIES["cdc_count_reconciliation"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = len(QUERIES[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,10 +19,10 @@ LSH keeps to a tiny fraction of the n² pair space. Banding parameters
 verify threshold and the final output equals the brute-force answer —
 which is exactly what the DuckDB oracle computes.
 
-MinHash uses Spark's xxhash64 (JVM, engine-specific): fine because the
-*output* of the pipeline is exact-verified pairs, so signatures never
-leak into results. SimHash signatures DO surface, so they use the
-md5-based portable 60-bit hash from functions/text.py.
+MinHash uses a seeded family of Spark's xxhash64 (JVM, engine-specific):
+fine because the *output* of the pipeline is exact-verified pairs, so
+signatures never leak into results. SimHash signatures DO surface, so
+they use the md5-based portable 60-bit hash from functions/text.py.
 """
 
 from __future__ import annotations
@@ -31,8 +31,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import distinct_tokens, token_hash60
 
-# Mersenne prime 2^61 - 1: modulus for the minhash permutation family
-_MERSENNE61 = (1 << 61) - 1
 
 
 def content_fingerprint(col) -> Column:
@@ -84,66 +82,23 @@ def minhash_signature(
 ) -> Column:
     """num_hashes-wide minhash of a shingle array, fully JVM-side.
 
-    Permutation family h_i(x) = (a_i * xxhash64(x) + b_i) mod M61 with
-    (a_i, b_i) derived deterministically from the seed. One expression:
-    array of array_min over transforms — no UDF, no shuffle.
+    Hash family h_i(x) = xxhash64(seed*1e6 + i, x): xxhash64 with a
+    distinct literal first argument is an independent 64-bit hash per i
+    (the seed column perturbs the full avalanche). One expression —
+    array of array_min over transforms — no UDF, no shuffle. Signatures
+    are engine-internal (candidates are exact-verified afterwards), so
+    JVM-specific hashing is fine; only 1 cheap hash per (i, shingle)
+    instead of a portable modular-permutation family, which keeps
+    codegen small and the projection ~15x cheaper.
     """
-    rnd = __import__("random").Random(seed)
-    params = [
-        (rnd.randrange(1, _MERSENNE61), rnd.randrange(0, _MERSENNE61))
-        for _ in range(num_hashes)
-    ]
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    mins = [
-        F.array_min(
-            F.transform(
-                base,
-                # pmod keeps the value positive; BigInt overflow is avoided
-                # because xxhash64 % M61 < 2^61 and a < 2^61: the product
-                # needs 122 bits -> do the multiply in modular pieces
-                lambda h: _mulmod_m61(h, a, b),
-            )
+    def _min_hash(i: int) -> Column:
+        # one-arg lambda only: F.transform treats a two-arg lambda as
+        # (element, index), which would shadow the hash-function id
+        return F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.lit(seed * 1_000_000 + i), s))
         )
-        for a, b in params
-    ]
-    return F.array(*mins)
 
-
-def _mulmod_m61(h: Column, a: int, b: int) -> Column:
-    """(a*h + b) mod M61 without 128-bit overflow, in long arithmetic.
-
-    Split a = a_hi*2^30 + a_lo; reduce h mod M61 first, then each partial
-    product fits in < 2^91... still too wide for int64, so reduce h to
-    61 bits and split IT instead: with h61 = h mod M61 = h_hi*2^31+h_lo,
-    a*h61 mod M61 = ((a*h_hi mod M61)*2^31 + a*h_lo) mod M61 — but
-    a*h_hi can still overflow. Standard trick: use two levels of
-    splitting on `a` (constant), so every multiply is (<2^31)*(<2^61)?
-    That still overflows int64. Final approach: split BOTH into 30/31-bit
-    halves and combine with shifts reduced mod M61 — all terms < 2^62.
-    """
-    h61 = F.pmod(h, F.lit(_MERSENNE61))
-    h_hi = F.shiftright(h61, 31)  # < 2^30
-    h_lo = h61.bitwiseAND(F.lit((1 << 31) - 1))  # < 2^31
-    a_hi, a_lo = a >> 31, a & ((1 << 31) - 1)  # < 2^30, < 2^31
-
-    def red(x: Column) -> Column:
-        return F.pmod(x, F.lit(_MERSENNE61))
-
-    # a*h = (a_hi*h_hi)*2^62 + (a_hi*h_lo + a_lo*h_hi)*2^31 + a_lo*h_lo
-    # 2^62 mod M61 = 2;  2^31 stays as a shift after reduction
-    t0 = red(h_hi * F.lit(a_hi) * F.lit(2))  # a_hi*h_hi*2^62 mod M61
-    mid = red(red(h_lo * F.lit(a_hi)) + red(h_hi * F.lit(a_lo)))
-    t1 = red(_shift31_mod(mid))
-    t2 = red(h_lo * F.lit(a_lo))
-    return red(t0 + t1 + t2 + F.lit(b))
-
-
-def _shift31_mod(x: Column) -> Column:
-    """(x * 2^31) mod M61 for x < M61: split to avoid overflow."""
-    hi = F.shiftright(x, 30)  # < 2^31
-    lo = x.bitwiseAND(F.lit((1 << 30) - 1))
-    # x*2^31 = hi*2^61 + lo*2^31; 2^61 mod M61 = 1
-    return F.pmod(hi + F.shiftleft(lo, 31), F.lit(_MERSENNE61))
+    return F.array(*[_min_hash(i) for i in range(num_hashes)])
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -230,58 +185,39 @@ def minhash_near_dup_pairs(
     )
 
 
-def _token_bits_pm1(t: Column) -> Column:
-    """Array of 60 longs in {-1, +1}: element j is bit j of the token's
-    md5-derived 60-bit hash, mapped 1 -> +1, 0 -> -1.
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Portable 60-bit SimHash per document -> (id_col, simhash).
 
-    Bits come from the hex nibbles directly (digit at hex position p
-    carries bits 4*(14-p)..4*(14-p)+3 of the value), so every shift
-    amount is a Python literal — Spark's shiftright does not accept
-    column-valued shift counts."""
-    md5c = F.md5(t)
-    exprs = []
-    for q in range(15):  # nibble index from the least-significant end
-        p = 14 - q  # character position within the 15-char hex prefix
-        digit = F.conv(F.substring(md5c, p + 1, 1), 16, 10).cast("int")
-        for bi in range(4):  # j = 4*q + bi, appended in order
-            exprs.append(
-                F.when(
-                    F.shiftright(digit, bi).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
-            )
-    return F.array(*exprs)
-
-
-def simhash60(col) -> Column:
-    """Portable 60-bit SimHash over distinct tokens.
-
-    bit_j(doc) = 1 iff sum over tokens of ±1 (per bit j of the token's
-    md5-derived 60-bit hash) is positive. Pure expressions: one aggregate
-    over the token array carrying a 60-wide counter vector.
+    bit_j(doc) = 1 iff sum over distinct tokens of ±1 (per bit j of the
+    token's md5-derived 60-bit hash) is positive. Formulated as explode +
+    hash-aggregate with 60 conditional-sum columns: whole-stage-codegen
+    all the way (Spark's higher-order array functions run interpreted),
+    and at scale the groupBy does map-side partial aggregation so the
+    shuffle carries 60 longs per (doc × input partition), never tokens.
     SQL twin in plans/llm_queries.py (unnest + group-by formulation).
     """
-    toks = distinct_tokens(col)
-    counters = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), 60),
-        lambda acc, t: F.zip_with(acc, _token_bits_pm1(t), lambda a, b: a + b),
+    toks = df.select(
+        F.col(id_col), F.explode(distinct_tokens(text_col)).alias("_t")
+    ).select(id_col, token_hash60(F.col("_t")).alias("_h"))
+    scores = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.getbit(F.col("_h"), F.lit(j)) == 1, 1).otherwise(-1)
+            ).alias(f"_s{j}")
+            for j in range(60)
+        ]
     )
     sig = F.lit(0).cast("long")
     for j in range(60):
         sig = sig + F.when(
-            F.element_at(counters, j + 1) > 0, F.lit(1 << j).cast("long")
+            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return sig
+    return scores.select(F.col(id_col), sig.alias("simhash"))
 
 
 def hamming60(a: Column, b: Column) -> Column:
     """Hamming distance between two 60-bit signatures: popcount(a XOR b)."""
-    x = a.bitwiseXOR(b)
-    out = F.lit(0).cast("long")
-    for j in range(60):  # literal shift amounts (see _token_bits_pm1)
-        out = out + F.shiftright(x, j).bitwiseAND(F.lit(1))
-    return out
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
 def simhash_near_dup_pairs(
@@ -290,7 +226,9 @@ def simhash_near_dup_pairs(
     """SimHash near-dup: candidates share one of 4 15-bit signature chunks
     (any pair within hamming 3 must agree on ≥1 chunk; wider distances
     are caught probabilistically), verified by exact hamming ≤ max."""
-    sigs = df.select(F.col(id_col), simhash60(text_col).alias("_sig"))
+    sigs = simhash_signatures(df, id_col, text_col).withColumnRenamed(
+        "simhash", "_sig"
+    )
     chunks = sigs.select(
         id_col,
         "_sig",

@@ -20,11 +20,19 @@ from .registry import register_query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # The local fixtures are one parquet file -> one input split; spread
+    # the expensive per-document projections (signatures, token stats)
+    # across all cores. On a real multi-file table the scan already has
+    # enough splits and this round-robin shuffle stays proportional.
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -221,9 +229,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", DD.simhash60(F.col("text")).alias("simhash")
-    ).orderBy("doc_id")
+    return DD.simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
