@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators import dedup as DD
+from ..functions import multimodal as MM
 from ..operators import similarity as SIM
 from ..sources.testdata import load_table
 from .registry import register_query
@@ -349,3 +350,146 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.mean_token_length(F.col("text")).alias("mean_token_len"),
         TX.quality_score(F.col("text")).alias("quality_score"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: a GPT-2-style pre-tokenizer regex (contraction
+# suffixes / letter runs / digit runs / punctuation runs, each with an
+# optional leading space). The pattern avoids lookaheads so Java regex
+# (Spark) and RE2 (DuckDB) agree match-for-match.
+# ---------------------------------------------------------------------------
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register_query(
+    "text_bpe_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))
+             AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        TX.n_tokens(F.col("text")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (Rabin–Karp over the token stream):
+# h = fold(h*31 + md5-hash-of-token) mod 2^31-1. Order-sensitive — unlike
+# the set-based dedup signatures — so token swaps change the fingerprint.
+# All arithmetic stays < 2^37, safe in int64 for both engines.
+# ---------------------------------------------------------------------------
+_RH_MOD = 2147483647
+
+
+@register_query(
+    "text_rolling_fingerprint",
+    oracle=rf"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(0::BIGINT,
+          regexp_split_to_array(trim(text), '\s+')
+            .list_transform(t ->
+              CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {_RH_MOD})),
+        (h, t) -> (h * 31 + t) % {_RH_MOD}) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_hash60, tokens
+
+    docs = _docs(spark, sf_dir)
+    fp = F.aggregate(
+        tokens(F.col("text")),
+        F.lit(0).cast("long"),
+        lambda h, t: (h * 31 + token_hash60(t) % _RH_MOD) % _RH_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: opaque binary payload + typed metadata struct. The
+# synthetic media table derives deterministically from documents (the
+# container has no codecs — see functions/multimodal.py), which makes the
+# metadata path fully oracle-checkable in ANSI SQL.
+# ---------------------------------------------------------------------------
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.synthesize_media(_docs(spark, sf_dir))
+
+
+@register_query(
+    "multimodal_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             length(text) AS n, md5(text) AS payload_md5,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id, kind, n_bytes, payload_md5,
+      CASE WHEN kind = 'image' THEN (n % 64 + 1)::INT END AS width,
+      CASE WHEN kind = 'image' THEN (n % 48 + 1)::INT END AS height,
+      CASE WHEN kind = 'audio' THEN (n * 4)::BIGINT END AS n_samples,
+      CASE WHEN kind = 'video' THEN (n % 300 + 1)::BIGINT END AS n_frames
+    FROM m ORDER BY media_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("metadata.width").alias("width"),
+        F.col("metadata.height").alias("height"),
+        F.col("metadata.n_samples").alias("n_samples"),
+        F.col("metadata.n_frames").alias("n_frames"),
+    ).orderBy("media_id")
+
+
+@register_query(
+    "multimodal_frame_plan",
+    oracle="""
+    SELECT doc_id AS media_id, unnest(range(0, length(text) % 300 + 1, 24))
+             AS frame_index
+    FROM documents WHERE doc_id % 3 = 2
+    ORDER BY media_id, frame_index
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side frame fan-out of the video sampler (indices only — the
+    per-frame checksum stage is pandas-UDF-backed, checked rows-only in
+    multimodal_frame_samples)."""
+    media = _media(spark, sf_dir)
+    return (
+        MM.sample_frames(media, every_n=24)
+        .select("media_id", "frame_index")
+        .orderBy("media_id", "frame_index")
+    )
+
+
+@register_query("multimodal_features")  # rows-only: mapInPandas entropy
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.extract_features(_media(spark, sf_dir)).orderBy("media_id")
+
+
+@register_query("multimodal_resized")  # rows-only: fake-decode + resize
+def multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.resize_images(_media(spark, sf_dir), 16, 12).orderBy("media_id")
+
+
+@register_query("multimodal_frame_samples")  # rows-only: pandas_udf checksums
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.sample_frames(_media(spark, sf_dir), every_n=24).orderBy(
+        "media_id", "frame_index"
+    )
