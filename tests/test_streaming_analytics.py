@@ -1,0 +1,159 @@
+"""Event-time streaming analytics: watermarked tumbling windows, session
+windows, and cross-batch stateful dedup (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.analytics import (
+    sessionized_activity,
+    streaming_exact_dedup,
+    windowed_event_rollup,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+_FILE_SEQ = iter(range(1, 10_000))
+
+
+def _write_events(feed_dir: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(feed_dir, exist_ok=True)
+    tmp = os.path.join(feed_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    dst = os.path.join(feed_dir, name)
+    os.rename(tmp, dst)
+    # distinct, increasing mtimes: the file source orders batches by
+    # modification time, and same-second writes would tie
+    seq = next(_FILE_SEQ)
+    os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def _stream(spark, feed_dir):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .json(feed_dir)
+    )
+
+
+def _run_to_memory(df, name, tmp_path, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _ev(i, ts, user=1, etype="click", value=1.0):
+    return {"event_id": i, "ts": ts, "user_id": user, "event_type": etype, "value": value}
+
+
+def test_windowed_rollup_watermark_append(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    # batch 1: two 10:xx events, one 11:xx event
+    _write_events(feed, "b1.json", [
+        _ev(1, "2024-01-01T10:05:00Z"),
+        _ev(2, "2024-01-01T10:40:00Z", value=2.0),
+        _ev(3, "2024-01-01T11:10:00Z"),
+    ])
+    # batch 2: watermark jumps to 15:00 - 1h = 14:00 -> windows 10 and 11 close
+    _write_events(feed, "b2.json", [_ev(4, "2024-01-01T15:00:00Z")])
+
+    roll = windowed_event_rollup(_stream(spark, feed), "1 hour", "1 hour")
+    _run_to_memory(roll, "roll", tmp_path, "append")
+    rows = {
+        r["window_start"].hour: r
+        for r in spark.table("roll").collect()
+    }
+    # closed windows emitted exactly once; the 15:00 window is still open
+    assert set(rows) == {10, 11}
+    assert rows[10]["n_events"] == 2 and rows[10]["total_value"] == 3.0
+    assert rows[11]["n_events"] == 1
+
+
+def test_windowed_rollup_drops_late_data(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    _write_events(feed, "b1.json", [_ev(1, "2024-01-01T10:05:00Z")])
+    _write_events(feed, "b2.json", [_ev(2, "2024-01-01T15:00:00Z")])
+    # watermark reaches 14:00 during b2's batch, which closes+emits the
+    # 10:00 window at that batch's end (a late row arriving in that same
+    # batch would still merge — eviction is end-of-batch)
+    _write_events(feed, "b3.json", [_ev(3, "2024-01-01T16:00:00Z")])
+    # b4's event time is far behind the watermark and its window is gone
+    _write_events(feed, "b4.json", [_ev(4, "2024-01-01T10:55:00Z", value=99.0)])
+
+    roll = windowed_event_rollup(_stream(spark, feed), "1 hour", "1 hour")
+    _run_to_memory(roll, "late", tmp_path, "append")
+    ten = [r for r in spark.table("late").collect() if r["window_start"].hour == 10]
+    # the late event neither reopened nor inflated the closed window
+    assert len(ten) == 1 and ten[0]["n_events"] == 1 and ten[0]["total_value"] == 1.0
+
+
+def test_sessionized_activity(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    _write_events(feed, "b1.json", [
+        _ev(1, "2024-01-01T10:00:00Z", user=7),
+        _ev(2, "2024-01-01T10:10:00Z", user=7, value=2.0),   # same session
+        _ev(3, "2024-01-01T12:00:00Z", user=7, value=5.0),   # new session
+        _ev(4, "2024-01-01T10:00:00Z", user=8),
+    ])
+    _write_events(feed, "b2.json", [_ev(5, "2024-01-01T20:00:00Z", user=9)])
+
+    sess = sessionized_activity(_stream(spark, feed), gap="30 minutes", watermark="1 hour")
+    _run_to_memory(sess, "sess", tmp_path, "append")
+    done = {(r["user_id"], r["session_start"].hour): r for r in spark.table("sess").collect()}
+    # user 7: one 2-event session (10:00-10:40) and one singleton at 12:00
+    assert done[(7, 10)]["n_events"] == 2
+    assert done[(7, 10)]["session_value"] == 3.0
+    assert done[(7, 12)]["n_events"] == 1
+    assert done[(8, 10)]["n_events"] == 1
+    # user 9's session is beyond the final watermark -> still open, not emitted
+    assert (9, 20) not in done
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    _write_events(feed, "b1.json", [
+        _ev(1, "2024-01-01T10:00:00Z", etype="a"),
+        _ev(2, "2024-01-01T10:01:00Z", etype="a"),  # dup of 'a' within batch
+        _ev(3, "2024-01-01T10:02:00Z", etype="b"),
+    ])
+    # re-delivery of 'a' and 'b' in a later batch must be dropped
+    _write_events(feed, "b2.json", [
+        _ev(4, "2024-01-01T10:03:00Z", etype="a"),
+        _ev(5, "2024-01-01T10:04:00Z", etype="b"),
+        _ev(6, "2024-01-01T10:05:00Z", etype="c"),
+    ])
+
+    dedup = streaming_exact_dedup(
+        _stream(spark, feed).withColumn("fp", F.md5("event_type")), "fp"
+    )
+    _run_to_memory(dedup, "dedup", tmp_path, "append")
+    out = spark.table("dedup").collect()
+    got = {r["fingerprint"]: r for r in out if r["event_id"] is not None}
+    md5 = lambda s: __import__("hashlib").md5(s.encode()).hexdigest()
+    assert set(got) == {md5("a"), md5("b"), md5("c")}
+    assert got[md5("a")]["event_id"] == 1          # first occurrence wins
+    assert got[md5("a")]["n_duplicates_in_batch"] == 1
+    assert got[md5("c")]["event_id"] == 6
