@@ -11,11 +11,13 @@ Five families, all DataFrame-native:
 
 Scale design (100 TB): every candidate-generation step shuffles only
 (id, small-fixed-width signature) pairs — never document bodies. The
-exact-verify join re-attaches token sets for *candidates only*, which
-LSH keeps to a tiny fraction of the n² pair space. Banding parameters
-(b bands of r rows) tune the recall/cost curve: P(candidate) =
-1-(1-s^r)^b; the defaults (64 bands of 2) push miss probability below
-1e-40 at s=0.9, so the LSH step is effectively recall-1 above the
+exact-verify join re-attaches token sets for survivors of a two-stage
+candidate funnel (banded LSH, then a signature-agreement prefilter), so
+the wide join touches a tiny fraction of the n² pair space even on
+pathologically self-similar corpora. Banding parameters (b bands of r
+rows) tune the recall/cost curve: P(candidate) = 1-(1-s^r)^b; the
+defaults (32 bands of 4) keep miss probability under 5e-8 at s=0.8 and
+under 1e-14 at s=0.9, so the funnel is effectively recall-1 above the
 verify threshold and the final output equals the brute-force answer —
 which is exactly what the DuckDB oracle computes.
 
@@ -118,7 +120,7 @@ def minhash_lsh_candidates(
     id_col: str,
     shingle_col: str,
     num_hashes: int = 128,
-    bands: int = 64,
+    bands: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """Candidate id pairs (i < j) sharing ≥1 LSH bucket.
@@ -155,26 +157,57 @@ def minhash_near_dup_pairs(
     threshold: float = 0.9,
     ngram: int = 1,
     num_hashes: int = 128,
-    bands: int = 64,
+    bands: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard ≥ threshold.
 
-    LSH generates candidates (recall ~1 at these defaults for s ≥ 0.7),
-    then an exact verify computes the true Jaccard per candidate — so the
-    result is deterministic and equals the brute-force answer.
+    Three-stage funnel, each stage cheaper per row than the next is
+    wide:
+
+    1. banded LSH candidates — misses a true s ≥ 0.8 pair with
+       p = (1-s^4)^32 < 5e-8, so the stage is recall-~1 above any
+       threshold we expose;
+    2. signature prefilter — the fraction of agreeing minhash
+       components estimates Jaccard with sigma ~= sqrt(s(1-s)/128);
+       keeping est >= threshold - 0.18 (>6 sigma) drops the bulk of
+       mid-similarity candidates while the shuffle still carries only
+       ids + fixed-width signatures, never shingle sets;
+    3. exact verify — token sets are attached for survivors only and
+       the true Jaccard is computed, so the output equals the
+       brute-force answer (what the DuckDB oracle computes).
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     shingled = df.select(
         F.col(id_col), token_ngrams(text_col, ngram).alias("_sh")
     )
+    sigs = shingled.select(
+        F.col(id_col),
+        minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
+    )
     cands = minhash_lsh_candidates(
         shingled, id_col, "_sh", num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    plausible = (
+        cands.join(sigs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b")), "id_b")
+        .filter(est >= threshold - 0.18)
+        .select("id_a", "id_b")
     )
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
-        cands.join(a, "id_a")
+        plausible.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
