@@ -569,3 +569,36 @@ def top20_lineitems_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient aggregation: the salted two-stage plan must produce
+# exactly the plain GROUP BY's answer (the oracle runs the plain form).
+# events.event_type is low-cardinality -> every key is "hot".
+# ---------------------------------------------------------------------------
+@register_query(
+    "skew_salted_event_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def skew_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+        n_salts=16,
+    ).orderBy("event_type")

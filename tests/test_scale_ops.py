@@ -1,0 +1,93 @@
+"""Scale-posture operators: small-file compaction, salted aggregation,
+salted join — each must be result-identical to its plain counterpart."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import compact_parquet, table_stats
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.skew import salted_agg, salted_join
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    # simulate streaming appends: many tiny files
+    for i in range(20):
+        df.filter(F.col("id") % 20 == i).coalesce(1).write.mode("append").parquet(path)
+    before = table_stats(spark, path)
+    assert before.n_files >= 20
+
+    rows_before = _sorted_rows(spark.read.parquet(path))
+    after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert after.n_files < before.n_files
+    assert after.n_rows == before.n_rows == 10_000
+    assert _sorted_rows(spark.read.parquet(path)) == rows_before
+
+
+def test_compaction_noop_when_compact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(100).coalesce(1).write.parquet(path)
+    before = table_stats(spark, path)
+    after = compact_parquet(spark, path)
+    assert (after.n_files, after.n_rows) == (before.n_files, before.n_rows)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share one key — the classic hot-key shape
+    return spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 100).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.col("id"),
+    )
+
+
+def test_salted_agg_equals_plain(spark, skewed):
+    plain = skewed.groupBy("k").agg(
+        F.sum("v").alias("sv"),
+        F.count("*").alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+    salted = salted_agg(
+        skewed,
+        ["k"],
+        {"sv": ("sum", "v"), "n": ("count", "*"), "lo": ("min", "id"), "hi": ("max", "id")},
+        n_salts=16,
+    )
+    assert _sorted_rows(salted.select("k", "sv", "n", "lo", "hi")) == _sorted_rows(plain)
+
+
+def test_salted_agg_rejects_non_algebraic(skewed):
+    with pytest.raises(ValueError, match="not algebraic"):
+        salted_agg(skewed, ["k"], {"m": ("median", "v")})
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", 1.5)] + [(f"cold_{i}", float(i)) for i in range(100)],
+        ["k", "weight"],
+    )
+    plain = skewed.join(dim, ["k"])
+    salted = salted_join(skewed, dim, ["k"], n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    cols = sorted(plain.columns)
+    assert _sorted_rows(salted.select(cols)) == _sorted_rows(plain.select(cols))
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed):
+    dim = spark.createDataFrame([("hot", 1.5)], ["k", "weight"])
+    plain = skewed.join(dim, ["k"], "left")
+    salted = salted_join(skewed, dim, ["k"], n_salts=4, how="left")
+    cols = sorted(plain.columns)
+    assert _sorted_rows(salted.select(cols)) == _sorted_rows(plain.select(cols))
