@@ -88,18 +88,22 @@ def lsh_signature(vec: Column, table: int, planes: int) -> Column:
     """Bit-packed sign signature of `vec` against `planes` hyperplanes.
 
     Python-level loop over planes so every bit weight is a literal."""
-    sig = F.lit(0).cast("long")
-    for p in range(planes):
-        proj = F.aggregate(
+    def _proj(p: int) -> Column:
+        # two-arg lambda only: a default-arg "capture" would change the
+        # lambda's arity and zip_with would reject it
+        return F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d, _p=p: x * hyperplane_component(table * 1000 + _p, d),
+                lambda x, d: x * hyperplane_component(table * 1000 + p, d),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        sig = sig + F.when(_proj(p) > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return sig
@@ -184,4 +188,120 @@ def embedding_near_dup_pairs(
             "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer -> cell-restricted
+# exact search. The classic big-corpus layout: partition/cluster the
+# corpus by cell id once, then each query probes only nprobe cells.
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """K-means centroids for the coarse quantizer (pyspark.ml, seeded).
+
+    At 100 TB train on a sample (``sample_fraction``) — k-means needs
+    only enough data to place cells, not the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus if sample_fraction is None else corpus.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    feats = df.select(
+        array_to_vector(as_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids by squared L2 distance —
+    pure column expressions over centroid literals (no model object on
+    the executors, no Python in the hot path)."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, cell, vector). In a persisted layout this is the
+    one-time build step: write partitioned/clustered by ``cell`` so a
+    probe prunes to nprobe/n_cells of the files."""
+    v = as_double_array(vec_col)
+    return corpus.select(
+        F.col(id_col),
+        F.element_at(_nearest_cells(v, centroids, 1), 1).alias("cell"),
+        v.alias("_cv"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: each query scores only vectors in its nprobe
+    nearest cells. Recall grows with nprobe (nprobe = n_cells ⇒ exact).
+
+    Plan shape: corpus assigned once (narrow), queries fan out to nprobe
+    (query, cell) rows, equi-join on cell — the shuffle carries cell ids
+    and vectors for candidates only; a broadcast of the (small) query
+    side keeps the corpus un-shuffled.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_cells, seed)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("_qv"),
+        F.explode(
+            _nearest_cells(as_double_array(vec_col), centroids, nprobe)
+        ).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(qv), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

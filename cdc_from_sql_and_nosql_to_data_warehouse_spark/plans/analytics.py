@@ -602,3 +602,228 @@ def skew_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured columns (SUPER parity): events.props is a JSON string;
+# extract a typed field and aggregate it. get_json_object keeps the
+# extraction JVM-side; at scale prefer parsing once via from_json into a
+# struct column when several fields are read.
+# ---------------------------------------------------------------------------
+@register_query(
+    "json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+             AS sum_k,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE
+             / count(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count("*").alias("n"),
+            (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-shaped correlated subquery: cheapest supplier per part (via
+# lineitem, since the star schema has no partsupp). Catalyst decorrelates
+# the scalar subquery into an aggregate + join.
+# ---------------------------------------------------------------------------
+@register_query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name,
+           min(c.l_suppkey) AS best_suppkey,
+           CAST(min(c.min_price) AS DOUBLE) AS best_price
+    FROM part p JOIN cost c ON p.p_partkey = c.l_partkey
+    WHERE c.min_price = (
+      SELECT min(min_price) FROM cost c2 WHERE c2.l_partkey = p.p_partkey
+    )
+    GROUP BY p.p_partkey, p.p_name
+    HAVING p.p_partkey < 200
+    ORDER BY p.p_partkey
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_money("l_extendedprice")).alias("min_price")
+    )
+    w = W.partitionBy("l_partkey")
+    best = cost.withColumn("best", F.min("min_price").over(w)).filter(
+        F.col("min_price") == F.col("best")
+    )
+    return (
+        part.join(best, part.p_partkey == best.l_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            F.min("min_price").cast("double").alias("best_price"),
+        )
+        .filter(F.col("p_partkey") < 200)
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4-shaped EXISTS semi-join: orders with >=1 returned lineitem, counted
+# by priority.
+# ---------------------------------------------------------------------------
+@register_query(
+    "orders_with_returns_by_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_with_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped distribution: customers per order-count bucket (left outer
+# join keeps zero-order customers).
+# ---------------------------------------------------------------------------
+@register_query(
+    "customer_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-shaped IN-subquery with aggregate HAVING: large-volume orders.
+# ---------------------------------------------------------------------------
+@register_query(
+    "large_volume_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_tq"))
+        .filter(F.col("_tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group checksum reconciliation (A3 extended, `operators/reconcile`):
+# portable md5-derived row checksums summed per group — the engine-vs-
+# warehouse divergence detector that count-only reconciliation misses.
+# ---------------------------------------------------------------------------
+@register_query(
+    "cdc_checksum_reconciliation",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           sum(CAST(concat('0x', substr(md5(
+             concat(o_orderkey::VARCHAR, '|', o_custkey::VARCHAR, '|',
+                    o_orderpriority)), 1, 10)) AS BIGINT))::BIGINT
+             AS checksum_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    row_ck = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.sum(row_ck).alias("checksum_sum"))
+        .orderBy("o_orderstatus")
+    )

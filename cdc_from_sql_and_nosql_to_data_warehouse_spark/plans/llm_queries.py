@@ -493,3 +493,26 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(_media(spark, sf_dir), every_n=24).orderBy(
         "media_id", "frame_index"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale paths (rows-only: approximate, seed-deterministic but not
+# SQL-expressible). tests/test_similarity_ann.py asserts recall against
+# the exact brute force; nprobe=n_cells / more tables tightens to exact.
+# ---------------------------------------------------------------------------
+@register_query("embedding_ivf_topk")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, seed=42
+    ).orderBy("query_id", "rank")
+
+
+@register_query("embedding_lsh_topk")
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.lsh_topk(emb, queries, k=10, tables=8, planes=6).orderBy(
+        "query_id", "rank"
+    )

@@ -58,6 +58,17 @@ def _values_equal(a: Any, b: Any) -> bool:
     return a == b
 
 
+def _driver_hash(df: pd.DataFrame) -> str:
+    """The driver's value hash, byte-for-byte: md5 of the CSV of the
+    column-name-sorted, row-sorted, int64-normalized frame. CSV encoding
+    makes this dtype-sensitive (99111 != 99111.0) — exactly the check
+    CORRECTNESS_r{N}.json applies, so local green means driver green."""
+    import hashlib
+
+    out = _normalize(df)
+    return hashlib.md5(out.to_csv(index=False).encode()).hexdigest()
+
+
 def compare_query(spark: SparkSession, name: str, sf_dir: str) -> dict:
     """Returns {match_rows, match_cols, match_values, detail}."""
     sdf = QUERIES[name](spark, sf_dir).toPandas()
@@ -71,6 +82,13 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> dict:
         result["match_values"] = False
         result["detail"] = f"spark_cols={s_cols} oracle_cols={o_cols}"
         return result
+    result["match_values"] = _driver_hash(sdf) == _driver_hash(odf)
+    if result["match_values"]:
+        result["detail"] = []
+        return result
+    # hash mismatch: extract value-wise detail for debugging; when every
+    # value compares equal the divergence is dtype-level (e.g. int64 vs
+    # float64 from a DuckDB HUGEINT sum) — report the dtypes instead
     s, o = _normalize(sdf), _normalize(odf)
     mismatches = []
     for col in s.columns:
@@ -82,8 +100,11 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> dict:
                     break
         if len(mismatches) >= 5:
             break
-    result["match_values"] = not mismatches
-    result["detail"] = mismatches
+    result["detail"] = mismatches or [
+        ("dtype", c, str(s[c].dtype), str(o[c].dtype))
+        for c in s.columns
+        if str(s[c].dtype) != str(o[c].dtype)
+    ]
     return result
 
 
