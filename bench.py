@@ -48,8 +48,14 @@ HEADLINE = [
     "dedup_minhash_jaccard_pairs",
     "dedup_simhash_signatures",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
     "text_lang_id",
     "text_quality_scores",
+    "text_bpe_token_counts",
+    "json_props_rollup",
+    "skew_salted_event_rollup",
+    "large_volume_orders",
+    "multimodal_features",
 ]
 
 

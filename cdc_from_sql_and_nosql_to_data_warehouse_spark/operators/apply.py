@@ -67,11 +67,20 @@ def apply_changes(
     key: str,
     mode: str = "append",
     propagate_deletes: bool = False,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Apply one (micro-)batch of envelope rows to the warehouse table.
 
     ``changes`` is envelope-shaped: op/key/after/ts_ms/seq (F3). Safe to
     call from ``foreachBatch`` — replays converge (see module doc).
+
+    ``partition_by`` (columns of the after-image) activates the 100 TB
+    layout: the table is laid out as hive partitions, appends route to
+    their partition, and the upsert merge reads and rewrites ONLY the
+    partitions the batch touches (partition-pruned scan + dynamic
+    partition overwrite) instead of swapping the whole table. Constraint,
+    as in every partitioned-MERGE system: a key's partition values must
+    be immutable across its change events.
     """
     bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
     if bad:
@@ -81,7 +90,10 @@ def apply_changes(
         # Reference behavior: INSERT+MODIFY append their after-image, one
         # row per event; REMOVE never reaches the warehouse (README.md:30).
         rows = changes.filter(F.col("op").isin("INSERT", "MODIFY")).select("after.*")
-        rows.write.mode("append").parquet(target_path)
+        writer = rows.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
         return
 
     if mode != "upsert":
@@ -94,8 +106,30 @@ def apply_changes(
         incoming.select("key", "op", "after", "seq"), "key", "seq"
     )
 
-    if os.path.exists(target_path):
+    exists = os.path.exists(target_path)
+
+    touched: list[tuple] | None = None
+    if partition_by and exists:
+        # the batch is micro — collecting its distinct partition tuples
+        # on the driver is O(partitions touched), not O(data)
+        touched = [
+            tuple(r)
+            for r in incoming.select(
+                *[F.col(f"after.{c}") for c in partition_by]
+            ).distinct().collect()
+        ]
+
+    if exists:
         existing = spark.read.parquet(target_path)
+        if touched is not None:
+            # partition-pruned read: only files of touched partitions
+            pred = F.lit(False)
+            for vals in touched:
+                clause = F.lit(True)
+                for c, v in zip(partition_by, vals):
+                    clause = clause & (F.col(c) == F.lit(v))
+                pred = pred | clause
+            existing = existing.filter(pred)
         after_cols = [c for c in existing.columns if c != SEQ_COL]
         lifted = existing.select(
             F.col(key).cast("string").alias("key"),
@@ -111,6 +145,38 @@ def apply_changes(
         merged.filter(F.col("op") != "REMOVE")
         .select("after.*", F.col("seq").alias(SEQ_COL))
     )
+
+    if partition_by and exists:
+        # dynamic partition overwrite: only partitions present in
+        # `result` (= the touched set) are replaced; all others untouched
+        (
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(target_path)
+        )
+        # a winning REMOVE can empty a partition entirely; dynamic
+        # overwrite never writes an empty partition, so drop it by hand
+        if propagate_deletes and touched:
+            remaining = {
+                tuple(r)
+                for r in result.select(
+                    *[F.col(c) for c in partition_by]
+                ).distinct().collect()
+            }
+            for vals in touched:
+                if tuple(vals) in remaining:
+                    continue
+                sub = os.path.join(
+                    target_path,
+                    *[f"{c}={v}" for c, v in zip(partition_by, vals)],
+                )
+                if os.path.exists(sub):
+                    shutil.rmtree(sub)
+        return
+    if partition_by:
+        result.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
+        return
     # cache-free swap: the merged plan reads the old files, the swap
     # happens only after the new files are fully written
     _swap_into(spark, result, target_path)

@@ -218,7 +218,9 @@ def train_ivf_centroids(
     feats = df.select(
         array_to_vector(as_double_array(vec_col)).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    # a coarse quantizer does not need converged k-means: 10 iterations
+    # places cells well enough, and recall is governed by nprobe anyway
+    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

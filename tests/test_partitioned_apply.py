@@ -1,0 +1,111 @@
+"""Partitioned warehouse apply: hive layout, partition-pruned merge,
+dynamic partition overwrite leaving untouched partitions' files alone."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import apply_changes, read_warehouse
+
+AFTER = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def _envelope(spark, rows):
+    """rows: (op, id, region, price, seq)"""
+    return spark.createDataFrame(
+        [(op, i, {"id": i, "region": r, "price": p}, seq, seq) for op, i, r, p, seq in rows],
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("key", T.StringType()),
+                T.StructField("after", AFTER),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        ),
+    )
+
+
+def _files(path):
+    return {
+        f
+        for f in glob.glob(f"{path}/**/*", recursive=True)
+        if os.path.isfile(f) and "_SUCCESS" not in f
+    }
+
+
+def test_partitioned_append_routes_rows(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    batch = _envelope(
+        spark,
+        [("INSERT", "a", "eu", 1.0, 1), ("INSERT", "b", "us", 2.0, 2)],
+    )
+    apply_changes(spark, batch, wh, "id", mode="append", partition_by=["region"])
+    assert os.path.isdir(f"{wh}/region=eu") and os.path.isdir(f"{wh}/region=us")
+    assert spark.read.parquet(wh).count() == 2
+
+
+def test_partitioned_upsert_touches_only_batch_partitions(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    seed = _envelope(
+        spark,
+        [
+            ("INSERT", "a", "eu", 1.0, 1),
+            ("INSERT", "b", "us", 2.0, 2),
+            ("INSERT", "c", "ap", 3.0, 3),
+        ],
+    )
+    apply_changes(spark, seed, wh, "id", mode="upsert", partition_by=["region"])
+    us_files_before = {f for f in _files(wh) if "region=us" in f}
+    ap_files_before = {f for f in _files(wh) if "region=ap" in f}
+
+    update = _envelope(spark, [("MODIFY", "a", "eu", 9.0, 10)])
+    apply_changes(spark, update, wh, "id", mode="upsert", partition_by=["region"])
+
+    # untouched partitions keep their exact files (no full-table rewrite)
+    assert {f for f in _files(wh) if "region=us" in f} == us_files_before
+    assert {f for f in _files(wh) if "region=ap" in f} == ap_files_before
+
+    out = {r["id"]: r for r in read_warehouse(spark, wh).collect()}
+    assert out["a"]["price"] == 9.0 and out["b"]["price"] == 2.0
+    assert len(out) == 3
+
+
+def test_partitioned_upsert_replay_converges(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    b1 = _envelope(spark, [("INSERT", "a", "eu", 1.0, 1)])
+    b2 = _envelope(spark, [("MODIFY", "a", "eu", 5.0, 2)])
+    apply_changes(spark, b1, wh, "id", mode="upsert", partition_by=["region"])
+    apply_changes(spark, b2, wh, "id", mode="upsert", partition_by=["region"])
+    # at-least-once replay of an older batch must not regress the row
+    apply_changes(spark, b1, wh, "id", mode="upsert", partition_by=["region"])
+    rows = read_warehouse(spark, wh).collect()
+    assert len(rows) == 1 and rows[0]["price"] == 5.0
+
+
+def test_partitioned_delete_empties_partition(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    seed = _envelope(
+        spark,
+        [("INSERT", "a", "eu", 1.0, 1), ("INSERT", "b", "us", 2.0, 2)],
+    )
+    apply_changes(spark, seed, wh, "id", mode="upsert", partition_by=["region"])
+    rm = _envelope(spark, [("REMOVE", "b", "us", 2.0, 5)])
+    apply_changes(
+        spark, rm, wh, "id", mode="upsert", partition_by=["region"],
+        propagate_deletes=True,
+    )
+    out = read_warehouse(spark, wh).collect()
+    assert [r["id"] for r in out] == ["a"]
+    assert not os.path.exists(f"{wh}/region=us")
