@@ -827,3 +827,75 @@ def cdc_checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.sum(row_ck).alias("checksum_sum"))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: events bucketed by value range. Non-equi join
+# conditions become BroadcastNestedLoop against the tiny bucket dim —
+# fine because the dim is rows-scale; at 100 TB with a large range table
+# you bucket both sides by floor(value/width) first to make it an
+# equi-join (that rewrite is what `bucket_id` demonstrates).
+# ---------------------------------------------------------------------------
+@register_query(
+    "range_join_value_buckets",
+    oracle="""
+    WITH buckets AS (
+      SELECT * FROM (VALUES
+        (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 101.0)
+      ) b(bucket_id, lo, hi)
+    )
+    SELECT b.bucket_id, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id
+    ORDER BY b.bucket_id
+    """,
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 101.0)],
+        ["bucket_id", "lo", "hi"],
+    )
+    return (
+        events.join(
+            F.broadcast(buckets),
+            (events.value >= buckets.lo) & (events.value < buckets.hi),
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles: Spark `percentile` (exact, interpolating) ==
+# DuckDB `quantile_cont`. Both interpolate (a + (b-a)*f) over sorted
+# doubles -> bit-identical on 2-decimal money values.
+# ---------------------------------------------------------------------------
+@register_query(
+    "order_value_percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def order_value_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.percentile("o_totalprice", 0.99).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
