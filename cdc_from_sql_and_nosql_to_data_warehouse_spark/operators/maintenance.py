@@ -64,3 +64,33 @@ def compact_parquet(
     df = spark.read.parquet(path).repartition(n_out)
     _swap_into(spark, df, path)
     return table_stats(spark, path)
+
+
+def expire_files(
+    path: str,
+    max_age_seconds: float,
+    now: float | None = None,
+    suffixes: tuple[str, ...] = (),
+) -> list[str]:
+    """K9: retention TTL for staged/archived files (reference: S3
+    lifecycle expiring processed objects after 1 day,
+    ``cdk_infrastructure/__init__.py:301-307``).
+
+    Deletes files under ``path`` whose mtime is older than the TTL,
+    optionally restricted to ``suffixes``. Returns deleted paths.
+    Checkpointed sources never re-read processed files, so expiry is
+    safe at any cadence; it exists to bound storage, not correctness.
+    """
+    import time
+
+    cutoff = (time.time() if now is None else now) - max_age_seconds
+    deleted: list[str] = []
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if suffixes and not f.endswith(suffixes):
+                continue
+            p = os.path.join(dp, f)
+            if os.path.getmtime(p) < cutoff:
+                os.remove(p)
+                deleted.append(p)
+    return deleted

@@ -91,3 +91,26 @@ def test_salted_left_join_keeps_unmatched(spark, skewed):
     salted = salted_join(skewed, dim, ["k"], n_salts=4, how="left")
     cols = sorted(plain.columns)
     assert _sorted_rows(salted.select(cols)) == _sorted_rows(plain.select(cols))
+
+
+def test_expire_files_ttl(tmp_path):
+    import os
+    import time
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import expire_files
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    old = staging / "old__records.json"
+    new = staging / "new__records.json"
+    keepext = staging / "old_marker.txt"
+    for p in (old, new, keepext):
+        p.write_text("x")
+    t = time.time()
+    os.utime(old, (t - 90_000, t - 90_000))      # ~25h old
+    os.utime(keepext, (t - 90_000, t - 90_000))
+    deleted = expire_files(
+        str(staging), max_age_seconds=86_400, suffixes=(".json",)
+    )
+    assert deleted == [str(old)]
+    assert new.exists() and keepext.exists() and not old.exists()
