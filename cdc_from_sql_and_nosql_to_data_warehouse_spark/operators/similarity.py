@@ -202,50 +202,71 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
-    sample_fraction: float | None = None,
+    max_train_vectors: int = 8192,
+    n_iters: int = 10,
 ) -> list[list[float]]:
-    """K-means centroids for the coarse quantizer (pyspark.ml, seeded).
-
-    At 100 TB train on a sample (``sample_fraction``) — k-means needs
-    only enough data to place cells, not the full corpus.
+    """K-means centroids for the coarse quantizer: driver-side Lloyd's
+    iterations on a bounded sample (the faiss approach — a quantizer
+    needs only enough data to place cells, never the full corpus, so
+    collecting ≤``max_train_vectors`` rows is the scalable design, not a
+    shortcut). Seeded k-means++-style init; fully deterministic.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    df = corpus if sample_fraction is None else corpus.sample(
-        fraction=sample_fraction, seed=seed
-    )
-    feats = df.select(
-        array_to_vector(as_double_array(vec_col)).alias("features")
-    )
-    # a coarse quantizer does not need converged k-means: 10 iterations
-    # places cells well enough, and recall is governed by nprobe anyway
-    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(feats)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    n = corpus.count()
+    frac = min(1.0, (max_train_vectors * 1.2) / max(n, 1))
+    sample = (
+        corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    ).select(as_double_array(vec_col).alias("_v")).limit(max_train_vectors)
+    x = np.array([r["_v"] for r in sample.collect()], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding: spread initial centroids by squared distance
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, n_cells):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in cents], axis=0
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=p)])
+    c = np.array(cents)
+    for _ in range(n_iters):
+        # assign to nearest centroid, then recompute means
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(n_cells):
+            mask = a == j
+            if mask.any():
+                c[j] = x[mask].mean(axis=0)
+    return [list(map(float, row)) for row in c]
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    """Array of the ``n`` nearest centroid ids by squared L2 distance —
-    pure column expressions over centroid literals (no model object on
-    the executors, no Python in the hot path)."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+    """Array of the ``n`` nearest centroid ids by squared L2 distance.
+
+    Arrow-vectorized pandas UDF: the centroid matrix rides inside the
+    (self-contained) closure and the distance matrix is one numpy
+    broadcast per batch — the legitimate UDF case, where a k×dim literal
+    expression tree would be interpreted per element. ||x-c||² =
+    ||x||² - 2x·c + ||c||² via a single GEMM against the corpus batch.
+    """
+    import pandas as pd  # noqa: F401 (signature type only)
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = [list(map(float, c)) for c in centroids]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest(v):
+        import numpy as _np
+        import pandas as _pd
+
+        c = _np.asarray(cents)  # (k, dim)
+        c2 = (c * c).sum(axis=1)  # (k,)
+        x = _np.stack(v.to_numpy())  # (b, dim)
+        d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c2[None, :]
+        order = _np.argsort(d, axis=1)[:, :n].astype("int32")
+        return _pd.Series(list(order))
+
+    return nearest(vec)
 
 
 def ivf_assign(
