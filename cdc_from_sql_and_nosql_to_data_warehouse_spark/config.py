@@ -44,6 +44,9 @@ class EngineConfig:
     # vs clean upsert must be a visible switch)
     apply_mode: str = "append"  # "append" | "upsert"
     propagate_deletes: bool = False  # reference drops REMOVE (README.md:30)
+    # hive-partition columns of the warehouse table (100 TB layout:
+    # partition-pruned merges + dynamic partition overwrite); None = flat
+    partition_by: list[str] | None = None
 
     # --- reconciliation flag (reference `cdk.json:24`
     # PRINT_RDS_AND_REDSHIFT_NUM_ROWS)

@@ -204,15 +204,28 @@ def minhash_near_dup_pairs(
         .filter(est >= threshold - 0.18)
         .select("id_a", "id_b")
     )
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    a = shingled.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.size("_sh").alias("_n_a"),
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.size("_sh").alias("_n_b"),
+    )
+    # |a ∪ b| = |a| + |b| - |a ∩ b|: one array_intersect per pair
+    # instead of intersect + union — the sizes are precomputed ints
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     return (
         plausible.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
+            (
+                inter.cast("double") / (F.col("_n_a") + F.col("_n_b") - inter)
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

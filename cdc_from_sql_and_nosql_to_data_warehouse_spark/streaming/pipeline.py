@@ -166,7 +166,10 @@ def run_staging_to_warehouse(
     def load_batch(batch: DataFrame, epoch_id: int) -> None:
         if cfg.apply_mode == "append":
             # reference bug-compat: straight COPY-append of each staged row
-            batch.drop("_seq", "_ts_ms").write.mode("append").parquet(warehouse_path)
+            writer = batch.drop("_seq", "_ts_ms").write.mode("append")
+            if cfg.partition_by:
+                writer = writer.partitionBy(*cfg.partition_by)
+            writer.parquet(warehouse_path)
             return
         envelope = batch.select(
             F.lit("MODIFY").alias("op"),
@@ -182,6 +185,7 @@ def run_staging_to_warehouse(
             key,
             mode="upsert",
             propagate_deletes=cfg.propagate_deletes,
+            partition_by=cfg.partition_by,
         )
 
     return (
@@ -223,6 +227,7 @@ def run_envelope_apply(
             key,
             mode=cfg.apply_mode,
             propagate_deletes=cfg.propagate_deletes,
+            partition_by=cfg.partition_by,
         )
 
     return (

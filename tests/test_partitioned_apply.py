@@ -109,3 +109,31 @@ def test_partitioned_delete_empties_partition(spark, tmp_path):
     out = read_warehouse(spark, wh).collect()
     assert [r["id"] for r in out] == ["a"]
     assert not os.path.exists(f"{wh}/region=us")
+
+
+def test_streaming_envelope_apply_partitioned(spark, tmp_path):
+    """End-to-end: partitioned warehouse through the streaming pipeline."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.config import EngineConfig
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.pipeline import run_envelope_apply
+    import json
+
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "wh")
+    os.makedirs(feed)
+    rows = [
+        {"op": "INSERT", "key": "a", "after": {"id": "a", "region": "eu", "price": 1.0},
+         "ts_ms": 1, "seq": 1},
+        {"op": "INSERT", "key": "b", "after": {"id": "b", "region": "us", "price": 2.0},
+         "ts_ms": 2, "seq": 2},
+    ]
+    with open(f"{feed}/b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    cfg = EngineConfig(apply_mode="upsert", partition_by=["region"])
+    q = run_envelope_apply(
+        spark, cfg, feed, wh, str(tmp_path / "ck"), AFTER, key="id"
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(f"{wh}/region=eu") and os.path.isdir(f"{wh}/region=us")
+    assert read_warehouse(spark, wh).count() == 2
