@@ -309,3 +309,75 @@ def simhash_near_dup_pairs(
     return cands.select(
         "id_a", "id_b", hamming60(F.col("_sig_a"), F.col("_sig_b")).alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (doc_id,
+    cluster_id), cluster_id = min doc_id reachable. The step LLM
+    pipelines run after pair generation: keep one document per cluster.
+
+    Min-label propagation: each iteration joins every node's current
+    label against its neighbors' and keeps the minimum; converges in
+    O(diameter) iterations (near-dup clusters are dense, so diameter is
+    tiny — 2-3 rounds typical). Each round is one shuffle of (node,
+    label) pairs; the pair graph itself is never materialized beyond
+    its two-column form. AQE handles the skewed giant-cluster joins.
+
+    Deterministic output; isolated docs (no pairs) are absent — union
+    the corpus back with cluster_id = doc_id for a full assignment.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def fuzzy_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 1,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: pairs -> clusters -> min-id survivor per
+    cluster, plus every unpaired document. The output is the kept
+    corpus."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, threshold, ngram)
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

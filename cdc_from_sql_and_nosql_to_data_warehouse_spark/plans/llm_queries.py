@@ -516,3 +516,39 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=10, tables=8, planes=6).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-dedup clustering: connected components over the near-dup pair
+# graph (min reachable doc_id = cluster id). Oracle: recursive CTE
+# transitive closure over the brute-force pair set.
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_fuzzy_clusters",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(a.sh || b.sh)) >= 0.9
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = DD.minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.9, ngram=1)
+    return DD.near_dup_clusters(pairs).orderBy("doc_id")

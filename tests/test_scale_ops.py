@@ -114,3 +114,35 @@ def test_expire_files_ttl(tmp_path):
     )
     assert deleted == [str(old)]
     assert new.exists() and keepext.exists() and not old.exists()
+
+
+def test_near_dup_clusters_min_label(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import near_dup_clusters
+
+    # two components: {1,2,3,9} via chain, {5,7}; 8 isolated (absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_fuzzy_dedup_survivors(spark):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import fuzzy_dedup_survivors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+            (3, "the quick brown fox jumps over a lazy dog"),     # near-dup
+            (4, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in fuzzy_dedup_survivors(docs, "doc_id", "text", threshold=0.7).collect()
+    )
+    assert kept == [1, 4]  # 2 and 3 fold into cluster 1; 4 unpaired
