@@ -171,19 +171,22 @@ def extract_features(media: DataFrame) -> DataFrame:
             return float(-(p * _np.log2(p)).sum())
 
         for pdf in batches:
-            payloads = pdf["payload"]
+            n_bytes, sha, ent, mean = [], [], [], []
+            for b in pdf["payload"]:
+                b = b or b""
+                n_bytes.append(len(b))
+                sha.append(_hashlib.sha256(b).hexdigest())
+                ent.append(entropy(b))
+                arr = _np.frombuffer(b if b else b"\x00", _np.uint8)
+                mean.append(float(arr.mean()))
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
-                    "sha256_hex": payloads.map(
-                        lambda b: _hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "byte_entropy": payloads.map(lambda b: entropy(b or b"")),
-                    "mean_byte": payloads.map(
-                        lambda b: float(_np.frombuffer(b or b"\x00", _np.uint8).mean())
-                    ),
+                    "n_bytes": _pd.Series(n_bytes, dtype="int64"),
+                    "sha256_hex": sha,
+                    "byte_entropy": ent,
+                    "mean_byte": mean,
                 }
             )
 
