@@ -123,3 +123,36 @@ def test_manager_start_if_not_active(spark, tmp_path):
     assert len(started) == 1
     _await(q)
     assert find_query(spark, "replication") is None  # availableNow finished
+
+
+def test_staging_schema_evolution_name_matching(spark, tmp_path):
+    """S7/K5 parity: the warehouse load binds staged JSON by column name
+    (reference `COPY ... json 'auto'`, `load_s3_files...handler.py:93`):
+    unknown extra fields are ignored, absent fields arrive as NULL."""
+    import json as _json
+
+    cfg = EngineConfig(apply_mode="append")
+    staging = str(tmp_path / "staging")
+    wh = str(tmp_path / "wh")
+    os.makedirs(staging)
+    t0 = make_trade(0)
+    line_known = dict(t0, _seq=1, _ts_ms=1)
+    line_evolved = dict(
+        make_trade(1), _seq=2, _ts_ms=2, brand_new_field="ignored-by-name-matching"
+    )
+    line_sparse = {k: v for k, v in make_trade(2).items() if k != "price"}
+    line_sparse.update(_seq=3, _ts_ms=3)
+    with open(f"{staging}/f__3__inserted_or_modified_records.json", "w") as f:
+        for line in (line_known, line_evolved, line_sparse):
+            f.write(_json.dumps(line) + "\n")
+
+    q = run_staging_to_warehouse(
+        spark, cfg, staging, wh, str(tmp_path / "ck"), TRADE_SCHEMA
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(wh)
+    assert "brand_new_field" not in out.columns
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[make_trade(2)["id"]]["price"] is None  # absent -> NULL
+    assert rows[make_trade(1)["id"]]["price"] == 111.0
