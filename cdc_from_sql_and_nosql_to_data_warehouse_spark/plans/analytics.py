@@ -1181,3 +1181,107 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderpriority NULLS FIRST
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8-shaped: market share — share of a target nation's revenue within a
+# region per order year. CASE-inside-aggregate over a 7-table star.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+      CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN volume
+               ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+        / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+      count(*) AS n_lines
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    ) all_lines
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = _money("l_extendedprice") * (_one() - _frac("l_discount"))
+    china = F.when(F.col("supp_nation") == "CHINA", volume).otherwise(
+        F.lit(0).cast("decimal(15,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(china).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-shaped: top supplier(s) — revenue per supplier, keep the max via a
+# scalar subquery over the derived aggregate (view-equivalent CTE).
+# ---------------------------------------------------------------------------
+@register_query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+               AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price).alias("total_rev")
+    )
+    top = revenue.agg(F.max("total_rev").alias("m"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(top), F.col("total_rev") == F.col("m"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
