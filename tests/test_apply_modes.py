@@ -88,3 +88,17 @@ def test_unknown_op_raises(spark, tmp_path):
     changes = _feed(spark, tmp_path, events, "bad")
     with pytest.raises(ValueError, match="unexpected change-event op"):
         apply_changes(spark, changes, str(tmp_path / "wh_bad"), "id")
+
+
+def test_apply_empty_batch_is_safe(spark, tmp_path):
+    """foreachBatch delivers empty micro-batches; both modes must leave
+    the warehouse untouched (and not crash on empty window/merge)."""
+    wh = str(tmp_path / "wh")
+    seed = _feed(spark, tmp_path, [("INSERT", make_trade(0), 1)])
+    apply_changes(spark, seed, wh, "id", mode="upsert")
+    before = sorted(map(tuple, read_warehouse(spark, wh).collect()))
+
+    empty = seed.limit(0)
+    apply_changes(spark, empty, wh, "id", mode="upsert")
+    apply_changes(spark, empty, wh, "id", mode="append")
+    assert sorted(map(tuple, read_warehouse(spark, wh).collect())) == before

@@ -146,3 +146,37 @@ def test_fuzzy_dedup_survivors(spark):
         for r in fuzzy_dedup_survivors(docs, "doc_id", "text", threshold=0.7).collect()
     )
     assert kept == [1, 4]  # 2 and 3 fold into cluster 1; 4 unpaired
+
+
+def test_compaction_after_streaming_appends(spark, tmp_path):
+    """Micro-batch append sinks fragment the table; compaction restores
+    a sane file count without changing the data."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import apply_changes
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import compact_parquet, table_stats
+    from pyspark.sql import types as T
+
+    AFTER = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    ENV = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("after", AFTER),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    wh = str(tmp_path / "wh")
+    for batch in range(8):  # 8 micro-batches of appends
+        env = spark.createDataFrame(
+            [("INSERT", f"k{batch}", {"id": f"k{batch}", "v": float(batch)}, batch, batch)],
+            ENV,
+        )
+        apply_changes(spark, env, wh, "id", mode="append")
+    frag = table_stats(spark, wh)
+    assert frag.n_files >= 8
+    rows = sorted(map(tuple, spark.read.parquet(wh).collect()))
+    after = compact_parquet(spark, wh, target_file_bytes=1 << 30)
+    assert after.n_files < frag.n_files and after.n_rows == 8
+    assert sorted(map(tuple, spark.read.parquet(wh).collect())) == rows
