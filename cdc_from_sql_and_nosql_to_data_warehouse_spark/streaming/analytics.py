@@ -140,3 +140,20 @@ def streaming_exact_dedup(events: DataFrame, fingerprint_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    fingerprint_col: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Built-in bounded-state alternative to ``streaming_exact_dedup``:
+    duplicates arriving within the watermark horizon are dropped, state
+    is evicted as the watermark passes. Use when an event-time bound on
+    re-delivery is acceptable (at-least-once sources re-deliver within
+    minutes, not days) — state stays O(keys per horizon) instead of
+    O(all keys ever)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [fingerprint_col]
+    )

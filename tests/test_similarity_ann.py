@@ -58,3 +58,16 @@ def test_lsh_recall(spark, emb):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.6
+
+
+def test_hll_sketch_error_bound(spark):
+    """Sketch surface: approx_count_distinct (HLL) lands within its
+    configured relative error of the exact distinct count."""
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    from pyspark.sql import functions as F
+
+    exact = events.select("user_id").distinct().count()
+    approx = events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact <= 0.06  # 3x the 2% target rsd

@@ -157,3 +157,26 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert got[md5("a")]["event_id"] == 1          # first occurrence wins
     assert got[md5("a")]["n_duplicates_in_batch"] == 1
     assert got[md5("c")]["event_id"] == 6
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.analytics import (
+        streaming_dedup_within_watermark,
+    )
+
+    feed = str(tmp_path / "feed")
+    _write_events(feed, "b1.json", [
+        _ev(1, "2024-01-01T10:00:00Z", etype="a"),
+        _ev(2, "2024-01-01T10:01:00Z", etype="a"),   # dup within horizon
+        _ev(3, "2024-01-01T10:02:00Z", etype="b"),
+    ])
+    _write_events(feed, "b2.json", [
+        _ev(4, "2024-01-01T10:03:00Z", etype="a"),   # still within horizon
+        _ev(5, "2024-01-01T10:04:00Z", etype="c"),
+    ])
+    dedup = streaming_dedup_within_watermark(
+        _stream(spark, feed).withColumn("fp", F.md5("event_type")), "fp"
+    )
+    _run_to_memory(dedup, "wmdedup", tmp_path, "append")
+    out = spark.table("wmdedup").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 3, 5]
