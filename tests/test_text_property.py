@@ -1,0 +1,100 @@
+"""Property-based checks: Spark text/dedup primitives vs independent
+pure-Python references on hypothesis-generated corpora."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import dedup as DD
+
+# words over a small alphabet maximize collision/overlap cases
+words = st.text(alphabet="abc ", min_size=0, max_size=30)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return text.strip().split() if text.strip() else [""] if text.strip() == "" else []
+
+
+def _py_tokens_split(text: str) -> list[str]:
+    # Spark split(trim(x), '\s+') on "" yields [""]
+    t = text.strip()
+    import re
+
+    return re.split(r"\s+", t) if t else [""]
+
+
+def _py_ngrams(text: str, n: int) -> list[str]:
+    toks = _py_tokens_split(text)
+    if len(toks) - (n - 1) < 1:
+        return []
+    out, seen = [], set()
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(words, min_size=1, max_size=8))
+def test_token_ngrams_matches_python(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", DD.token_ngrams("t", 2).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_ngrams(t, 2), (t, got[i])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(words, min_size=2, max_size=6))
+def test_simhash_matches_python(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["simhash"]
+        for r in DD.simhash_signatures(df, "i", "t").collect()
+    }
+
+    def py_simhash(text: str) -> int:
+        toks = list(dict.fromkeys(_py_tokens_split(text)))
+        counters = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(60):
+                counters[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(60) if counters[j] > 0)
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_simhash(t), (t, got[i])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(words, min_size=2, max_size=6))
+def test_minhash_pairs_match_bruteforce(spark, texts):
+    """The LSH funnel's output equals brute-force Jaccard-threshold
+    pairs on arbitrary small corpora (recall-1 property)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_near_dup_pairs(df, "i", "t", threshold=0.6).collect()
+    }
+
+    def jacc(a: str, b: str) -> float:
+        sa, sb = set(_py_tokens_split(a)), set(_py_tokens_split(b))
+        return len(sa & sb) / len(sa | sb) if sa | sb else math.nan
+
+    want = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if jacc(texts[i], texts[j]) >= 0.6
+    }
+    assert got == want, (texts, got, want)
