@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale properties COVERAGE.md
+claims (pushdown, pruning, broadcast dims, no cartesian joins) are
+asserted here so a refactor cannot silently lose them."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "l_shipdate" in pushed  # predicate reached the parquet reader
+    read = " ".join(re.findall(r"ReadSchema: ([^\n]*)", plan))
+    assert "l_comment" not in read and "l_orderkey" not in read  # pruned
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "c_mktsegment" in pushed and "o_orderdate" in pushed
+
+
+def test_q5_star_join_no_shuffle_joins(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims broadcast at this scale
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_minhash_no_cartesian(spark):
+    """The LSH funnel must never degrade to a cartesian pair join."""
+    plan = _plan(spark, "dedup_minhash_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_rollup_partial_aggregation(spark):
+    """groupBy must plan partial (map-side) + final aggregation."""
+    plan = _plan(spark, "events_hourly_rollup")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # simple mode prefixes codegen'd operators with "*(stage)"
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    df.collect()  # let AQE finalize the plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in simple
