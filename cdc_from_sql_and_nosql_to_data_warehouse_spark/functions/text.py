@@ -113,3 +113,50 @@ def quality_score(col) -> Column:
     t2 = F.lit(0.1) * (F.least(mtl, F.lit(10.0)) / F.lit(10.0))
     t3 = F.lit(0.4) * (F.least(nt.cast("double"), F.lit(100.0)) / F.lit(100.0))
     return t1 + t2 + t3
+
+
+# Common character trigrams per language (public-corpus commonplaces) —
+# the char-n-gram flavor of the language-ID heuristic. Same contract as
+# the stopword lists: deterministic scoring, engine-vs-engine verified.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "ent", "her", "for", "tha", "ter", "ere"),
+    "es": ("que", "ent", "con", "ado", "los", "cio", "ien", "era", "nte", "las"),
+    "fr": ("les", "ent", "que", "des", "ion", "eur", "ait", "our", "ans", "une"),
+    "de": ("der", "ein", "sch", "ich", "nde", "die", "che", "den", "ung", "gen"),
+}
+
+
+def char_trigrams(col) -> Column:
+    """Distinct character trigrams of the lowercased text.
+
+    SQL twin: ``list_distinct([substr(t, i, 3) FOR i IN range(1,
+    greatest(len(t) - 1, 1))])`` over ``lower(text)``.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.length(c) - 2
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, 3))
+        )
+    )
+
+
+def trigram_hits(col, lang: str) -> Column:
+    prof = F.array(*[F.lit(g) for g in LANG_TRIGRAMS[lang]])
+    return F.size(F.array_intersect(char_trigrams(col), prof))
+
+
+def lang_id_trigram(col) -> Column:
+    """Argmax language by trigram-profile hits; ties break by language
+    code; zero hits everywhere -> 'und'."""
+    best = None
+    best_hits = None
+    for lang in sorted(LANG_TRIGRAMS):
+        h = trigram_hits(col, lang)
+        if best is None:
+            best, best_hits = F.lit(lang), h
+        else:
+            cond = h > best_hits
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_hits = F.when(cond, h).otherwise(best_hits)
+    return F.when(best_hits > 0, best).otherwise(F.lit("und"))

@@ -552,3 +552,48 @@ def dedup_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = DD.minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.9, ngram=1)
     return DD.near_dup_clusters(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language ID, character-n-gram flavor: trigram-profile argmax — catches
+# text the stopword heuristic misses (no function words, e.g. titles).
+# ---------------------------------------------------------------------------
+def _trigram_hits_sql(lang: str) -> str:
+    prof = ", ".join(f"'{g}'" for g in TX.LANG_TRIGRAMS[lang])
+    return (
+        "len(list_intersect(list_distinct([substr(lower(text), i, 3) "
+        "FOR i IN range(1, greatest(length(text) - 1, 1))]), "
+        f"[{prof}]))"
+    )
+
+
+@register_query(
+    "text_lang_id_trigram",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_trigram_hits_sql('de')} AS de_hits,
+             {_trigram_hits_sql('en')} AS en_hits,
+             {_trigram_hits_sql('es')} AS es_hits,
+             {_trigram_hits_sql('fr')} AS fr_hits
+      FROM documents
+    )
+    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+      CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+           WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+           WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+           WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM h ORDER BY doc_id
+    """,
+)
+def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.trigram_hits(F.col("text"), "de").alias("de_hits"),
+        TX.trigram_hits(F.col("text"), "en").alias("en_hits"),
+        TX.trigram_hits(F.col("text"), "es").alias("es_hits"),
+        TX.trigram_hits(F.col("text"), "fr").alias("fr_hits"),
+        TX.lang_id_trigram(F.col("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
