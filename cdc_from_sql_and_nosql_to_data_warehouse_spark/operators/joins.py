@@ -30,6 +30,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     strict: bool = False,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the closest right row per key.
 
@@ -37,6 +38,9 @@ def asof_join(
     'forward': right_ts >= left_ts (earliest wins). ``strict`` makes the
     comparison exclusive. Left rows with no match keep NULL right
     columns (left-join semantics, like pandas.merge_asof).
+    ``tiebreak`` names right columns (pre-suffix) that order equal-
+    timestamp candidates ascending — without it, ties resolve
+    arbitrarily (exactly like merge_asof).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction!r}")
@@ -50,15 +54,17 @@ def asof_join(
     rts = f"{right_ts}{suffix}"
     if direction == "backward":
         cond = F.col(rts) < F.col(left_ts) if strict else F.col(rts) <= F.col(left_ts)
-        order = F.desc(rts)
+        order = [F.desc(rts)]
     else:
         cond = F.col(rts) > F.col(left_ts) if strict else F.col(rts) >= F.col(left_ts)
-        order = F.asc(rts)
+        order = [F.asc(rts)]
+    for c in tiebreak or []:
+        order.append(F.asc(f"{c}{suffix}"))
 
     joined = lefted.join(renamed, on=on, how="left").filter(
         cond | F.col(rts).isNull()
     )
-    w = W.partitionBy(lid).orderBy(order)
+    w = W.partitionBy(lid).orderBy(*order)
     best = (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
