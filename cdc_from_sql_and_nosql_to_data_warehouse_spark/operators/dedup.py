@@ -179,15 +179,34 @@ def minhash_near_dup_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # shingles feed three consumers (banding, prefilter sigs, verify) and
+    # signatures two — persist both so tokenization + 128-way hashing run
+    # once per doc; MEMORY_AND_DISK spills instead of recomputing at scale
+    from pyspark import StorageLevel
+
     shingled = df.select(
         F.col(id_col), token_ngrams(text_col, ngram).alias("_sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = shingled.select(
         F.col(id_col),
         minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
-    )
-    cands = minhash_lsh_candidates(
-        shingled, id_col, "_sh", num_hashes=num_hashes, bands=bands, seed=seed
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col), F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
     )
     est = (
         F.size(
