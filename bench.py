@@ -87,6 +87,9 @@ def main() -> None:
         n = len(QUERIES[name](spark, sf_dir).collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop persisted blocks a query may have left so the next
+        # measurement starts from a clean executor-memory state
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
