@@ -1,0 +1,34 @@
+"""Operator namespace: convenient flat imports for the public API."""
+
+from .apply import apply_changes, latest_per_key, read_warehouse
+from .dedup import (
+    exact_dedup,
+    fuzzy_dedup_survivors,
+    minhash_near_dup_pairs,
+    near_dup_clusters,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from .joins import asof_join
+from .maintenance import compact_parquet, expire_files, table_stats
+from .reconcile import reconcile_checksums, reconcile_counts
+from .similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
+from .skew import salted_agg, salted_join
+
+__all__ = [
+    "apply_changes", "latest_per_key", "read_warehouse",
+    "exact_dedup", "fuzzy_dedup_survivors", "minhash_near_dup_pairs",
+    "near_dup_clusters", "simhash_near_dup_pairs", "simhash_signatures",
+    "asof_join",
+    "compact_parquet", "expire_files", "table_stats",
+    "reconcile_checksums", "reconcile_counts",
+    "brute_force_topk", "embedding_near_dup_pairs", "ivf_topk",
+    "lsh_topk", "train_ivf_centroids",
+    "salted_agg", "salted_join",
+]
