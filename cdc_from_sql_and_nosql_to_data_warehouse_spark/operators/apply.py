@@ -118,9 +118,26 @@ def apply_changes(
                 *[F.col(f"after.{c}") for c in partition_by]
             ).distinct().collect()
         ]
+        if propagate_deletes and any(
+            v is None for vals in touched for v in vals
+        ):
+            # a REMOVE whose after-image lacks partition values (key-only
+            # after, DynamoDB REMOVE with no NewImage) cannot be routed
+            # to its stored partition — a pruned read would miss the
+            # stored row and silently lose the delete. Fall back to an
+            # unpruned merge for this batch.
+            touched = None
 
+    prior: list[tuple] | None = None
     if exists:
         existing = spark.read.parquet(target_path)
+        if partition_by and touched is None and propagate_deletes:
+            # unpruned-merge fallback: remember every stored partition so
+            # ones the merge empties can still be dropped after the write
+            prior = [
+                tuple(r)
+                for r in existing.select(*partition_by).distinct().collect()
+            ]
         if touched is not None:
             # partition-pruned read: only files of touched partitions
             pred = F.lit(False)
@@ -147,6 +164,22 @@ def apply_changes(
     )
 
     if partition_by and exists:
+        # a winning REMOVE can empty a partition entirely; dynamic
+        # overwrite never writes an empty partition, so such partitions
+        # are dropped by hand after the write. The surviving-partition
+        # set is collected BEFORE the write (the plan reads the files the
+        # write is about to replace). Candidates: the touched set, or
+        # every prior partition when the batch fell back to an unpruned
+        # merge (REMOVE without partition values).
+        candidates = touched if touched is not None else prior
+        remaining: set[tuple] = set()
+        if propagate_deletes and candidates:
+            remaining = {
+                tuple(r)
+                for r in result.select(
+                    *[F.col(c) for c in partition_by]
+                ).distinct().collect()
+            }
         # dynamic partition overwrite: only partitions present in
         # `result` (= the touched set) are replaced; all others untouched
         (
@@ -155,16 +188,8 @@ def apply_changes(
             .partitionBy(*partition_by)
             .parquet(target_path)
         )
-        # a winning REMOVE can empty a partition entirely; dynamic
-        # overwrite never writes an empty partition, so drop it by hand
-        if propagate_deletes and touched:
-            remaining = {
-                tuple(r)
-                for r in result.select(
-                    *[F.col(c) for c in partition_by]
-                ).distinct().collect()
-            }
-            for vals in touched:
+        if propagate_deletes and candidates:
+            for vals in candidates:
                 if tuple(vals) in remaining:
                     continue
                 sub = os.path.join(

@@ -338,12 +338,17 @@ def near_dup_clusters(
     cluster_id), cluster_id = min doc_id reachable. The step LLM
     pipelines run after pair generation: keep one document per cluster.
 
-    Min-label propagation: each iteration joins every node's current
-    label against its neighbors' and keeps the minimum; converges in
-    O(diameter) iterations (near-dup clusters are dense, so diameter is
-    tiny — 2-3 rounds typical). Each round is one shuffle of (node,
-    label) pairs; the pair graph itself is never materialized beyond
-    its two-column form. AQE handles the skewed giant-cluster joins.
+    Min-label propagation with pointer jumping: each iteration takes the
+    min of a node's label and its neighbors' labels, then shortcuts to
+    the label's own label (label-of-label), which halves chain length
+    per round — O(log diameter) convergence, so ``max_iterations=20``
+    covers graphs of diameter ~2^20 (long similarity chains included).
+    Each round is one shuffle of (node, label) pairs; the pair graph
+    itself is never materialized beyond its two-column form. AQE handles
+    the skewed giant-cluster joins.
+
+    Raises ``RuntimeError`` if the loop exits without converging rather
+    than silently returning partial labels.
 
     Deterministic output; isolated docs (no pairs) are absent — union
     the corpus back with cluster_id = doc_id for a full assignment.
@@ -356,6 +361,7 @@ def near_dup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -371,6 +377,20 @@ def near_dup_clusters(
                 ).alias("label"),
             )
         )
+        # pointer jumping: adopt the current label of one's label
+        lab2 = new_labels.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
+        new_labels = (
+            new_labels.join(lab2, new_labels.label == lab2._jn, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -378,9 +398,14 @@ def near_dup_clusters(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

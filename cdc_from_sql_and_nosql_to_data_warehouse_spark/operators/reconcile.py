@@ -31,9 +31,18 @@ def reconcile_counts(src: DataFrame, dst: DataFrame) -> CountReconciliation:
 
 
 def row_checksum(df: DataFrame, cols: list[str] | None = None):
-    """Deterministic per-row fingerprint over the given columns."""
+    """Deterministic per-row fingerprint over the given columns.
+
+    Null-safe: every column is hashed individually before combining, so
+    a NULL never collapses into its neighbor (``concat_ws`` drops nulls,
+    which would make ``(x, NULL)`` and ``(NULL, x)`` collide) and no
+    separator-escaping is needed — the outer md5 sees fixed-width hex.
+    """
     cols = cols or sorted(df.columns)
-    return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    per_col = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<NULL>")) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *per_col))
 
 
 def reconcile_checksums(

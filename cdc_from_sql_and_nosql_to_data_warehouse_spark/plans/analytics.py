@@ -100,8 +100,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q3 — shipping priority: 3-way join, group, deterministic top-10.
-# customer is the small side -> broadcast; orders⋈lineitem shuffles on the
-# join key which is also the group key, so the agg reuses the partitioning.
+# customer is the only broadcast (a true dimension); orders⋈lineitem is
+# two fact tables, so the engine leaves that join to AQE/CBO — it
+# shuffles on the join key which is also the group key, and the agg
+# reuses the partitioning. A forced broadcast of orders would OOM
+# executors at 100× scale (150M rows at sf100).
 # ---------------------------------------------------------------------------
 @register_query(
     "q3_shipping_priority",
@@ -131,9 +134,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -145,8 +147,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q5 — local supplier volume: 6-way star join (all dims broadcast), group
-# by nation. The only shuffle is the final 1-key aggregation.
+# Q5 — local supplier volume: 6-way star join. The true dimensions
+# (customer/supplier/nation/region) broadcast; lineitem⋈orders is
+# fact-to-fact and stays with AQE (shuffle on the order key) — a forced
+# broadcast of orders would not survive a 100× scale-up.
 # ---------------------------------------------------------------------------
 @register_query(
     "q5_local_supplier_volume",
@@ -180,7 +184,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(supp),
@@ -500,9 +504,11 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # As-of style join: for every purchase event, the most recent click by the
-# same user strictly before it. Spark plan: pair the two event sets per
-# user and take max(click_ts) < purchase_ts — a range join expressed as
-# join + filter + agg so Catalyst can keep it a single shuffle on user_id.
+# same user strictly before it. Spark plan: union both event sets and run
+# running-window aggregates (max click ts, click count) per user ordered
+# by (ts, side) — ONE shuffle + sort on user_id and linear per-key cost.
+# The join-then-aggregate restatement the oracle uses costs
+# |purchases|×|clicks| per key, which a hot user turns quadratic.
 # ---------------------------------------------------------------------------
 @register_query(
     "asof_last_click_before_purchase",
@@ -523,27 +529,30 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
+    # one stream, two roles: purchases sort before clicks at equal ts so
+    # the strictly-before semantics fall out of the running rows frame
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
         "user_id",
-        F.col("ts").alias("purchase_ts"),
+        "ts",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("_side"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("_click_ts"),
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        purchases.join(
-            clicks,
-            (purchases.user_id == clicks.c_user_id)
-            & (clicks.click_ts < purchases.purchase_ts),
-            "left",
-        )
-        .groupBy("purchase_id", "user_id", "purchase_ts")
-        .agg(
-            F.max("click_ts").alias("last_click_ts"),
-            F.count("click_id").alias("n_prior_clicks"),
+        tagged.withColumn("last_click_ts", F.max("_click_ts").over(w))
+        .withColumn("n_prior_clicks", F.count("_click_ts").over(w))
+        .filter(F.col("_side") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            "n_prior_clicks",
         )
         .orderBy("purchase_id")
     )

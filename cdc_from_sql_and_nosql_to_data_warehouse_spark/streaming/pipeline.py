@@ -54,7 +54,11 @@ def decode_stream_records(records: DataFrame, after_schema: T.StructType) -> Dat
     ]
     return kept.select(
         *decoded,
-        F.col("dynamodb.SequenceNumber").cast("long").alias("_seq"),
+        # real DynamoDB sequence numbers run up to 40 digits — too wide
+        # for long (silent null) and decimal(38,0). Zero-padding to the
+        # wire-format max keeps them strings whose lexicographic order
+        # equals numeric order, so max-seq latest-wins stays exact.
+        F.lpad(F.col("dynamodb.SequenceNumber"), 40, "0").alias("_seq"),
         F.col("dynamodb.ApproximateCreationDateTime").alias("_ts_ms"),
     )
 
@@ -108,18 +112,21 @@ def run_stream_to_staging(
 
     def stage_batch(batch: DataFrame, epoch_id: int) -> None:
         raise_if_unknown_ops(batch)  # P2's raise-on-unknown guard
-        decoded = decode_stream_records(batch, after_schema)
+        decoded = decode_stream_records(batch, after_schema).localCheckpoint(
+            eager=True  # micro-batch-sized; count + write share one eval
+        )
+        # filename count comes from the DataFrame, never from re-reading
+        # staged bytes through the driver
+        n = decoded.count()
+        name = _parity_filename(n)
+        if not n:
+            open(os.path.join(staging_dir, name), "w").close()  # K4 marker
+            return
         tmp = f"{staging_dir}__tmp_{epoch_id}_{uuid.uuid4().hex[:8]}"
-        # single staging object per micro-batch = reference parity; the
-        # count is in the filename, so one pass writes, one rename commits
+        # single staging object per micro-batch = reference parity
         decoded.coalesce(1).write.mode("overwrite").json(tmp)
         parts = glob.glob(f"{tmp}/part-*.json") or glob.glob(f"{tmp}/part-*")
-        n = sum(1 for p in parts for _ in open(p))
-        name = _parity_filename(n)
-        if n:
-            os.rename(parts[0], os.path.join(staging_dir, name))
-        else:
-            open(os.path.join(staging_dir, name), "w").close()  # K4 marker
+        os.rename(parts[0], os.path.join(staging_dir, name))
         shutil.rmtree(tmp, ignore_errors=True)
 
     return (
@@ -134,7 +141,8 @@ def staging_line_schema(after_schema: T.StructType) -> T.StructType:
     return T.StructType(
         list(after_schema.fields)
         + [
-            T.StructField("_seq", T.LongType(), True),
+            # zero-padded wire-format sequence (see decode_stream_records)
+            T.StructField("_seq", T.StringType(), True),
             T.StructField("_ts_ms", T.LongType(), True),
         ]
     )

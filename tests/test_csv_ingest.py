@@ -71,3 +71,14 @@ def test_silver_typed_layer(spark, tmp_path):
     dep = silver.filter(silver.deposit_amt.isNotNull()).first()
     assert dep["deposit_amt"] == dep["deposit_amt"]  # not NaN
     assert float(dep["deposit_amt"]) >= 10_000
+
+
+def test_checksum_null_shift_detected(spark):
+    """(x, NULL) vs (NULL, x) must not collide: concat_ws drops nulls, so
+    the checksum hashes each column independently with a NULL sentinel."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.reconcile import reconcile_checksums
+
+    src = spark.createDataFrame([(1, "x", None)], "k int, a string, b string")
+    dst = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
+    out = reconcile_checksums(src, dst, "k").collect()
+    assert len(out) == 1 and out[0]["status"] == "checksum_mismatch"

@@ -137,3 +137,24 @@ def test_streaming_envelope_apply_partitioned(spark, tmp_path):
     q.awaitTermination(120)
     assert os.path.isdir(f"{wh}/region=eu") and os.path.isdir(f"{wh}/region=us")
     assert read_warehouse(spark, wh).count() == 2
+
+
+def test_remove_with_null_partition_values_still_deletes(spark, tmp_path):
+    """A REMOVE whose after-image lacks partition values (key-only after,
+    e.g. a DynamoDB REMOVE with no NewImage) cannot be partition-routed;
+    the merge must fall back to an unpruned read rather than silently
+    losing the delete."""
+    wh = str(tmp_path / "wh")
+    seed = _envelope(
+        spark,
+        [("INSERT", "a", "eu", 1.0, 1), ("INSERT", "b", "us", 2.0, 2)],
+    )
+    apply_changes(spark, seed, wh, "id", mode="upsert", partition_by=["region"])
+    rm = _envelope(spark, [("REMOVE", "b", None, None, 5)])
+    apply_changes(
+        spark, rm, wh, "id", mode="upsert", partition_by=["region"],
+        propagate_deletes=True,
+    )
+    out = read_warehouse(spark, wh).collect()
+    assert [r["id"] for r in out] == ["a"]
+    assert not os.path.exists(f"{wh}/region=us")  # emptied partition dropped

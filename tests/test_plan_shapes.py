@@ -36,11 +36,23 @@ def test_q3_broadcasts_dimensions(spark):
     assert "c_mktsegment" in pushed and "o_orderdate" in pushed
 
 
-def test_q5_star_join_no_shuffle_joins(spark):
+def test_q5_dims_broadcast_no_cartesian(spark):
+    # dimensions (customer/supplier/nation/region) broadcast; the
+    # fact-to-fact lineitem⋈orders join is deliberately NOT forced to
+    # broadcast (it would OOM at 100× scale) — AQE picks its strategy
     plan = _plan(spark, "q5_local_supplier_volume")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # all dims broadcast at this scale
+    assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_queries_plan_no_join(spark):
+    """The as-of shapes are union+window — a hot key must cost its row
+    count, not its row count squared, so no join node may appear."""
+    for name in ("asof_last_click_before_purchase", "asof_join_operator"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, f"{name} planned a join:\n{plan}"
+        assert "Window" in plan
 
 
 def test_dedup_minhash_no_cartesian(spark):

@@ -156,3 +156,41 @@ def test_staging_schema_evolution_name_matching(spark, tmp_path):
     assert len(rows) == 3
     assert rows[make_trade(2)["id"]]["price"] is None  # absent -> NULL
     assert rows[make_trade(1)["id"]]["price"] == 111.0
+
+
+def test_forty_digit_sequence_numbers_arbitrate_exactly(spark, tmp_path):
+    """Real DynamoDB sequence numbers run to 40 digits — far past int64.
+    Latest-wins arbitration must stay exact at that width."""
+    cfg = EngineConfig(apply_mode="upsert")
+    feed = str(tmp_path / "feed")
+    staging = str(tmp_path / "staging")
+    wh = str(tmp_path / "warehouse")
+    t1 = make_trade(1)
+    lo = 10**39 + 5   # 40 digits
+    hi = 10**39 + 19  # numerically later, lexicographically "1..." < "9..."
+                      # only when compared unpadded at differing lengths
+    os.makedirs(feed)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.dynamodb_json import serialize_item
+
+    def rec(name, image, seq):
+        return json.dumps({
+            "eventName": name,
+            "dynamodb": {
+                "NewImage": serialize_item(image),
+                "SequenceNumber": str(seq),
+                "ApproximateCreationDateTime": 1_700_000_000_000,
+            },
+        })
+
+    # the numerically-newer MODIFY also has a shorter-vs-equal-length
+    # interplay exercised via a 39-digit stale event in the same batch
+    stale = 10**38 + 7  # 39 digits, numerically smallest
+    with open(f"{feed}/b1.json", "w") as f:
+        f.write(rec("INSERT", t1, lo) + "\n")
+        f.write(rec("MODIFY", dict(t1, price=111.5), stale) + "\n")
+        f.write(rec("MODIFY", dict(t1, price=999.0), hi) + "\n")
+    _await(run_stream_to_staging(spark, cfg, feed, staging, str(tmp_path / "ck1"), TRADE_SCHEMA))
+    _await(run_staging_to_warehouse(spark, cfg, staging, wh, str(tmp_path / "ck2"), TRADE_SCHEMA))
+    out = read_warehouse(spark, wh)
+    assert out.count() == 1
+    assert out.first()["price"] == 999.0  # numeric max wins, not string max
