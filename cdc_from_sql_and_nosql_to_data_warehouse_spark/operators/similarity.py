@@ -173,17 +173,171 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Pairs (i < j) with cosine ≥ threshold — embedding-space near-dup.
 
-    Exact quadratic form; at scale swap the self-join for lsh_topk
-    candidates with the same verify step (identical output above the
-    threshold when recall ~ 1).
+    EXACT output (equals the brute-force all-pairs answer) without an
+    all-pairs plan. Three stages:
+
+    1. **Cell blocking**: vectors are normalized and assigned to k-means
+       cells; each cell's angular radius (max member-to-centroid angle)
+       is aggregated. Angular distance is a metric, so for cells A, B a
+       pair (a∈A, b∈B) can only reach cosine ≥ t if
+       ``angle(c_A, c_B) - r_A - r_B <= arccos(t)`` — cell pairs failing
+       that triangle-inequality bound are pruned with ZERO recall loss
+       (unlike probabilistic LSH). On clustered corpora (the real
+       near-dup workload) this prunes most of the k² cell grid; on
+       adversarially uniform data it degrades to blocked-exact, never to
+       a wrong answer.
+    2. **Blocked GEMM prefilter**: surviving cell pairs are compared
+       inside ``applyInPandas`` groups keyed by cell-pair id — one BLAS
+       matmul per group, candidates kept at ``threshold - margin``. The
+       plan is an equi-join/exchange on the pair id: each vector ships to
+       at most (unpruned partner cells) groups, bounded by k — never a
+       BroadcastNestedLoopJoin.
+    3. **Exact verify**: candidate ids re-attach raw vectors and the
+       sequential-fold ``cosine`` scores them — bit-identical to DuckDB's
+       ``list_cosine_similarity``, so the driver's hash check is exact.
+
+    Scale: shuffles carry (pair_id, id, normalized vector) for surviving
+    cell pairs only; the verify join touches candidate pairs, a tiny
+    superset of the output. k tunes block size (~n/k rows per cell).
     """
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    v = as_double_array(vec_col)
+    normed = (
+        df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .withColumn("_norm", norm(F.col("_v")))
+        .select(
+            "_id",
+            F.transform(F.col("_v"), lambda x: x / F.col("_norm")).alias("_nv"),
+        )
+    )
+
+    cents = train_ivf_centroids(
+        normed,
+        "_nv",
+        n_cells,
+        seed,
+        cache_key=None if cache_key is None else f"{cache_key}::normed",
+    )
+    c = np.asarray(cents, dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    cent_rows = [(i, [float(x) for x in c[i]]) for i in range(len(c))]
+    cent_df = spark.createDataFrame(
+        cent_rows,
+        StructType(
+            [
+                StructField("cell", LongType()),
+                StructField("_cent", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    assigned = normed.select(
+        "_id",
+        "_nv",
+        F.element_at(_nearest_cells(F.col("_nv"), [list(r) for r in c], 1), 1)
+        .cast("long")
+        .alias("cell"),
+    )
+    with_theta = assigned.join(F.broadcast(cent_df), "cell").select(
+        "_id",
+        "_nv",
+        "cell",
+        F.acos(
+            F.greatest(
+                F.lit(-1.0), F.least(F.lit(1.0), dot(F.col("_nv"), F.col("_cent")))
+            )
+        ).alias("_theta"),
+    )
+    radii = {
+        r["cell"]: r["r"]
+        for r in with_theta.groupBy("cell")
+        .agg(F.max("_theta").alias("r"))
+        .collect()
+    }
+
+    # driver-side cell-pair pruning: k² tiny, deterministic
+    limit_angle = math.acos(max(-1.0, min(1.0, threshold)))
+    cc = np.clip(c @ c.T, -1.0, 1.0)
+    pair_list = []
+    pid = 0
+    for i in range(len(c)):
+        for j in range(i, len(c)):
+            if i not in radii or j not in radii:
+                continue  # empty cell
+            gap = math.acos(cc[i, j]) - radii[i] - radii[j]
+            if i == j or gap <= limit_angle:
+                pair_list.append((pid, i, j))
+                pid += 1
+    pairs_df = F.broadcast(
+        spark.createDataFrame(pair_list, ["pid", "ca", "cb"])
+    )
+
+    side_a = with_theta.join(pairs_df, F.col("cell") == F.col("ca")).select(
+        "pid", F.lit(0).alias("side"), "_id", "_nv"
+    )
+    side_b = (
+        with_theta.join(
+            pairs_df.filter(F.col("ca") != F.col("cb")),
+            F.col("cell") == F.col("cb"),
+        ).select("pid", F.lit(1).alias("side"), "_id", "_nv")
+    )
+    members = side_a.unionByName(side_b)
+
+    margin = 1e-9  # covers fold-vs-GEMM double rounding in the prefilter
+    thr = float(threshold)
+
+    def emit_pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        ids_a = a["_id"].to_numpy()
+        va = _np.stack(a["_nv"].to_numpy()) if len(a) else None
+        if len(b) == 0:  # within-cell block: upper triangle only
+            if va is None or len(a) < 2:
+                return _pd.DataFrame({"id_a": [], "id_b": []})
+            g = va @ va.T
+            ii, jj = _np.nonzero(_np.triu(g >= thr - margin, k=1))
+            lo = _np.minimum(ids_a[ii], ids_a[jj])
+            hi = _np.maximum(ids_a[ii], ids_a[jj])
+            return _pd.DataFrame({"id_a": lo, "id_b": hi})
+        ids_b = b["_id"].to_numpy()
+        vb = _np.stack(b["_nv"].to_numpy())
+        g = va @ vb.T
+        ii, jj = _np.nonzero(g >= thr - margin)
+        lo = _np.minimum(ids_a[ii], ids_b[jj])
+        hi = _np.maximum(ids_a[ii], ids_b[jj])
+        keep = lo != hi
+        return _pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+    cand = members.groupBy("pid").applyInPandas(emit_pairs, out_schema)
+
     a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("_vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
         )
@@ -197,6 +351,9 @@ def embedding_near_dup_pairs(
 # corpus by cell id once, then each query probes only nprobe cells.
 # ---------------------------------------------------------------------------
 
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -204,14 +361,23 @@ def train_ivf_centroids(
     seed: int = 42,
     max_train_vectors: int = 8192,
     n_iters: int = 10,
+    cache_key: str | None = None,
 ) -> list[list[float]]:
     """K-means centroids for the coarse quantizer: driver-side Lloyd's
     iterations on a bounded sample (the faiss approach — a quantizer
     needs only enough data to place cells, never the full corpus, so
     collecting ≤``max_train_vectors`` rows is the scalable design, not a
     shortcut). Seeded k-means++-style init; fully deterministic.
+
+    ``cache_key`` (e.g. the corpus path) memoizes the trained quantizer
+    per (key, params) so repeated queries against the same corpus skip
+    retraining — the persisted-index usage pattern of a real ANN system.
     """
     import numpy as np
+
+    memo = (cache_key, vec_col, n_cells, seed, max_train_vectors, n_iters)
+    if cache_key is not None and memo in _CENTROID_CACHE:
+        return _CENTROID_CACHE[memo]
 
     n = corpus.count()
     frac = min(1.0, (max_train_vectors * 1.2) / max(n, 1))
@@ -237,7 +403,10 @@ def train_ivf_centroids(
             mask = a == j
             if mask.any():
                 c[j] = x[mask].mean(axis=0)
-    return [list(map(float, row)) for row in c]
+    result = [list(map(float, row)) for row in c]
+    if cache_key is not None:
+        _CENTROID_CACHE[memo] = result
+    return result
 
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
@@ -296,6 +465,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: each query scores only vectors in its nprobe
     nearest cells. Recall grows with nprobe (nprobe = n_cells ⇒ exact).
@@ -306,7 +476,9 @@ def ivf_topk(
     side keeps the corpus un-shuffled.
     """
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, vec_col, n_cells, seed)
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_cells, seed, cache_key=cache_key
+        )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     qv = queries.select(
         F.col(id_col).alias("query_id"),

@@ -276,7 +276,9 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=0.4, cache_key=sf_dir
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -505,7 +507,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8)
     return SIM.ivf_topk(
-        emb, queries, k=10, n_cells=16, nprobe=4, seed=42
+        emb, queries, k=10, n_cells=16, nprobe=4, seed=42, cache_key=sf_dir
     ).orderBy("query_id", "rank")
 
 

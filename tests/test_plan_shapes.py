@@ -74,3 +74,11 @@ def test_whole_stage_codegen_on_hot_path(spark):
     df.collect()  # let AQE finalize the plan
     simple = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in simple
+
+
+def test_embedding_near_dup_no_quadratic_join(spark):
+    """The cell-blocked near-dup funnel must plan equi-joins only —
+    never a BroadcastNestedLoopJoin/CartesianProduct all-pairs plan."""
+    plan = _plan(spark, "embedding_near_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
