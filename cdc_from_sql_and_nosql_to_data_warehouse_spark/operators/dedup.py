@@ -150,6 +150,27 @@ def minhash_lsh_candidates(
     )
 
 
+def adaptive_band_rows(
+    threshold: float, num_hashes: int, max_miss: float = 1e-7
+) -> int:
+    """Rows-per-band maximizing pruning subject to a recall floor.
+
+    A true pair at similarity ``threshold`` is missed with probability
+    (1 - t^r)^b where b = num_hashes // r; larger r fires far less on
+    mid-similarity pairs (band match rate s^r) but raises the miss
+    rate at t. Pick the largest r keeping the miss under ``max_miss`` —
+    t=0.9 -> r=5 (miss 2e-10), t=0.8 -> r=4 (miss 5e-8).
+    """
+    best = 1
+    for r in range(1, 9):
+        b = num_hashes // r
+        if b < 1:
+            break
+        if (1.0 - threshold**r) ** b <= max_miss:
+            best = r
+    return best
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -157,7 +178,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.9,
     ngram: int = 1,
     num_hashes: int = 128,
-    bands: int = 32,
+    bands: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard ≥ threshold.
@@ -165,14 +186,18 @@ def minhash_near_dup_pairs(
     Three-stage funnel, each stage cheaper per row than the next is
     wide:
 
-    1. banded LSH candidates — misses a true s ≥ 0.8 pair with
-       p = (1-s^4)^32 < 5e-8, so the stage is recall-~1 above any
-       threshold we expose;
+    1. banded LSH candidates — band geometry adapts to the threshold
+       (``adaptive_band_rows``): rows-per-band is pushed as high as a
+       1e-7 recall floor allows, so mid-similarity pairs generate far
+       fewer candidates while the stage stays recall-~1 at the
+       threshold;
     2. signature prefilter — the fraction of agreeing minhash
-       components estimates Jaccard with sigma ~= sqrt(s(1-s)/128);
-       keeping est >= threshold - 0.18 (>6 sigma) drops the bulk of
-       mid-similarity candidates while the shuffle still carries only
-       ids + fixed-width signatures, never shingle sets;
+       components estimates Jaccard with sigma = sqrt(s(1-s)/n);
+       keeping est >= threshold - 5*sigma(threshold) keeps the miss
+       probability of a true at-threshold pair under ~3e-7 while
+       dropping the bulk of mid-similarity candidates; the shuffle
+       still carries only ids + fixed-width signatures, never
+       shingle sets;
     3. exact verify — token sets are attached for survivors only and
        the true Jaccard is computed, so the output equals the
        brute-force answer (what the DuckDB oracle computes).
@@ -191,7 +216,12 @@ def minhash_near_dup_pairs(
         F.col(id_col),
         minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    rows = num_hashes // bands
+    rows = (
+        num_hashes // bands
+        if bands is not None
+        else adaptive_band_rows(threshold, num_hashes)
+    )
+    bands = num_hashes // rows
     banded = sigs.select(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
@@ -217,10 +247,13 @@ def minhash_near_dup_pairs(
         ).cast("double")
         / num_hashes
     )
+    import math
+
+    margin = 5.0 * math.sqrt(threshold * (1.0 - threshold) / num_hashes)
     plausible = (
         cands.join(sigs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")), "id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b")), "id_b")
-        .filter(est >= threshold - 0.18)
+        .filter(est >= threshold - margin)
         .select("id_a", "id_b")
     )
     a = shingled.select(
