@@ -86,6 +86,15 @@ def apply_changes(
     if bad:
         raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
 
+    def _table_exists(path: str) -> bool:
+        # a directory without data files (e.g. left by a REMOVE-only
+        # first batch) must read as "no table yet", not poison the scan
+        import glob as _glob
+
+        return os.path.exists(path) and bool(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+
     if mode == "append":
         # Reference behavior: INSERT+MODIFY append their after-image, one
         # row per event; REMOVE never reaches the warehouse (README.md:30).
@@ -106,7 +115,7 @@ def apply_changes(
         incoming.select("key", "op", "after", "seq"), "key", "seq"
     )
 
-    exists = os.path.exists(target_path)
+    exists = _table_exists(target_path)
 
     touched: list[tuple] | None = None
     if partition_by and exists:

@@ -158,3 +158,18 @@ def test_remove_with_null_partition_values_still_deletes(spark, tmp_path):
     out = read_warehouse(spark, wh).collect()
     assert [r["id"] for r in out] == ["a"]
     assert not os.path.exists(f"{wh}/region=us")  # emptied partition dropped
+
+
+def test_remove_only_first_batch_does_not_poison_table(spark, tmp_path):
+    """A REMOVE-only batch before any data leaves no readable table; the
+    next INSERT batch must still initialize it cleanly."""
+    wh = str(tmp_path / "wh")
+    rm = _envelope(spark, [("REMOVE", "zz", "eu", None, 1)])
+    apply_changes(
+        spark, rm, wh, "id", mode="upsert", partition_by=["region"],
+        propagate_deletes=True,
+    )
+    ins = _envelope(spark, [("INSERT", "a", "eu", 1.0, 2)])
+    apply_changes(spark, ins, wh, "id", mode="upsert", partition_by=["region"])
+    out = read_warehouse(spark, wh).collect()
+    assert [(r["id"], r["price"]) for r in out] == [("a", 1.0)]

@@ -194,3 +194,49 @@ def test_forty_digit_sequence_numbers_arbitrate_exactly(spark, tmp_path):
     out = read_warehouse(spark, wh)
     assert out.count() == 1
     assert out.first()["price"] == 999.0  # numeric max wins, not string max
+
+
+def test_streaming_partitioned_deletes_across_batches(spark, tmp_path):
+    """R4 end-to-end through the streaming hop: REMOVEs arriving in later
+    micro-batches must empty their hive partitions — including a key-only
+    REMOVE (no partition values in the after-image), which exercises the
+    unpruned-merge fallback inside foreachBatch."""
+    from pyspark.sql import types as T
+
+    after = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    cfg = EngineConfig(
+        apply_mode="upsert",
+        propagate_deletes=True,
+        partition_by=["region"],
+        max_files_per_trigger=1,  # one file per micro-batch: true hops
+    )
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "wh")
+    write_envelope_file(feed, "b1.json", [
+        ("INSERT", {"id": "a", "region": "eu", "price": 1.0}, 1),
+        ("INSERT", {"id": "b", "region": "us", "price": 2.0}, 2),
+        ("INSERT", {"id": "c", "region": "eu", "price": 3.0}, 3),
+    ])
+    write_envelope_file(feed, "b2.json", [
+        ("REMOVE", {"id": "b", "region": "us", "price": 2.0}, 4),
+    ])
+    write_envelope_file(feed, "b3.json", [
+        ("REMOVE", {"id": "a"}, 5),  # key-only after: no partition value
+    ])
+    # the feed contract (R8) is ordered delivery; the file source orders
+    # by modification time, so stamp the files with increasing mtimes
+    for i, fname in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(os.path.join(feed, fname), (1_700_000_000 + i, 1_700_000_000 + i))
+    run_envelope_apply(
+        spark, cfg, feed, wh, str(tmp_path / "ck"), after, key="id"
+    ).awaitTermination(240)
+
+    out = read_warehouse(spark, wh).collect()
+    assert [(r["id"], r["region"], r["price"]) for r in out] == [("c", "eu", 3.0)]
+    assert not os.path.exists(f"{wh}/region=us")  # emptied partition dropped
