@@ -97,29 +97,68 @@ try:  # pragma: no cover - codecs absent in this container
 except ImportError:
     _PIL_Image = None
 
+try:  # pragma: no cover - codecs absent in this container
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
     """Decode a real media payload to an ndarray. STUB: the container
-    ships no codecs, so without PIL/soundfile this raises — callers use
-    ``fake_decode`` (same signature/shape contract) in tests."""
+    ships no codecs, so without PIL (image) / soundfile (audio) this
+    raises — callers use the ``fake_decode*`` family (same
+    signature/shape contracts) in tests. Video always raises here (a
+    real implementation would shell out to ffmpeg/pyav)."""
     if kind == "image" and _PIL_Image is not None:  # pragma: no cover
         import io
 
         return np.asarray(_PIL_Image.open(io.BytesIO(payload)))
+    if kind == "audio" and _soundfile is not None:  # pragma: no cover
+        import io
+
+        data, _rate = _soundfile.read(io.BytesIO(payload), dtype="float32")
+        return np.asarray(data)
     raise NotImplementedError(
         f"no codec available for kind={kind!r}; install PIL/soundfile or "
-        "use fake_decode (deterministic byte-derived stand-in)"
+        "use the fake_decode* stand-ins (deterministic, byte-derived)"
     )
 
 
 def fake_decode(payload: bytes, width: int, height: int, channels: int = 3) -> np.ndarray:
-    """Deterministic stand-in decoder: tile the payload bytes into a
-    (height, width, channels) uint8 array. Same shape contract as a real
-    image decode, fully reproducible."""
+    """Deterministic stand-in image decoder: tile the payload bytes into
+    a (height, width, channels) uint8 array. Same shape contract as a
+    real image decode, fully reproducible."""
     need = max(width * height * channels, 1)
     buf = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
     tiled = np.resize(buf, need)
     return tiled.reshape(height, width, channels)
+
+
+def fake_decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic stand-in audio decoder: (n_samples,) float32 PCM in
+    [-1, 1] — the shape/dtype/range contract of ``soundfile.read``.
+    Samples derive from the payload bytes (tiled, centered, scaled)."""
+    need = max(int(n_samples), 1)
+    buf = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
+    tiled = np.resize(buf, need).astype(np.float32)
+    return ((tiled - 127.5) / 127.5).astype(np.float32)
+
+
+def fake_decode_video(
+    payload: bytes, n_frames: int, width: int, height: int, channels: int = 3
+) -> np.ndarray:
+    """Deterministic stand-in video decoder: (n_frames, height, width,
+    channels) uint8 — the frame-stack contract of a real ffmpeg/pyav
+    decode. Frame i is the payload tiling rolled by i bytes, so frames
+    differ deterministically and any frame is reproducible in isolation
+    (seekable-decode contract: ``fake_decode_video(p, n, w, h)[i]`` ==
+    roll(tile, i))."""
+    f = max(int(n_frames), 1)
+    per = max(int(width) * int(height) * int(channels), 1)
+    buf = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
+    base = np.resize(buf, per)
+    frames = np.stack([np.roll(base, i) for i in range(f)])
+    return frames.reshape(f, height, width, channels)
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +291,66 @@ def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFram
             yield _pd.DataFrame(rows, columns=out_cols)
 
     return media.filter(F.col("kind") == "image").mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """Waveform-level stats of audio assets (duration, RMS, peak) via
+    ``mapInPandas`` over the decode contract (fake decoder here — a real
+    soundfile decode drops in without touching the plan).
+
+    Narrow stage: payloads decode and die inside the task; ~40 B of
+    stats per asset survive. Self-contained closure (cloudpickle by
+    value), like every stage in this module.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def decode_audio(payload: bytes, n_samples: int):
+            need = max(int(n_samples), 1)
+            buf = (
+                _np.frombuffer(payload, dtype=_np.uint8)
+                if payload
+                else _np.zeros(1, _np.uint8)
+            )
+            tiled = _np.resize(buf, need).astype(_np.float32)
+            return ((tiled - 127.5) / 127.5).astype(_np.float32)
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                md = r["metadata"]
+                n = int(md["n_samples"] or 0)
+                rate = int(md["sample_rate"] or 1)
+                wave = decode_audio(r["payload"], n)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_samples": n,
+                        "duration_s": n / rate,
+                        "rms": float(_np.sqrt((wave.astype(_np.float64) ** 2).mean())),
+                        "peak": float(_np.abs(wave).max()),
+                    }
+                )
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        gen, schema=AUDIO_STATS_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(

@@ -34,8 +34,12 @@ _CHECK_FIRST = [
     "multimodal_frame_samples",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
+    "multimodal_audio_stats",
 ]
 _CHECK_LAST = [
+    # running-frame window coverage stays in-window via the as-of shapes
+    # (running max/count over rowsBetween) and top3's ranking window
+    "running_total_per_customer",
     "cube_part_brand_size",
     "events_hourly_rollup",
     "top20_lineitems_by_price",

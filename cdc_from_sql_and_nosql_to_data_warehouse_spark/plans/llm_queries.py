@@ -497,6 +497,11 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query("multimodal_audio_stats")  # rows-only: mapInPandas waveform stats
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.extract_audio_stats(_media(spark, sf_dir)).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # ANN scale paths (rows-only: approximate, seed-deterministic but not
 # SQL-expressible). tests/test_similarity_ann.py asserts recall against

@@ -106,3 +106,61 @@ def test_sample_frames(media):
     b = b"one two three four five"
     lo = 0
     assert checksums[0] == hashlib.md5(b[lo : lo + 64] + b"0").hexdigest()
+
+
+def test_fake_decode_audio_contract():
+    """Shape/dtype/range contract of a real soundfile decode."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.multimodal import fake_decode_audio
+
+    wave = fake_decode_audio(b"hello world", 1000)
+    assert wave.shape == (1000,) and wave.dtype.name == "float32"
+    assert float(wave.min()) >= -1.0 and float(wave.max()) <= 1.0
+    assert (fake_decode_audio(b"hello world", 1000) == wave).all()  # deterministic
+    assert fake_decode_audio(b"", 8).shape == (8,)  # empty payload safe
+
+
+def test_fake_decode_video_contract():
+    """Frame-stack + seekable-decode contract of a real ffmpeg decode."""
+    import numpy as np
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.multimodal import fake_decode_video
+
+    vid = fake_decode_video(b"payload-bytes", 5, 4, 3)
+    assert vid.shape == (5, 3, 4, 3) and vid.dtype.name == "uint8"
+    assert not (vid[0] == vid[1]).all()  # frames differ
+    # any frame reproducible in isolation (seek contract)
+    again = fake_decode_video(b"payload-bytes", 5, 4, 3)
+    assert (again[3] == vid[3]).all()
+    assert fake_decode_video(b"", 2, 2, 2).shape == (2, 2, 2, 3)
+
+
+def test_decode_media_raises_without_codecs():
+    import pytest as _pytest
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.multimodal import decode_media
+
+    for kind in ("image", "audio", "video"):
+        with _pytest.raises(NotImplementedError):
+            decode_media(b"\x00\x01", kind)
+
+
+def test_extract_audio_stats_plumbing(spark):
+    """mapInPandas audio stage: audio assets only, exact duration from
+    metadata, RMS/peak from the decoded waveform."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.multimodal import (
+        extract_audio_stats,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1)) for i in range(6)], ["doc_id", "text"]
+    )
+    media = synthesize_media(docs)
+    out = {r["media_id"]: r for r in extract_audio_stats(media).collect()}
+    # kinds cycle image/audio/video by id -> audio ids are 1 and 4
+    assert set(out) == {1, 4}
+    r = out[1]
+    n_chars = len("word " * 2)
+    assert r["n_samples"] == n_chars * 4
+    assert r["duration_s"] == (n_chars * 4) / 16000
+    assert 0.0 < r["rms"] <= 1.0 and 0.0 < r["peak"] <= 1.0
