@@ -35,11 +35,23 @@ _CHECK_FIRST = [
     "embedding_ivf_topk",
     "embedding_lsh_topk",
     "multimodal_audio_stats",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q4_orders_with_returns_exists",
+    "q22_rich_low_activity_customers",
+    "dedup_simhash_pairs",
 ]
 _CHECK_LAST = [
     # running-frame window coverage stays in-window via the as-of shapes
     # (running max/count over rowsBetween) and top3's ranking window
     "running_total_per_customer",
+    # semi/anti/join+agg families remain represented in-window by
+    # q4 (EXISTS semi), q22 (counted-left-join anti shape), q18/q3/q5
+    "q7_nation_volume",
+    "suppliers_with_shipments_semi",
+    "customers_without_orders",
+    "q10_returned_item_customers",
+    "distinct_types_per_brand",
     "cube_part_brand_size",
     "events_hourly_rollup",
     "top20_lineitems_by_price",

@@ -1401,3 +1401,183 @@ def asof_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix="",
         tiebreak=["click_id"],
     ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — correlated aggregate subquery (small-quantity revenue):
+# lineitems with quantity below 20% of their part's average. The Spark
+# plan is the decorrelated form: one per-part aggregate joined back on
+# the part key (the rewrite Catalyst itself applies to the SQL form).
+# The comparison is kept in exact integer-valued doubles
+# (5*qty*cnt < sum instead of qty < 0.2*avg), so no division rounding
+# can diverge between engines.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_weekly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND 5.0 * l_quantity
+            * (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey)
+          < (SELECT sum(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    brand_li = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    stats = brand_li.groupBy("l_partkey").agg(
+        F.count("*").alias("_cnt"), F.sum("l_quantity").alias("_sum_qty")
+    )
+    return (
+        brand_li.join(stats, "l_partkey")
+        .filter(
+            F.lit(5.0) * F.col("l_quantity") * F.col("_cnt") < F.col("_sum_qty")
+        )
+        .agg(
+            (F.sum(_money("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_weekly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — IN-subquery over a grouped HAVING (large-volume customers):
+# orders whose total quantity exceeds 300, joined back to their customer.
+# The Spark plan reuses the per-order aggregate for both the predicate
+# and the output column — one shuffle on the order key, customer
+# broadcast.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_money("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _money("o_totalprice").cast("double").alias("total_price"),
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — correlated EXISTS (orders with at least one returned line):
+# plans as a left-semi join on the order key, then a 1-key aggregate.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q4_orders_with_returns_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_orders_with_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — scalar aggregate subquery + correlated count: customers
+# with an above-average positive balance and low order activity. The
+# global average is compared multiplication-exactly
+# (bal * n_pos > sum_pos) so no division rounding; the correlated
+# per-customer order count decorrelates into a broadcast-friendly
+# counted left join.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q22_rich_low_activity_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS s,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+      AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) <= 4
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_rich_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_money("c_acctbal")).cast("decimal(20,2)").alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    n_orders = orders.groupBy("o_custkey").agg(F.count("*").alias("_n_orders"))
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(_money("c_acctbal") * F.col("_n") > F.col("_s"))
+        .join(n_orders, cust.c_custkey == n_orders.o_custkey, "left")
+        .filter(F.coalesce(F.col("_n_orders"), F.lit(0)) <= 4)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

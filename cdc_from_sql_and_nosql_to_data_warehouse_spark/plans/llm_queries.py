@@ -234,6 +234,46 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup pairs at hamming <= 3: with 4 chunks of 15 bits, any
+# pair within hamming 3 leaves >= 1 chunk untouched (pigeonhole), so the
+# chunk-bucketed candidate join has guaranteed recall and the output is
+# EXACT — the brute-force oracle matches bit for bit.
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_simhash_pairs",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(
+        list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                            >> j) & 1 = 1
+                      THEN 1 ELSE -1 END) AS score
+      FROM tok CROSS JOIN range(60) r(j)
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN score > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return DD.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity: exact brute-force cosine top-k (the baseline the
 # LSH path is measured against). Cosine doubles are bit-identical between
 # the Spark fold and DuckDB's list_cosine_similarity.
