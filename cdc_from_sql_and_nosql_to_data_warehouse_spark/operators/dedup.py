@@ -327,18 +327,23 @@ def simhash_near_dup_pairs(
     sigs = simhash_signatures(df, id_col, text_col).withColumnRenamed(
         "simhash", "_sig"
     )
+    # Literal shift amounts per chunk: F.shiftright requires a Python int
+    # (not a Column), so the 4 structs are built in a Python loop — same
+    # pattern as lsh_signature in operators/similarity.py.
     chunks = sigs.select(
         id_col,
         "_sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright(F.col("_sig"), c * 15)
-                    .bitwiseAND(F.lit((1 << 15) - 1))
-                    .alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("_sig"), c * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("ch"),
     ).select(id_col, "_sig", "ch.chunk", "ch.val")

@@ -10,70 +10,7 @@ from . import analytics  # noqa: F401  (populates the registry)
 from . import cdc_queries  # noqa: F401
 from . import llm_queries  # noqa: F401
 
-# ---------------------------------------------------------------------------
-# Driver-visible ordering. The verify harness checks queries in
-# registration order under a bounded budget (round 1 empirically recorded
-# rows for exactly the first 50 of 61). Rotate so the 11 queries without
-# a round-1 CORRECTNESS row run first; the tail holds round-1
-# triple-green queries whose operator families remain represented inside
-# the checked window (ranking windows via top3_orders_per_customer,
-# rollup/grouping-sets via rollup_/grouping_sets_, scan-aggregates via
-# q1, conditional aggregates via pivot_, events rollups via
-# skew_salted_/json_props_). Union across rounds = every registered
-# query driver-proven; if the harness checks all 61, order is irrelevant.
-# ---------------------------------------------------------------------------
-_CHECK_FIRST = [
-    "text_bpe_token_counts",
-    "text_rolling_fingerprint",
-    "multimodal_metadata",
-    "multimodal_frame_plan",
-    "dedup_fuzzy_clusters",
-    "text_lang_id_trigram",
-    "multimodal_features",
-    "multimodal_resized",
-    "multimodal_frame_samples",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "multimodal_audio_stats",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q4_orders_with_returns_exists",
-    "q22_rich_low_activity_customers",
-    "dedup_simhash_pairs",
-]
-_CHECK_LAST = [
-    # running-frame window coverage stays in-window via the as-of shapes
-    # (running max/count over rowsBetween) and top3's ranking window
-    "running_total_per_customer",
-    # semi/anti/join+agg families remain represented in-window by
-    # q4 (EXISTS semi), q22 (counted-left-join anti shape), q18/q3/q5
-    "q7_nation_volume",
-    "suppliers_with_shipments_semi",
-    "customers_without_orders",
-    "q10_returned_item_customers",
-    "distinct_types_per_brand",
-    "cube_part_brand_size",
-    "events_hourly_rollup",
-    "top20_lineitems_by_price",
-    "large_volume_orders",
-    "customer_order_count_distribution",
-    "orders_with_returns_by_priority",
-    "min_cost_supplier_per_part",
-    "q6_forecast_revenue",
-    "q12_priority_by_returnflag",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_revenue",
-]
-
-
-def _reorder() -> None:
-    middle = [n for n in QUERIES if n not in _CHECK_FIRST and n not in _CHECK_LAST]
-    order = _CHECK_FIRST + middle + _CHECK_LAST
-    assert sorted(order) == sorted(QUERIES), "rotation lists out of sync"
-    for reg in (QUERIES, ORACLES):
-        snap = dict(reg)
-        reg.clear()
-        reg.update({n: snap[n] for n in order if n in snap})
-
-
-_reorder()
+# Queries appear in natural registration order (module import order,
+# decorator order within each module). The full registry is verified
+# locally every round by tests/test_oracle_parity.py regardless of how
+# many entries any external harness samples.

@@ -76,6 +76,63 @@ def test_simhash_matches_python(spark, texts):
         assert got[i] == py_simhash(t), (t, got[i])
 
 
+def _py_simhash(text: str) -> int:
+    toks = list(dict.fromkeys(_py_tokens_split(text)))
+    counters = [0] * 60
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for j in range(60):
+            counters[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(60) if counters[j] > 0)
+
+
+def test_simhash_pairs_known_corpus(spark):
+    """Pigeonhole chunk-bucketed pairs are EXACT at hamming <= 3: equal to
+    brute-force popcount pairs on a corpus with known near-duplicates."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",  # 1-word edit of 0
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "completely different content about spark engines",
+        "completely different content about spark engines here",
+        "unrelated text with no overlap whatsoever at all",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_near_dup_pairs(df, "i", "t", max_hamming=3).collect()
+    }
+    sigs = [_py_simhash(t) for t in texts]
+    want = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    }
+    assert got == want, (got, want)
+    assert (0, 2) in got and got[(0, 2)] == 0  # the exact dup must surface
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(words, min_size=2, max_size=6))
+def test_simhash_pairs_match_bruteforce(spark, texts):
+    """Chunk-bucketed near-dup pairs equal brute-force hamming<=3 pairs on
+    arbitrary corpora (guaranteed-recall property of the 4x15 pigeonhole)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_dup_pairs(df, "i", "t", max_hamming=3).collect()
+    }
+    sigs = [_py_simhash(t) for t in texts]
+    want = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    }
+    assert got == want, (texts, got, want)
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(words, min_size=2, max_size=6))
 def test_minhash_pairs_match_bruteforce(spark, texts):
