@@ -8,13 +8,14 @@ Runs every headline query from the plan registry at
     {"metric": "headline_queries_total", "value": N, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
-Each query is forced with ``count()`` — every operator up to and
-including the final filter/projection executes (a count cannot skip a
-filter's inputs), but million-row results are not serialized through
-the driver and the cosmetic oracle-determinism sort is elided, so the
-timing measures the engine, not py4j transfer. Timed end-to-end
-including plan compilation; session setup / parquet cache warmup are
-excluded via one untimed warmup action.
+Each query is forced with a ``noop``-format write: the sink consumes
+every output column (so final projections are computed, unlike under
+``count(1)`` where Catalyst prunes them) and the final sort survives
+as it would for any real write, but rows are not serialized through
+the driver, so the timing measures the engine, not py4j transfer.
+Row counts come from an ``Observation`` on the same single execution.
+Timed end-to-end including plan compilation; session setup / parquet
+cache warmup are excluded via one untimed warmup action.
 """
 
 from __future__ import annotations
@@ -27,7 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
 
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans import QUERIES
 
@@ -74,6 +76,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime-size-based, so scale-safe (see session.py)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -86,9 +91,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        obs = Observation()
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        (
+            QUERIES[name](spark, sf_dir)
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         timings[name] = round(time.perf_counter() - t0, 3)
+        n = obs.get["rows"]
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # drop persisted blocks a query may have left so the next
         # measurement starts from a clean executor-memory state

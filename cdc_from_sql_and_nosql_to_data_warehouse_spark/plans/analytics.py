@@ -7,9 +7,12 @@ API so Catalyst chooses broadcast vs shuffle joins, pushes filters into
 the parquet scan, and prunes columns.
 
 Scale notes (100 TB posture), applied throughout:
-- dimension tables (region/nation/customer/supplier/part) are explicitly
-  ``F.broadcast()`` where they are small relative to the fact side, so the
-  big fact scan never shuffles for the join;
+- only FIXED-SIZE dimensions (region: 5 rows, nation: 25 rows, and tiny
+  derived lookup tables) carry an explicit ``F.broadcast()`` hint.
+  Linearly-scaling tables (customer/supplier/part) are left unhinted:
+  AQE broadcasts them when their observed runtime size is under
+  ``spark.sql.adaptive.autoBroadcastJoinThreshold`` and shuffles them
+  when it is not — a forced hint would OOM executors at 100×;
 - aggregations are expressed as single groupBy/agg so Spark plans
   partial (map-side) + final aggregation automatically;
 - filters sit directly on the scan columns (no wrapping expressions) so
@@ -134,7 +137,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
             .select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
@@ -147,10 +150,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q5 — local supplier volume: 6-way star join. The true dimensions
-# (customer/supplier/nation/region) broadcast; lineitem⋈orders is
-# fact-to-fact and stays with AQE (shuffle on the order key) — a forced
-# broadcast of orders would not survive a 100× scale-up.
+# Q5 — local supplier volume: 6-way star join. Fixed-size nation/region
+# broadcast by hint; customer/supplier broadcast only if AQE observes
+# them small; lineitem⋈orders is fact-to-fact and stays with AQE
+# (shuffle on the order key) — a forced broadcast of orders or of a
+# scaling dimension would not survive a 100× scale-up.
 # ---------------------------------------------------------------------------
 @register_query(
     "q5_local_supplier_volume",
@@ -185,9 +189,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -956,9 +960,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "CHINA") & (F.col("cust_nation") == "JAPAN")
     ) | ((F.col("supp_nation") == "JAPAN") & (F.col("cust_nation") == "CHINA"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -1028,7 +1032,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(15,4)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.sum(promo).cast("double") / F.sum(disc_price).cast("double")
@@ -1077,7 +1081,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 50)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(clause)
         .agg(
             F.sum(disc_price).cast("double").alias("revenue"),
@@ -1149,7 +1153,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _money("l_extendedprice") * (_one() - _frac("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(disc_price).cast("double").alias("revenue"))
@@ -1242,10 +1246,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -1430,7 +1434,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     brand_li = li.join(
-        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey")
     )
     stats = brand_li.groupBy("l_partkey").agg(
         F.count("*").alias("_cnt"), F.sum("l_quantity").alias("_sum_qty")
@@ -1485,7 +1489,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",

@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's threshold compares OBSERVED runtime sizes (not estimates),
+        # so raising it is scale-safe: a filtered dimension that is truly
+        # small at runtime broadcasts; a big one still shuffles. The
+        # static threshold stays at its default because pre-execution
+        # size estimates are unreliable after filters.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")

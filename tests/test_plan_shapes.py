@@ -76,6 +76,50 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "*(" in simple
 
 
+def test_no_forced_broadcast_of_scaling_tables(spark):
+    """Broadcast hints are reserved for FIXED-SIZE relations (nation: 25
+    rows, region: 5 rows, tiny derived lookups). customer/supplier/part
+    grow linearly with scale factor — a forced hint on them OOMs at
+    100×, so any ResolvedHint subtree in the star-schema plans must scan
+    only nation/region columns. AQE may still broadcast a scaling table
+    it observes to be small at runtime; that is the point."""
+    scaling_cols = ("c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey")
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q10_returned_item_customers",
+        "q14_promo_revenue_share",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q22_rich_low_activity_customers",
+        "q4_orders_with_returns_exists",
+    ):
+        analyzed = (
+            QUERIES[name](spark, SF)._jdf.queryExecution().analyzed().toString()
+        )
+        lines = analyzed.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            child = lines[i + 1]
+            # a hint over a GLOBAL aggregate (one bracket list, no
+            # grouping keys) yields one row regardless of input scale
+            if "Aggregate [" in child and "], [" not in child:
+                continue
+            # otherwise the hinted subtree's scan (first Relation below
+            # the hint) must be a fixed-size table
+            scan = next(l for l in lines[i + 1 :] if "Relation [" in l)
+            assert not any(c in scan for c in scaling_cols), (
+                f"{name}: forced broadcast of a scaling table:\n{scan}"
+            )
+            assert "n_nationkey" in scan or "r_regionkey" in scan, (
+                f"{name}: hint on unexpected relation:\n{scan}"
+            )
+
+
 def test_embedding_near_dup_no_quadratic_join(spark):
     """The cell-blocked near-dup funnel must plan equi-joins only —
     never a BroadcastNestedLoopJoin/CartesianProduct all-pairs plan."""
