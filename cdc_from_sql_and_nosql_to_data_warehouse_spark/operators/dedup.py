@@ -115,6 +115,69 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _salted_bucket_pairs(
+    banded: DataFrame, id_col: str, bucket_cap: int = 256
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from (id, band, bucket)
+    membership rows, with degenerate buckets split into salted
+    sub-blocks.
+
+    A bucket of m members emits ~m²/2 join pairs under one (band,
+    bucket) key — on a self-similar corpus one giant bucket serializes
+    the whole stage into a single straggler task (observed locally: a
+    2.3k-member bucket per band ⇒ 5.4M products per task). Splitting:
+    each member gets a salt s = hash(id) mod g where g = ceil(m /
+    bucket_cap); the right side keeps its salt, the left side is
+    replicated to every salt in [0, g), and the join key becomes (band,
+    bucket, salt). Every unordered pair is still found exactly once per
+    band (left replica of x at salt(y) meets y), the per-task block
+    shrinks to m²/g, and replication adds only m·g ≈ m²/cap rows of
+    (id, band, bucket, salt) — ids only, never signatures or bodies.
+    Normal buckets (m ≤ cap) have g = 1 and join exactly as before.
+    """
+    from pyspark import StorageLevel
+
+    # both persists pin small (id, band, bucket[, g]) projections —
+    # linear in corpus size, never signatures or bodies. Without them
+    # the sizes/left/right branches would each recompute the full
+    # upstream (tokenize + 128-way minhash + banding).
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_m"))
+    withg = (
+        banded.join(sizes, ["band", "bucket"])
+        .withColumn(
+            "_g", F.greatest(F.lit(1), F.ceil(F.col("_m") / bucket_cap)).cast("int")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    right = withg.select(
+        id_col,
+        "band",
+        "bucket",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int").alias("_s"),
+    )
+    left = withg.select(
+        id_col,
+        "band",
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("_s"),
+    )
+    l, r = left.alias("l"), right.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._s") == F.col("r._s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -125,29 +188,17 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate id pairs (i < j) sharing ≥1 LSH bucket.
 
-    Shuffle cost: (bands × n) rows of (band, bucket, id) — signatures and
-    shingles stay behind. Self-join is on (band, bucket): AQE handles the
-    skew if a degenerate bucket appears.
+    Shuffle cost: (bands × n) rows of (band, bucket, id) — signatures
+    and shingles stay behind. The bucket self-join goes through
+    ``_salted_bucket_pairs`` so a degenerate bucket cannot serialize
+    into one straggler task.
     """
     rows = num_hashes // bands
     sig = minhash_signature(F.col(shingle_col), num_hashes, seed)
     banded = df.select(
         F.col(id_col), F.explode(lsh_bands(sig, bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col(f"l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return _salted_bucket_pairs(banded, id_col)
 
 
 def adaptive_band_rows(
@@ -190,14 +241,27 @@ def minhash_near_dup_pairs(
        (``adaptive_band_rows``): rows-per-band is pushed as high as a
        1e-7 recall floor allows, so mid-similarity pairs generate far
        fewer candidates while the stage stays recall-~1 at the
-       threshold;
+       threshold. The bucket self-join runs through
+       ``_salted_bucket_pairs``, which splits degenerate buckets into
+       salted sub-blocks so one giant bucket cannot serialize into a
+       single straggler task;
     2. signature prefilter — the fraction of agreeing minhash
        components estimates Jaccard with sigma = sqrt(s(1-s)/n);
        keeping est >= threshold - 5*sigma(threshold) keeps the miss
        probability of a true at-threshold pair under ~3e-7 while
-       dropping the bulk of mid-similarity candidates; the shuffle
-       still carries only ids + fixed-width signatures, never
-       shingle sets;
+       dropping the bulk of mid-similarity candidates. The prefilter
+       compares 8-bit TRUNCATIONS of the minhash components (the
+       candidate join shuffles 128 bytes per side instead of 128
+       longs — 8x fewer shuffle bytes on the funnel's widest stage).
+       Truncation collisions can only RAISE the agreement estimate,
+       so the compact prefilter is strictly safer for recall than the
+       full-width one and only lets ~128/256 = 0.5 extra components
+       (±0.004 est) of false agreement through to the exact verify.
+       The margin stays at 5 sigma: on a near-dup-dense corpus the
+       number of pairs within one sigma of the threshold scales with
+       the output size, so a 4-sigma margin (miss ~3e-5 per pair)
+       would give an expected miss count approaching 1 at ~1e4+
+       near-threshold pairs — not acceptable for an exact operator;
     3. exact verify — token sets are attached for survivors only and
        the true Jaccard is computed, so the output equals the
        brute-force answer (what the DuckDB oracle computes).
@@ -225,34 +289,47 @@ def minhash_near_dup_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    l, r = banded.alias("l"), banded.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / num_hashes
-    )
+    cands = _salted_bucket_pairs(banded, id_col)
+    # Arrow-vectorized agreement count: the candidate volume makes this
+    # the hottest expression in the funnel (~1e7 pairs x 128 components),
+    # where higher-order zip_with/filter lambdas run interpreted and a
+    # flat 128-term comparison tree falls out of codegen; one numpy
+    # equality over the stacked (batch, 128) int8 matrices per Arrow
+    # batch is orders of magnitude cheaper per pair.
+    @F.pandas_udf("int")
+    def _agree(a, b):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(a) == 0:
+            return _pd.Series([], dtype="int32")
+        xa = _np.vstack(a.to_numpy())
+        xb = _np.vstack(b.to_numpy())
+        return _pd.Series((xa == xb).sum(axis=1).astype("int32"))
+
+    est = _agree(F.col("_sig_a"), F.col("_sig_b")).cast("double") / num_hashes
     import math
 
     margin = 5.0 * math.sqrt(threshold * (1.0 - threshold) / num_hashes)
+    # 8-bit truncated signatures for the prefilter join (see docstring:
+    # 8x fewer shuffle bytes, recall strictly safer than full width)
+    psigs = sigs.select(
+        F.col(id_col),
+        F.transform(
+            # low 8 bits, shifted into tinyint range (ANSI-safe cast)
+            F.col("_sig"),
+            lambda h: (h.bitwiseAND(F.lit(255)) - F.lit(128)).cast("byte"),
+        ).alias("_psig"),
+    )
     plausible = (
-        cands.join(sigs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a")), "id_a")
-        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b")), "id_b")
+        cands.join(
+            psigs.select(F.col(id_col).alias("id_a"), F.col("_psig").alias("_sig_a")),
+            "id_a",
+        )
+        .join(
+            psigs.select(F.col(id_col).alias("id_b"), F.col("_psig").alias("_sig_b")),
+            "id_b",
+        )
         .filter(est >= threshold - margin)
         .select("id_a", "id_b")
     )
@@ -347,25 +424,27 @@ def simhash_near_dup_pairs(
             )
         ).alias("ch"),
     ).select(id_col, "_sig", "ch.chunk", "ch.val")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l._sig").alias("_sig_a"),
-            F.col("r._sig").alias("_sig_b"),
-        )
-        .distinct()
+    # chunk buckets behave exactly like LSH bands: a giant near-dup
+    # cluster shares chunk values, so route the self-join through the
+    # salted-bucket splitter, then re-attach signatures for the verify
+    cands = _salted_bucket_pairs(
+        chunks.select(
+            id_col, F.col("chunk").alias("band"), F.col("val").alias("bucket")
+        ),
+        id_col,
     )
-    return cands.select(
-        "id_a", "id_b", hamming60(F.col("_sig_a"), F.col("_sig_b")).alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
+    return (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming60(F.col("_sig_a"), F.col("_sig_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def near_dup_clusters(
