@@ -3,14 +3,16 @@
 North-star NEW operators (no reference counterpart — required by
 BASELINE.json): media are **opaque ``binary`` columns with typed
 metadata structs**, processed by Arrow-batched ``mapInPandas`` /
-``pandas_udf`` stages. The container has no image/audio codecs, so the
-actual decode step is STUBBED: ``decode_media`` raises
-``NotImplementedError`` unless a real codec (PIL / soundfile) is
-importable, and ``fake_decode`` provides a deterministic byte-derived
-stand-in so every downstream stage (feature extraction, resize, frame
-sampling) is real, runs, and is tested. The Spark-side plumbing —
-schema, partition behavior, UDF signatures, Arrow batch shape — is the
-contract this module owns.
+``pandas_udf`` stages. One real dependency-free codec ships per
+modality — WAV (stdlib ``wave``) for audio, PPM/PGM + 24-bit BMP
+(numpy header parsing) for images — and ``decode_media`` routes by
+payload magic, with PIL / soundfile as optional wider-format fallbacks
+and ``NotImplementedError`` for anything else (video included: a real
+implementation would shell out to ffmpeg/pyav, which this container
+lacks). ``fake_decode*`` provide deterministic byte-derived stand-ins
+with the same shape contracts for payloads that are not real media.
+The Spark-side plumbing — schema, partition behavior, UDF signatures,
+Arrow batch shape — is the contract this module owns.
 
 Scale design (100 TB of media): payloads never enter a shuffle — every
 stage here is a narrow ``mapInPandas`` over the scan partitioning, and
@@ -103,24 +105,115 @@ except ImportError:
     _soundfile = None
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV decode with stdlib ``wave`` + numpy only: returns
+    (samples, sample_rate) where samples are float32 in [-1, 1] —
+    mono ``(n,)``, multi-channel ``(n, channels)`` (the ``soundfile``
+    shape/dtype contract). Handles 8/16/32-bit integer PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width: {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch)
+    return x.astype(np.float32), rate
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real PPM/PGM decode (numpy only): binary P6 -> (h, w, 3) uint8,
+    binary P5 -> (h, w) uint8. Header = magic, optional #-comments,
+    width, height, maxval (<= 255), one whitespace, raw samples."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise NotImplementedError(f"not a binary PPM/PGM: {payload[:2]!r}")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    channels = 3 if payload[:2] == b"P6" else 1
+    need = width * height * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    shape = (height, width, 3) if channels == 3 else (height, width)
+    return arr.reshape(shape)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real BMP decode (numpy only): uncompressed 24-bit bottom-up BMP
+    -> (h, w, 3) uint8 RGB. Rows are 4-byte aligned in the file."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    return img if top_down else img[::-1]
+
+
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """Decode a real media payload to an ndarray. STUB: the container
-    ships no codecs, so without PIL (image) / soundfile (audio) this
-    raises — callers use the ``fake_decode*`` family (same
-    signature/shape contracts) in tests. Video always raises here (a
-    real implementation would shell out to ffmpeg/pyav)."""
-    if kind == "image" and _PIL_Image is not None:  # pragma: no cover
-        import io
+    """Decode a real media payload to an ndarray.
 
-        return np.asarray(_PIL_Image.open(io.BytesIO(payload)))
-    if kind == "audio" and _soundfile is not None:  # pragma: no cover
-        import io
+    Real dependency-free decoders handle one format per modality —
+    WAV (stdlib ``wave``) for audio, PPM/PGM and 24-bit BMP (numpy
+    header parsing) for images — with PIL / soundfile as optional
+    wider-format fallbacks when importable. Video still raises (a real
+    implementation would shell out to ffmpeg/pyav; neither ships in
+    this container), as does any format with no available codec —
+    tests use the deterministic ``fake_decode*`` family for those."""
+    if kind == "image":
+        if payload[:2] in (b"P6", b"P5"):
+            return decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if _PIL_Image is not None:  # pragma: no cover
+            import io
 
-        data, _rate = _soundfile.read(io.BytesIO(payload), dtype="float32")
-        return np.asarray(data)
+            return np.asarray(_PIL_Image.open(io.BytesIO(payload)))
+    if kind == "audio":
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)[0]
+        if _soundfile is not None:  # pragma: no cover
+            import io
+
+            data, _rate = _soundfile.read(io.BytesIO(payload), dtype="float32")
+            return np.asarray(data)
     raise NotImplementedError(
-        f"no codec available for kind={kind!r}; install PIL/soundfile or "
-        "use the fake_decode* stand-ins (deterministic, byte-derived)"
+        f"no codec available for kind={kind!r} payload head="
+        f"{bytes(payload[:4])!r}; supported without extra deps: "
+        "PPM/PGM/BMP (image), WAV (audio); install PIL/soundfile for "
+        "more, or use the fake_decode* stand-ins"
     )
 
 
@@ -249,9 +342,11 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
     """Nearest-neighbor resize of image assets to a fixed size.
 
-    Decode (fake in this container — see ``decode_media``) + resize per
-    Arrow batch; output is the raw pixel buffer, again an opaque binary
-    column. Real-codec swap-in changes only the ``fake_decode`` call.
+    Real PPM/PGM and 24-bit-BMP payloads decode for real (numpy header
+    parsing, same logic as ``decode_ppm``/``decode_bmp``); any other
+    payload falls back to the deterministic byte-tile stand-in shaped by
+    the metadata (no wider codecs in this container). Output is the raw
+    pixel buffer, again an opaque binary column.
     """
 
     out_cols = [f.name for f in RESIZED_SCHEMA.fields]
@@ -261,11 +356,70 @@ def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFram
         import numpy as _np
         import pandas as _pd
 
+        def try_real(b: bytes):
+            # magic-sniffed real decode; any parse failure (e.g. a text
+            # payload that happens to start with "BM") returns None and
+            # the caller falls back to the deterministic stand-in
+            try:
+                if b[:2] in (b"P6", b"P5"):  # real PPM/PGM
+                    pos, fields = 2, []
+                    while len(fields) < 3:
+                        while b[pos : pos + 1].isspace():
+                            pos += 1
+                        if b[pos : pos + 1] == b"#":
+                            while b[pos : pos + 1] != b"\n":
+                                pos += 1
+                            continue
+                        start = pos
+                        while not b[pos : pos + 1].isspace():
+                            pos += 1
+                        fields.append(int(b[start:pos]))
+                    pos += 1
+                    w, h, maxval = fields
+                    ch = 3 if b[:2] == b"P6" else 1
+                    if not (0 < w and 0 < h and maxval <= 255):
+                        return None
+                    if len(b) < pos + w * h * ch:
+                        return None
+                    img = _np.frombuffer(
+                        b, dtype=_np.uint8, count=w * h * ch, offset=pos
+                    ).reshape((h, w, ch) if ch == 3 else (h, w))
+                    if ch == 1:
+                        img = _np.repeat(img[:, :, None], 3, axis=2)
+                    return img
+                if b[:2] == b"BM":  # real 24-bit bottom-up BMP
+                    bpp = int.from_bytes(b[28:30], "little")
+                    comp = int.from_bytes(b[30:34], "little")
+                    if bpp != 24 or comp != 0:
+                        return None
+                    off = int.from_bytes(b[10:14], "little")
+                    w = int.from_bytes(b[18:22], "little", signed=True)
+                    h = int.from_bytes(b[22:26], "little", signed=True)
+                    top_down, h = h < 0, abs(h)
+                    stride = (w * 3 + 3) & ~3
+                    if not (0 < w and 0 < h) or len(b) < off + stride * h:
+                        return None
+                    img = (
+                        _np.frombuffer(
+                            b, dtype=_np.uint8, count=stride * h, offset=off
+                        )
+                        .reshape(h, stride)[:, : w * 3]
+                        .reshape(h, w, 3)[:, :, ::-1]
+                    )
+                    return img if top_down else img[::-1]
+            except (ValueError, IndexError):
+                return None
+            return None
+
         def decode(payload: bytes, width: int, height: int, channels: int = 3):
+            b = bytes(payload) if payload else b""
+            real = try_real(b)
+            if real is not None:
+                return real
             need = max(width * height * channels, 1)
             buf = (
-                _np.frombuffer(payload, dtype=_np.uint8)
-                if payload
+                _np.frombuffer(b, dtype=_np.uint8)
+                if b
                 else _np.zeros(1, _np.uint8)
             )
             return _np.resize(buf, need).reshape(height, width, channels)
@@ -277,6 +431,7 @@ def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFram
                 w = int(md["width"] or 1)
                 h = int(md["height"] or 1)
                 img = decode(r["payload"], w, h)
+                h, w = img.shape[:2]  # real decodes override metadata dims
                 yi = _np.minimum((_np.arange(out_height) * h) // out_height, h - 1)
                 xi = _np.minimum((_np.arange(out_width) * w) // out_width, w - 1)
                 out = img[yi][:, xi]
@@ -306,8 +461,9 @@ AUDIO_STATS_SCHEMA = T.StructType(
 
 def extract_audio_stats(media: DataFrame) -> DataFrame:
     """Waveform-level stats of audio assets (duration, RMS, peak) via
-    ``mapInPandas`` over the decode contract (fake decoder here — a real
-    soundfile decode drops in without touching the plan).
+    ``mapInPandas``. RIFF/WAV payloads decode for real (stdlib ``wave``,
+    8/16/32-bit PCM, same logic as ``decode_wav``); other payloads use
+    the deterministic byte-tile stand-in shaped by the metadata.
 
     Narrow stage: payloads decode and die inside the task; ~40 B of
     stats per asset survive. Self-contained closure (cloudpickle by
@@ -319,14 +475,40 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
         import pandas as _pd
 
         def decode_audio(payload: bytes, n_samples: int):
+            b = bytes(payload) if payload else b""
+            if b[:4] == b"RIFF":  # real WAV via stdlib
+                try:
+                    import io as _io
+                    import wave as _wave
+
+                    with _wave.open(_io.BytesIO(b), "rb") as wv:
+                        width = wv.getsampwidth()
+                        rate = wv.getframerate()
+                        raw = wv.readframes(wv.getnframes())
+                    if width == 1:
+                        x = (
+                            _np.frombuffer(raw, dtype=_np.uint8).astype(_np.float32)
+                            - 128.0
+                        ) / 128.0
+                    elif width == 2:
+                        x = (
+                            _np.frombuffer(raw, dtype="<i2").astype(_np.float32)
+                            / 32768.0
+                        )
+                    else:
+                        x = (
+                            _np.frombuffer(raw, dtype="<i4").astype(_np.float32)
+                            / 2147483648.0
+                        )
+                    return x.astype(_np.float32), len(x), rate
+                except Exception:
+                    pass  # not a parseable WAV: deterministic stand-in below
             need = max(int(n_samples), 1)
             buf = (
-                _np.frombuffer(payload, dtype=_np.uint8)
-                if payload
-                else _np.zeros(1, _np.uint8)
+                _np.frombuffer(b, dtype=_np.uint8) if b else _np.zeros(1, _np.uint8)
             )
             tiled = _np.resize(buf, need).astype(_np.float32)
-            return ((tiled - 127.5) / 127.5).astype(_np.float32)
+            return ((tiled - 127.5) / 127.5).astype(_np.float32), int(n_samples), None
 
         for pdf in batches:
             rows = []
@@ -334,7 +516,8 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
                 md = r["metadata"]
                 n = int(md["n_samples"] or 0)
                 rate = int(md["sample_rate"] or 1)
-                wave = decode_audio(r["payload"], n)
+                wave, n, real_rate = decode_audio(r["payload"], n)
+                rate = real_rate or rate
                 rows.append(
                     {
                         "media_id": r["media_id"],

@@ -164,3 +164,110 @@ def test_extract_audio_stats_plumbing(spark):
     assert r["n_samples"] == n_chars * 4
     assert r["duration_s"] == (n_chars * 4) / 16000
     assert 0.0 < r["rms"] <= 1.0 and 0.0 < r["peak"] <= 1.0
+
+
+def _make_wav(samples, rate=8000, width=2, channels=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_wav_real_bytes():
+    """Synthesized 16-bit PCM WAV decodes to the exact float samples."""
+    ints = np.array([0, 16384, -16384, 32767, -32768], dtype="<i2")
+    payload = _make_wav(ints, rate=8000)
+    x, rate = MM.decode_wav(payload)
+    assert rate == 8000 and x.dtype == np.float32 and x.shape == (5,)
+    np.testing.assert_allclose(x, ints.astype(np.float32) / 32768.0)
+    # decode_media routes by RIFF magic
+    np.testing.assert_allclose(MM.decode_media(payload, "audio"), x)
+
+
+def test_decode_wav_stereo_8bit():
+    ints = np.array([0, 255, 128, 64], dtype=np.uint8)  # 2 frames x 2 ch
+    payload = _make_wav(ints, rate=4000, width=1, channels=2)
+    x, rate = MM.decode_wav(payload)
+    assert x.shape == (2, 2)
+    np.testing.assert_allclose(
+        x, ((ints.astype(np.float32) - 128.0) / 128.0).reshape(2, 2)
+    )
+
+
+def test_decode_ppm_real_bytes():
+    """Hand-built binary P6 decodes to the exact pixel array."""
+    pixels = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# comment\n3 2\n255\n" + pixels.tobytes()
+    img = MM.decode_ppm(payload)
+    np.testing.assert_array_equal(img, pixels)
+    np.testing.assert_array_equal(MM.decode_media(payload, "image"), pixels)
+
+
+def test_decode_bmp_real_bytes():
+    """Hand-built 24-bit bottom-up BMP decodes to the exact RGB array."""
+    w, h = 2, 2
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pix = b"".join(rows)
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # data offset
+        + (40).to_bytes(4, "little")  # DIB header size
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")   # compression
+        + b"\x00" * 20
+    )
+    payload = header + pix
+    np.testing.assert_array_equal(MM.decode_bmp(payload), rgb)
+    np.testing.assert_array_equal(MM.decode_media(payload, "image"), rgb)
+
+
+def test_resize_images_real_ppm(spark):
+    """The resize stage decodes a REAL PPM payload (not the byte-tile
+    stand-in): a solid 4x4 red image resized to 2x2 stays solid red."""
+    pixels = np.zeros((4, 4, 3), dtype=np.uint8)
+    pixels[:, :, 0] = 200
+    payload = b"P6\n4 4\n255\n" + pixels.tobytes()
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), {"width": 9, "height": 9, "channels": 3,
+          "sample_rate": None, "n_samples": None, "fps": None, "n_frames": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.resize_images(df, 2, 2).collect()
+    out = np.frombuffer(bytes(rows[0]["pixels"]), dtype=np.uint8).reshape(2, 2, 3)
+    assert (out[:, :, 0] == 200).all() and (out[:, :, 1:] == 0).all()
+
+
+def test_audio_stats_real_wav(spark):
+    """The audio-stats stage decodes a REAL WAV payload: a constant
+    half-scale signal has rms == peak == 0.5 and the WAV's own
+    length/rate win over the metadata."""
+    ints = np.full(8000, 16384, dtype="<i2")  # 1 s at 8 kHz, amp 0.5
+    payload = _make_wav(ints, rate=8000)
+    df = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), {"width": None, "height": None,
+          "channels": None, "sample_rate": 1, "n_samples": 5, "fps": None,
+          "n_frames": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    r = MM.extract_audio_stats(df).collect()[0]
+    assert r["n_samples"] == 8000
+    assert abs(r["duration_s"] - 1.0) < 1e-9
+    assert abs(r["rms"] - 0.5) < 1e-6 and abs(r["peak"] - 0.5) < 1e-6
