@@ -39,6 +39,15 @@ from ..sources.change_feed import VALID_OPS
 SEQ_COL = "_seq"
 
 
+def _canonical_seq(seq) -> F.Column:
+    """Sequence values in max-seq arbitration form: a 40-char
+    zero-padded string (lexicographic == numeric for the non-negative
+    integers every source emits; 40 digits is DynamoDB's wire max).
+    Idempotent on already-padded values; normalizes longs and unpadded
+    strings from tables written before this representation."""
+    return F.lpad(seq.cast("string"), 40, "0")
+
+
 def latest_per_key(df: DataFrame, key: str, seq_col: str = "seq") -> DataFrame:
     """K2/R8 core: max-seq row per key (deterministic latest-wins)."""
     w = W.partitionBy(key).orderBy(F.desc(seq_col))
@@ -111,8 +120,20 @@ def apply_changes(
     incoming = changes if propagate_deletes else changes.filter(
         F.col("op") != "REMOVE"
     )
+    # Canonical arbitration representation: seq as a 40-char zero-padded
+    # string (lexicographic order == numeric order for non-negative
+    # sequence numbers up to DynamoDB's 40-digit wire max). Incoming
+    # envelope seqs may be longs (snapshot/JDBC path) or already-padded
+    # strings (stream path); STORED _seq from tables written before the
+    # padded representation may be unpadded — both get normalized here
+    # and again at lift time, so mixed-era tables arbitrate correctly
+    # instead of lexicographically comparing '5' against '00…19'.
     incoming = latest_per_key(
-        incoming.select("key", "op", "after", "seq"), "key", "seq"
+        incoming.select(
+            "key", "op", "after", _canonical_seq(F.col("seq")).alias("seq")
+        ),
+        "key",
+        "seq",
     )
 
     exists = _table_exists(target_path)
@@ -148,12 +169,16 @@ def apply_changes(
                 for r in existing.select(*partition_by).distinct().collect()
             ]
         if touched is not None:
-            # partition-pruned read: only files of touched partitions
+            # partition-pruned read: only files of touched partitions.
+            # eqNullSafe so an upsert whose partition value is NULL
+            # matches the stored __HIVE_DEFAULT_PARTITION__ rows — a
+            # plain == would evaluate to NULL, silently exclude the
+            # key's stored row from the merge, and duplicate the key.
             pred = F.lit(False)
             for vals in touched:
                 clause = F.lit(True)
                 for c, v in zip(partition_by, vals):
-                    clause = clause & (F.col(c) == F.lit(v))
+                    clause = clause & F.col(c).eqNullSafe(F.lit(v))
                 pred = pred | clause
             existing = existing.filter(pred)
         after_cols = [c for c in existing.columns if c != SEQ_COL]
@@ -161,7 +186,7 @@ def apply_changes(
             F.col(key).cast("string").alias("key"),
             F.lit("MODIFY").alias("op"),  # stored rows behave as live images
             F.struct(*[F.col(c) for c in after_cols]).alias("after"),
-            F.col(SEQ_COL).alias("seq"),
+            _canonical_seq(F.col(SEQ_COL)).alias("seq"),
         )
         merged = latest_per_key(incoming.unionByName(lifted), "key", "seq")
     else:

@@ -140,3 +140,51 @@ def test_snapshot_replay_is_idempotent(spark, derby, tmp_path):
     out = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
     assert out["t00"] == 5.0  # tailed change survived the snapshot replay
     assert len(out) == 20
+
+
+def test_snapshot_concurrent_changes_converge(spark, derby, tmp_path):
+    """The DMS cached-changes phase: changes land on the SOURCE while
+    the full load is in flight, and the same changes also arrive through
+    the change feed (duplicate delivery is the norm — the feed cannot
+    know what the snapshot cursor already saw). Whether the snapshot
+    captured pre- or post-change state, seq-0 arbitration must converge
+    the warehouse to the source's final state:
+
+    - MODIFY of t01 applied to the source before the snapshot read AND
+      delivered as a feed event -> one row, final price either way;
+    - REMOVE of t02 applied to the source (snapshot never loads it) AND
+      delivered as a feed event -> deleting a key the snapshot never
+      inserted must be a no-op, not an error;
+    - INSERT of t50 applied to the source (snapshot loads it at seq 0)
+      AND delivered as a feed event (seq > 0) -> exactly one row.
+    """
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby)
+    st = conn.createStatement()
+    st.executeUpdate("UPDATE txns SET price = 777.0 WHERE id = 't01'")
+    st.executeUpdate("DELETE FROM txns WHERE id = 't02'")
+    st.executeUpdate("INSERT INTO txns VALUES ('t50', 50.5, 5, 50)")
+    st.close()
+    conn.close()
+
+    cached_changes = [
+        ("MODIFY", {"id": "t01", "price": 777.0, "shares": 10}, 1),
+        ("REMOVE", {"id": "t02"}, 2),
+        ("INSERT", {"id": "t50", "price": 50.5, "shares": 5}, 3),
+    ]
+    cfg = EngineConfig(apply_mode="upsert", propagate_deletes=True)
+    feed = str(tmp_path / "feed")
+    write_envelope_file(feed, "cached.json", cached_changes)
+    wh = str(tmp_path / "wh")
+    run_full_load_and_cdc(
+        spark, cfg, derby,
+        "(SELECT id, price, shares FROM txns) src",
+        feed, wh, str(tmp_path / "ck"), SCHEMA, key="id",
+    ).awaitTermination(120)
+
+    out = {r["id"]: (r["price"], r["shares"]) for r in read_warehouse(spark, wh).collect()}
+    # source's final state: 20 seeded - t02 + t50, t01 at its new price
+    assert len(out) == 20
+    assert "t02" not in out
+    assert out["t01"] == (777.0, 10)
+    assert out["t50"] == (50.5, 5)
+    assert out["t07"] == (107.0, 70)  # untouched rows intact

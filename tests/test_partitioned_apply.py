@@ -173,3 +173,54 @@ def test_remove_only_first_batch_does_not_poison_table(spark, tmp_path):
     apply_changes(spark, ins, wh, "id", mode="upsert", partition_by=["region"])
     out = read_warehouse(spark, wh).collect()
     assert [(r["id"], r["price"]) for r in out] == [("a", 1.0)]
+
+
+def test_null_partition_upsert_without_delete_propagation(spark, tmp_path):
+    """An upsert whose partition value is NULL, with
+    propagate_deletes=False, must still merge against the stored
+    __HIVE_DEFAULT_PARTITION__ row (eqNullSafe pruning) — a plain ==
+    prune would read nothing and duplicate the key."""
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark,
+        _envelope(spark, [("INSERT", "a", None, 1.0, 1)]),
+        wh, "id", mode="upsert", partition_by=["region"],
+    )
+    apply_changes(
+        spark,
+        _envelope(spark, [("MODIFY", "a", None, 9.0, 2)]),
+        wh, "id", mode="upsert", partition_by=["region"],
+    )
+    rows = read_warehouse(spark, wh).collect()
+    assert len(rows) == 1  # no duplicate
+    assert rows[0]["price"] == 9.0
+
+
+def test_mixed_era_seq_representations_arbitrate_numerically(spark, tmp_path):
+    """A table stored with numeric (long) _seq from before the padded-
+    string representation must arbitrate numerically against new padded
+    string seqs: stored seq 5 must LOSE to incoming seq 19 (raw
+    lexicographic comparison would keep '5' > '00...19')."""
+    wh = str(tmp_path / "wh")
+    # simulate a pre-migration table: long _seq column written directly
+    spark.createDataFrame(
+        [("a", "eu", 1.0, 5)], "id string, region string, price double, _seq long"
+    ).write.parquet(wh)
+    apply_changes(
+        spark,
+        _envelope(spark, [("MODIFY", "a", "eu", 42.0, 19)]),
+        wh, "id", mode="upsert",
+    )
+    rows = read_warehouse(spark, wh).collect()
+    assert len(rows) == 1
+    assert rows[0]["price"] == 42.0  # seq 19 beat stored seq 5
+
+    # and the stored representation is now canonical: replaying an OLD
+    # long-seq event (seq 7 < 19) must not regress the row
+    apply_changes(
+        spark,
+        _envelope(spark, [("MODIFY", "a", "eu", 0.5, 7)]),
+        wh, "id", mode="upsert",
+    )
+    rows = read_warehouse(spark, wh).collect()
+    assert len(rows) == 1 and rows[0]["price"] == 42.0
