@@ -1585,3 +1585,212 @@ def q22_rich_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9-shaped: profit by nation and order year — the classic 5-way
+# fact-to-dims join with an expression aggregate. This schema has no
+# partsupp, so unit cost is p_retailprice. Revenue and cost sum as exact
+# decimals in separate aggregates and difference in double, avoiding any
+# cross-engine decimal-subtraction alignment. Only fixed-size nation
+# carries a broadcast hint; part/supplier/orders are AQE's call.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE)
+           - CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    revenue = _money("l_extendedprice") * (_one() - _frac("l_discount"))
+    cost = _money("p_retailprice") * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.sum(revenue).cast("double") - F.sum(cost).cast("double")).alias(
+                "profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-shaped: parts whose accumulated line value within a nation scope
+# exceeds a fraction of the scope total — group + HAVING against a
+# scalar subquery. The threshold compare stays in exact decimals on both
+# engines; the scalar total rides a 1-row broadcast cross join.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q11_important_parts",
+    oracle="""
+    WITH scope AS (
+      SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+    )
+    SELECT l_partkey AS partkey, CAST(sum(val) AS DOUBLE) AS part_value
+    FROM scope
+    GROUP BY l_partkey
+    HAVING sum(val) > (SELECT sum(val) * CAST(0.001 AS DECIMAL(6,4)) FROM scope)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    scope = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_partkey", _money("l_extendedprice").alias("val"))
+    )
+    per_part = scope.groupBy("l_partkey").agg(F.sum("val").alias("_sv"))
+    threshold = scope.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(6,4)")).alias("_thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("_sv") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_sv").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-shaped: supplier diversity per part attribute — distinct-count
+# aggregate behind an anti-join exclusion list (suppliers with negative
+# account balance stand in for Q16's complaint-comment suppliers).
+# ---------------------------------------------------------------------------
+@register_query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-shaped: the sole delinquent supplier in multi-supplier orders —
+# the classic EXISTS + NOT EXISTS double correlated subquery, planned as
+# a semi join then an anti join on the fact table. This schema has no
+# commit/receipt dates, so returnflag 'R' marks the delinquent lines.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("_k3"), F.col("l_suppkey").alias("_s3"))
+    )
+    sole_delinquent = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("_k2")) & (l1.l_suppkey != F.col("_s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("_k3")) & (l1.l_suppkey != F.col("_s3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_delinquent.join(supp, sole_delinquent.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

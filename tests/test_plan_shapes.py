@@ -96,6 +96,10 @@ def test_no_forced_broadcast_of_scaling_tables(spark):
         "q19_disjunctive_revenue",
         "q22_rich_low_activity_customers",
         "q4_orders_with_returns_exists",
+        "q9_profit_by_nation_year",
+        "q11_important_parts",
+        "q16_supplier_count_by_part",
+        "q21_waiting_suppliers",
     ):
         analyzed = (
             QUERIES[name](spark, SF)._jdf.queryExecution().analyzed().toString()
