@@ -85,8 +85,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch every table once so JVM/classloader/IO warmup is not
-    # attributed to the first query
+    # warmup: touch every table once (parquet footers + OS page cache +
+    # JVM/classloader) so per-table first-read cost is not attributed to
+    # whichever timed query happens to scan it first
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.config import TESTDATA_TABLES
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
     QUERIES["cdc_count_reconciliation"](spark, sf_dir).collect()
     # ... and spin up the Arrow/Python worker pool (numpy+pandas import in
     # every worker) so the one-time Python-runtime start is not attributed
@@ -98,9 +106,6 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import similarity
-    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.testdata import (
-        load_table,
-    )
 
     similarity.train_ivf_centroids(
         load_table(spark, sf_dir, "embeddings"), n_cells=16, cache_key=sf_dir

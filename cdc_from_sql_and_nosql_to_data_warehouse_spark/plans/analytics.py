@@ -1794,3 +1794,69 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20-shaped: suppliers with excess recent concentration — the nested
+# IN-subquery over a grouped correlated aggregate (Q20's availqty >
+# half-of-shipped test, restated over this schema as: 1997 shipped
+# quantity of 'red%' parts exceeding 20% of the supplier's all-time
+# shipped quantity of those parts). The threshold compare stays in
+# exact decimals; membership is a semi join, never a collected list.
+# ---------------------------------------------------------------------------
+@register_query(
+    "q20_recent_concentration_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS q97,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qall
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, s_acctbal AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_11')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM shipped
+        WHERE q97 > qall * CAST(0.2 AS DECIMAL(2,1))
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_recent_concentration_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_5", "NATION_11")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(in_97, qty).otherwise(F.lit(0).cast("decimal(12,2)"))
+            ).alias("q97"),
+            F.sum(qty).alias("qall"),
+        )
+    )
+    qualifying = shipped.filter(
+        F.col("q97") > F.col("qall") * F.lit(0.2).cast("decimal(2,1)")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal").alias("acctbal"))
+        .orderBy("s_name")
+    )

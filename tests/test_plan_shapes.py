@@ -100,6 +100,7 @@ def test_no_forced_broadcast_of_scaling_tables(spark):
         "q11_important_parts",
         "q16_supplier_count_by_part",
         "q21_waiting_suppliers",
+        "q20_recent_concentration_suppliers",
     ):
         analyzed = (
             QUERIES[name](spark, SF)._jdf.queryExecution().analyzed().toString()
