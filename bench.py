@@ -79,7 +79,9 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime-size-based, so scale-safe (see session.py)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver == executor; match the session factory's
+        # shipped default so 32 threads of shuffle/persist don't GC-thrash
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

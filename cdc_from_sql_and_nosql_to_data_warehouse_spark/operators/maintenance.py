@@ -94,3 +94,28 @@ def expire_files(
                 os.remove(p)
                 deleted.append(p)
     return deleted
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (hash-clustered) on its join key.
+
+    The 100 TB co-location lever: two tables bucketed on the same key
+    with the same bucket count join WITHOUT a shuffle — each task reads
+    matching bucket files from both sides (verified by plan test: no
+    Exchange under the join). Equivalent DDL: ``CREATE TABLE ...
+    CLUSTERED BY (key) INTO n BUCKETS``; on a lakehouse the same role is
+    played by hidden bucket partition transforms. ``sort_cols`` adds
+    within-bucket ordering so the join degrades to a zip merge.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -593,3 +593,265 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): the big-corpus memory path. Vectors
+# compress to m one-byte codes (m subspace k-means codebooks); probed
+# cells score candidates by asymmetric distance computation (one lookup
+# table per query, built once, gathered vectorized), and only a small
+# rerank buffer touches raw vectors. At 100 TB this is what makes the
+# candidate scan memory-resident: 64-dim float64 vectors shrink 64x.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 64,
+    seed: int = 42,
+    max_train_vectors: int = 8192,
+    n_iters: int = 10,
+    cache_key: str | None = None,
+) -> list:
+    """Per-subspace k-means codebooks: the vector splits into ``m``
+    contiguous subvectors; each subspace trains ``n_codes`` centroids on
+    a bounded driver sample (same bounded-sample + disk-cache pattern as
+    ``train_ivf_centroids``; vectors are L2-normalized first, as every
+    cosine path here requires). Returns an (m, n_codes, dim/m) nested
+    list, JSON-persisted under the corpus fingerprint."""
+    import hashlib
+    import json
+    import os
+
+    import numpy as np
+
+    disk_path = None
+    if cache_key is not None:
+        fp = _corpus_fingerprint(str(cache_key) + "::pq")
+        memo = (fp, vec_col, m, n_codes, seed, max_train_vectors, n_iters)
+        if memo in _CENTROID_CACHE:
+            return _CENTROID_CACHE[memo]
+        disk_path = os.path.join(
+            _index_cache_dir(),
+            hashlib.md5(repr(memo).encode()).hexdigest() + ".json",
+        )
+        if os.path.exists(disk_path):
+            try:
+                with open(disk_path) as fh:
+                    result = json.load(fh)
+                _CENTROID_CACHE[memo] = result
+                return result
+            except (OSError, ValueError):
+                pass
+
+    n = corpus.count()
+    frac = min(1.0, (max_train_vectors * 1.2) / max(n, 1))
+    sample = (
+        corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    ).select(as_double_array(vec_col).alias("_v")).limit(max_train_vectors)
+    x = np.array([r["_v"] for r in sample.collect()], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        xj = x[:, j * sub : (j + 1) * sub]
+        k = min(n_codes, len(xj))
+        cents = [xj[rng.randint(len(xj))]]
+        for _ in range(1, k):
+            d2 = np.min([((xj - c) ** 2).sum(axis=1) for c in cents], axis=0)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents.append(xj[rng.choice(len(xj), p=p)])
+        c = np.array(cents)
+        for _ in range(n_iters):
+            d = ((xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for ci in range(k):
+                mask = a == ci
+                if mask.any():
+                    c[ci] = xj[mask].mean(axis=0)
+        books.append([list(map(float, row)) for row in c])
+    if cache_key is not None:
+        _CENTROID_CACHE[memo] = books
+        if disk_path is not None:
+            try:
+                os.makedirs(_index_cache_dir(), exist_ok=True)
+                tmp = disk_path + f".tmp.{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    json.dump(books, fh)
+                os.replace(tmp, disk_path)
+            except OSError:
+                pass
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, codes): each L2-normalized subvector becomes the
+    index of its nearest codebook centroid — m small ints per vector.
+    One GEMM per (subspace, Arrow batch); the persisted form of a real
+    deployment writes exactly these codes, never the raw vectors."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = [[list(map(float, c)) for c in b] for b in codebooks]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(v) == 0:
+            return _pd.Series([], dtype=object)
+        x = _np.stack(v.to_numpy()).astype(_np.float64)
+        x /= _np.maximum(_np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        m = len(books)
+        sub = x.shape[1] // m
+        codes = _np.empty((len(x), m), dtype=_np.int32)
+        for j, b in enumerate(books):
+            c = _np.asarray(b)  # (k, sub)
+            xj = x[:, j * sub : (j + 1) * sub]
+            d = (
+                (xj * xj).sum(axis=1)[:, None]
+                - 2.0 * (xj @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d.argmin(axis=1)
+        return _pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(id_col), encode(as_double_array(vec_col)).alias("codes")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rerank: int | None = None,
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k with exact rerank.
+
+    Plan: corpus assigned to IVF cells and PQ-encoded (both narrow);
+    queries fan out to nprobe cells and equi-join candidates on cell id;
+    per query, one ADC lookup table scores every candidate with a
+    (candidates, m) gather-sum — raw corpus vectors are touched only by
+    the final exact rerank of the top ``rerank`` (default 4k) approx
+    scorers. Output (query_id, neighbor_id, cos_sim, rank) — the same
+    contract as ``ivf_topk``/``brute_force_topk``, exact cosine values.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rerank = rerank or 4 * k
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_cells, seed, cache_key=cache_key
+    )
+    books = train_pq_codebooks(
+        corpus, vec_col, m, n_codes, seed, cache_key=cache_key
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col), "cell"
+    )
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+    cand = assigned.join(encoded, id_col)
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("_qv"),
+        F.explode(
+            _nearest_cells(as_double_array(vec_col), centroids, nprobe)
+        ).alias("cell"),
+    )
+    paired = cand.join(F.broadcast(qv), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx_ip", DoubleType()),
+        ]
+    )
+    books_local = [[list(map(float, c)) for c in b] for b in books]
+    id_name = id_col
+
+    def score(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) == 0:
+            return _pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "approx_ip": []}
+            )
+        q = _np.array(pdf["_qv"].iloc[0], dtype=_np.float64)  # owned copy
+        q /= max(float(_np.linalg.norm(q)), 1e-12)
+        mm = len(books_local)
+        sub = len(q) // mm
+        # ADC table: lut[j][c] = <q_sub_j, codebook_j[c]>; built ONCE
+        # per query, then one gather-sum scores every candidate
+        lut = [
+            _np.asarray(books_local[j]) @ q[j * sub : (j + 1) * sub]
+            for j in range(mm)
+        ]
+        codes = _np.stack(pdf["codes"].to_numpy())  # (n, m)
+        approx = _np.zeros(len(codes))
+        for j in range(mm):
+            approx += lut[j][codes[:, j]]
+        return _pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf[id_name].to_numpy(),
+                "approx_ip": approx,
+            }
+        )
+
+    scored = paired.groupBy("query_id").applyInPandas(score, out_schema)
+    w_approx = W.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_arank", F.row_number().over(w_approx))
+        .filter(F.col("_arank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qexact = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    cexact = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qexact), "query_id")
+        .join(cexact, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

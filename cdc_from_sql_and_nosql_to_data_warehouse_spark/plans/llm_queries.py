@@ -565,6 +565,20 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query("embedding_ivf_pq_topk")
+def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact rerank: candidates score through m-byte PQ
+    codes (64x smaller than the raw vectors), raw vectors touched only
+    by the rerank buffer. Rows-only (approximate); recall vs brute
+    force asserted in tests/test_similarity_ann.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_pq_topk(
+        emb, queries, k=10, m=8, n_codes=64, n_cells=16, nprobe=4,
+        seed=42, cache_key=sf_dir,
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # IVF with nprobe = n_cells probes every cell, so the funnel degenerates
 # to exact top-k — which IS SQL-expressible. This puts the whole IVF

@@ -180,3 +180,44 @@ def test_compaction_after_streaming_appends(spark, tmp_path):
     after = compact_parquet(spark, wh, target_file_bytes=1 << 30)
     assert after.n_files < frag.n_files and after.n_rows == 8
     assert sorted(map(tuple, spark.read.parquet(wh).collect())) == rows
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange nodes — the co-located-join contract that
+    makes repeated fact-fact joins affordable at 100 TB."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import write_bucketed
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    # at sf0.001 the planner would broadcast these tiny tables and skip
+    # the bucketed scan entirely; disable broadcast so the test sees the
+    # plan a FACT-FACT join gets at scale (where broadcast is impossible)
+    prev_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_static
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = spark.table("b_lineitem")
+        o = spark.table("b_orders")
+        joined = l.join(o, l.l_orderkey == o.o_orderkey)
+        joined.collect()  # finalize AQE
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert joined.count() == li.count()  # inner join, FK complete
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_static)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -135,3 +135,39 @@ def test_ivf_centroid_disk_cache(tmp_path, spark, emb, monkeypatch):
     SIM._CENTROID_CACHE.clear()
     SIM.train_ivf_centroids(df2, n_cells=4, cache_key=str(corpus))
     assert len(list((tmp_path / "ivf").glob("*.json"))) == 2
+
+
+def test_ivf_pq_recall_with_rerank(spark, emb):
+    """IVF-PQ with a 4k rerank buffer: recall@5 vs exact brute force
+    must be high even through the 8-byte code approximation, and the
+    reranked cos_sim values are exact (they come from raw vectors)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(SIM.brute_force_topk(emb, queries, k=5))
+    approx_df = SIM.ivf_pq_topk(
+        emb, queries, k=5, m=8, n_codes=32, n_cells=8, nprobe=4,
+        rerank=64, seed=7,
+    )
+    approx = _topk_sets(approx_df)
+    hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+    # full probe + full-corpus rerank buffer degenerates to exact
+    n = emb.count()
+    full = _topk_sets(
+        SIM.ivf_pq_topk(
+            emb, queries, k=5, m=8, n_codes=32, n_cells=8, nprobe=8,
+            rerank=n, seed=7,
+        )
+    )
+    assert full == exact
+
+
+def test_pq_encode_shape(spark, emb):
+    books = SIM.train_pq_codebooks(emb, m=8, n_codes=16, seed=3)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = SIM.pq_encode(emb.limit(20), books).collect()
+    assert len(codes) == 20
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
