@@ -398,14 +398,24 @@ def hamming60(a: Column, b: Column) -> Column:
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of 4 15-bit signature chunks
-    (any pair within hamming 3 must agree on ≥1 chunk; wider distances
-    are caught probabilistically), verified by exact hamming ≤ max."""
+    """SimHash near-dup pairs, EXACT at any ``max_hamming`` < 60.
+
+    Pigeonhole: the 60-bit signature splits into ``max_hamming + 1``
+    contiguous chunks, so any pair within the hamming budget leaves at
+    least one chunk untouched and is found by the chunk-bucket equi-join;
+    an exact popcount verify then filters candidates. (max_hamming=3 ⇒
+    the classic 4×15-bit split.)"""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 60:
+        raise ValueError(f"max_hamming must be in [0, 59], got {max_hamming}")
+    base, extra = divmod(60, n_chunks)
+    widths = [base + 1 if c < extra else base for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     sigs = simhash_signatures(df, id_col, text_col).withColumnRenamed(
         "simhash", "_sig"
     )
     # Literal shift amounts per chunk: F.shiftright requires a Python int
-    # (not a Column), so the 4 structs are built in a Python loop — same
+    # (not a Column), so the structs are built in a Python loop — same
     # pattern as lsh_signature in operators/similarity.py.
     chunks = sigs.select(
         id_col,
@@ -415,11 +425,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("_sig"), c * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        F.shiftright(F.col("_sig"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),

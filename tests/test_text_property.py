@@ -155,3 +155,23 @@ def test_minhash_pairs_match_bruteforce(spark, texts):
         if jacc(texts[i], texts[j]) >= 0.6
     }
     assert got == want, (texts, got, want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(words, min_size=2, max_size=6))
+def test_simhash_pairs_exact_at_wider_hamming(spark, texts):
+    """The adaptive chunk split (max_hamming+1 chunks) keeps the
+    operator EXACT at hamming budgets beyond the classic 4x15 split."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_dup_pairs(df, "i", "t", max_hamming=7).collect()
+    }
+    sigs = [_py_simhash(t) for t in texts]
+    want = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 7
+    }
+    assert got == want, (texts, got, want)
