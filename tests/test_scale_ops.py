@@ -221,3 +221,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_bucket_pairs_equals_naive_join(spark):
+    """_salted_bucket_pairs with a bucket far over the cap must emit
+    exactly the naive self-join's pair set — each pair once — while
+    splitting the giant bucket across salted sub-blocks."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import _salted_bucket_pairs
+
+    rows = (
+        # one giant bucket: 300 members in (band 0, bucket 7)
+        [(i, 0, 7) for i in range(300)]
+        # a normal bucket sharing some ids
+        + [(i, 1, 9) for i in range(40, 50)]
+    )
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _salted_bucket_pairs(banded, "doc_id", bucket_cap=64).collect()
+    }
+    want = {(i, j) for i in range(300) for j in range(i + 1, 300)}
+    want |= {(i, j) for i in range(40, 50) for j in range(i + 1, 50)}
+    assert got == want
+    assert len(got) == 300 * 299 // 2  # normal-bucket pairs are a subset
