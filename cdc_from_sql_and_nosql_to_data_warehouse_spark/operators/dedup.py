@@ -115,6 +115,38 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _dedupe_bucket_sets(banded: DataFrame, id_col: str) -> DataFrame:
+    """Collapse (band, bucket) groups with IDENTICAL member sets to one
+    representative group.
+
+    On a self-similar corpus the same near-dup cluster collides in
+    every band, so the same m²/2 join pairs regenerate once per band
+    (observed locally: a 2.3k-member cluster × 25 bands = 55M of 63M
+    joined rows were repeats). Identical member set ⇒ identical pair
+    set, and candidates are distinct-ed downstream, so dropping the
+    repeats cannot change the output. Membership fingerprint: two
+    independent commutative (XOR) 64-bit hashes of the ids plus the
+    member count — order-independent, never collects members, and the
+    collision class (~2⁻¹²⁸) is the same one content-hash exact dedup
+    already accepts. Cost: two small aggregates + a semi join on rows
+    of (band, bucket) — no-op overhead on healthy corpora where every
+    bucket is unique.
+    """
+    groups = banded.groupBy("band", "bucket").agg(
+        F.bit_xor(F.xxhash64(F.lit(1), F.col(id_col))).alias("_h1"),
+        F.bit_xor(F.xxhash64(F.lit(2), F.col(id_col))).alias("_h2"),
+        F.count("*").alias("_m"),
+    )
+    reps = (
+        groups.groupBy("_h1", "_h2", "_m")
+        .agg(F.min(F.struct("band", "bucket")).alias("_rep"))
+        .select(
+            F.col("_rep.band").alias("band"), F.col("_rep.bucket").alias("bucket")
+        )
+    )
+    return banded.join(reps, ["band", "bucket"], "left_semi")
+
+
 def _salted_bucket_pairs(
     banded: DataFrame, id_col: str, bucket_cap: int = 256
 ) -> DataFrame:
@@ -141,7 +173,9 @@ def _salted_bucket_pairs(
     # linear in corpus size, never signatures or bodies. Without them
     # the sizes/left/right branches would each recompute the full
     # upstream (tokenize + 128-way minhash + banding).
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _dedupe_bucket_sets(banded, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_m"))
     withg = (
         banded.join(sizes, ["band", "bucket"])
