@@ -1860,3 +1860,44 @@ def q20_recent_concentration_suppliers(
         .select("s_name", F.col("s_acctbal").alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped: customer order-count distribution — outer join + double
+# aggregation. The classic formulation joins then groups the joined rows;
+# here orders pre-aggregates to (custkey, count) first, so the join and
+# second shuffle carry one row per customer instead of one per order —
+# the only formulation that survives a 100x orders table. Customers with
+# no (qualifying) orders surface as c_count = 0 via the left join.
+# Parity target: reference has no analytics engine; shape follows TPC-H
+# Q13 with o_orderpriority standing in for the o_comment exclusion
+# (this schema carries no comment column).
+# ---------------------------------------------------------------------------
+@register_query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority NOT LIKE '%URGENT%'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("%URGENT%")
+    )
+    n_orders = orders.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+    return (
+        cust.join(n_orders, cust.c_custkey == n_orders.o_custkey, "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -693,3 +693,217 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.trigram_hits(F.col("text"), "fr").alias("fr_hits"),
         TX.lang_id_trigram(F.col("text")).alias("lang_pred"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: deterministic stratified sampling. Rates are
+# per-source and keyed on an md5 prefix of the doc id, so the sample is
+# reproducible, join-free, and embarrassingly parallel — no shuffle at
+# all, the filter rides the scan. At 100 TB this is the only sampling
+# that works: rng-based sampling can't be re-derived for lineage, and
+# sort-based sampling shuffles the world. Hex-string thresholds keep the
+# predicate byte-identical across engines.
+# ---------------------------------------------------------------------------
+@register_query(
+    "sample_stratified_by_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE
+            WHEN source IN ('src0', 'src1', 'src2') THEN 'cc'
+            WHEN source IN ('src3', 'src4') THEN '80'
+            ELSE '28'
+          END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit("cc"))
+        .when(F.col("source").isin("src3", "src4"), F.lit("80"))
+        .otherwise(F.lit("28"))
+    )
+    return docs.filter(bucket < rate).select("doc_id", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: deterministic global shuffle. Docs land in one
+# of 16 shards by hash prefix and take a within-shard position ordered by
+# the full hash — the standard sharded-shuffle layout for training
+# readers. Window partitions by shard, so the sort parallelizes across
+# shards instead of funnelling through one global row_number.
+# ---------------------------------------------------------------------------
+@register_query(
+    "training_shuffle_shards",
+    oracle="""
+    SELECT shard, pos, doc_id
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':seed42'), 1, 1))::BIGINT AS shard,
+             row_number() OVER (
+               PARTITION BY substr(md5(CAST(doc_id AS VARCHAR) || ':seed42'), 1, 1)
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':seed42'), doc_id
+             ) AS pos
+      FROM documents
+    )
+    ORDER BY shard, pos
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42")))
+    shard = F.conv(F.substring(h, 1, 1), 16, 10).cast("long")
+    w = W.partitionBy(F.substring(h, 1, 1)).orderBy(h, F.col("doc_id"))
+    return (
+        docs.select(
+            F.col("doc_id"),
+            shard.alias("shard"),
+            F.row_number().over(w).alias("pos"),
+        )
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: PII-style redaction — email-shaped tokens and
+# digit-bearing id-like tokens are replaced and counted, entirely in JVM
+# regex (no Python). The synthetic corpus is digit-free, so here the
+# transform is oracle-proven as a no-op pipeline; semantics on real PII
+# are pinned by tests/test_text_property.py with synthetic emails/ids.
+# RE2/Java-compatible patterns only (no lookaround), so the exact same
+# regex runs on both engines.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IDTOK_RE = "[A-Za-z]*[0-9][A-Za-z0-9]*"
+
+
+@register_query(
+    "text_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))
+             + len(regexp_extract_all(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_IDTOK_RE}'))
+             AS n_redactions,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_IDTOK_RE}', '<ID>', 'g')) AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    no_email = F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(no_email, _IDTOK_RE, "<ID>")
+    n_red = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)) + F.size(
+        F.regexp_extract_all(no_email, F.lit(_IDTOK_RE), 0)
+    )
+    return docs.select(
+        "doc_id",
+        n_red.cast("long").alias("n_redactions"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: concat-and-chunk sequence packing — the
+# dominant pretraining layout. Per source, documents concatenate in
+# doc_id order (one separator token between docs) and split into
+# fixed-capacity sequences; a document spans every chunk its token range
+# overlaps. The running offset is a window sum partitioned by source, so
+# packing parallelizes across sources and never materializes the
+# concatenated text — only (doc, first_chunk, last_chunk) arithmetic.
+# ---------------------------------------------------------------------------
+@register_query(
+    "pack_concat_chunks",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    pos AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok + 1) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - (n_tok + 1) AS start
+      FROM toks
+    )
+    SELECT source, doc_id,
+           unnest(generate_series(CAST(start // 128 AS BIGINT),
+                                  CAST((start + n_tok - 1) // 128 AS BIGINT))) AS chunk_id
+    FROM pos
+    ORDER BY source, chunk_id, doc_id
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = docs.select("source", "doc_id", n_tok.alias("n_tok"))
+    pos = toks.withColumn(
+        "start", F.sum(F.col("n_tok") + 1).over(w) - (F.col("n_tok") + 1)
+    )
+    first = F.floor(F.col("start") / 128)
+    last = F.floor((F.col("start") + F.col("n_tok") - 1) / 128)
+    return (
+        pos.select(
+            "source",
+            "doc_id",
+            F.explode(F.sequence(first, last)).alias("chunk_id"),
+        )
+        .orderBy("source", "chunk_id", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: quality filter funnel — per-source retention
+# through successive gates (length, whitespace sanity, stopword floor).
+# One scan, conditional partial aggregates, no shuffle beyond the final
+# 20-group agg; this is the shape of every corpus-curation dashboard.
+# ---------------------------------------------------------------------------
+@register_query(
+    "quality_filter_funnel",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_len_ok,
+           CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 2000
+                     AND len(regexp_split_to_array(trim(text), '\s+')) >= 20
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_ok,
+           CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 2000
+                     AND len(regexp_split_to_array(trim(text), '\s+')) >= 20
+                     AND (length(text) - length(replace(text, ' the', ''))) >= 4
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    len_ok = F.col("n_chars").between(100, 2000)
+    tok_ok = len_ok & (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 20)
+    stop_ok = tok_ok & (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the")))) >= 4
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).alias  # noqa: E731
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            one(len_ok)("n_len_ok"),
+            one(tok_ok)("n_tok_ok"),
+            one(stop_ok)("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -175,3 +175,36 @@ def test_simhash_pairs_exact_at_wider_hamming(spark, texts):
         if bin(sigs[i] ^ sigs[j]).count("1") <= 7
     }
     assert got == want, (texts, got, want)
+
+
+def test_pii_redaction_on_synthetic_pii(spark):
+    """The registered text_pii_redaction pipeline is a no-op on the
+    digit-free synthetic corpus; this pins its semantics on rows that DO
+    carry email- and id-shaped tokens."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans.llm_queries import (
+        _EMAIL_RE,
+        _IDTOK_RE,
+    )
+
+    rows = [
+        (1, "contact alice.smith+spam@example.co.uk for details"),
+        (2, "order A12B34 shipped, ref 99x, plain words stay"),
+        (3, "two mails a@b.io c@d.org and id X9"),
+        (4, "nothing to redact here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    no_email = F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(no_email, _IDTOK_RE, "<ID>")
+    n_red = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)) + F.size(
+        F.regexp_extract_all(no_email, F.lit(_IDTOK_RE), 0)
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["red"])
+        for r in df.select(
+            "doc_id", n_red.alias("n"), redacted.alias("red")
+        ).collect()
+    }
+    assert got[1] == (1, "contact <EMAIL> for details")
+    assert got[2] == (2, "order <ID> shipped, ref <ID>, plain words stay")
+    assert got[3] == (3, "two mails <EMAIL> <EMAIL> and id <ID>")
+    assert got[4] == (0, "nothing to redact here at all")
