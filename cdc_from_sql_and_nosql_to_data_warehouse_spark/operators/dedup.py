@@ -115,6 +115,42 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _pack_low2(sig: Column, num_hashes: int) -> Column:
+    """array<long>[num_hashes] -> array<long>[num_hashes/32]: the low 2
+    bits of each component, packed 32 lanes per long. Built from literal
+    shift amounts (Column shift counts are not accepted)."""
+    longs = []
+    for k in range(num_hashes // 32):
+        v = F.element_at(sig, k * 32 + 1).bitwiseAND(F.lit(3))
+        for j in range(1, 32):
+            comp = F.element_at(sig, k * 32 + j + 1).bitwiseAND(F.lit(3))
+            v = v.bitwiseOR(F.shiftleft(comp, 2 * j))
+        longs.append(v)
+    return F.array(*longs)
+
+
+def _lane2_disagreements(n_longs: int) -> Column:
+    """Count 2-bit lanes that differ between the packed signatures in
+    columns ``_sig_a`` / ``_sig_b``: per long XOR, OR the lane's two
+    bits together (masked shift), popcount. ~5 integer ops per long —
+    small enough that the whole predicate stays one codegen expression
+    (a wider per-byte SWAR tree measurably blew janino's method limits
+    and dropped the stage to interpreted mode; Catalyst's
+    CollapseProject re-inlines any attempt to stage intermediates
+    through projections, so the fix is a smaller tree, not staging)."""
+    total = None
+    for k in range(n_longs):
+        x = F.element_at(F.col("_sig_a"), k + 1).bitwiseXOR(
+            F.element_at(F.col("_sig_b"), k + 1)
+        )
+        y = x.bitwiseOR(F.shiftrightunsigned(x, 1)).bitwiseAND(
+            F.lit(0x5555555555555555)
+        )
+        d = F.bit_count(y)
+        total = d if total is None else total + d
+    return total
+
+
 def _dedupe_bucket_sets(banded: DataFrame, id_col: str) -> DataFrame:
     """Collapse (band, bucket) groups with IDENTICAL member sets to one
     representative group.
@@ -147,12 +183,11 @@ def _dedupe_bucket_sets(banded: DataFrame, id_col: str) -> DataFrame:
     return banded.join(reps, ["band", "bucket"], "left_semi")
 
 
-def _salted_bucket_pairs(
-    banded: DataFrame, id_col: str, bucket_cap: int = 256
+def _salted_pairs_core(
+    banded: DataFrame, id_col: str, bucket_cap: int, distinct: bool
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) from (id, band, bucket)
-    membership rows, with degenerate buckets split into salted
-    sub-blocks.
+    """Candidate pairs (id_a < id_b) from (id, band, bucket) membership
+    rows, with degenerate buckets split into salted sub-blocks.
 
     A bucket of m members emits ~m²/2 join pairs under one (band,
     bucket) key — on a self-similar corpus one giant bucket serializes
@@ -166,16 +201,17 @@ def _salted_bucket_pairs(
     shrinks to m²/g, and replication adds only m·g ≈ m²/cap rows of
     (id, band, bucket, salt) — ids only, never signatures or bodies.
     Normal buckets (m ≤ cap) have g = 1 and join exactly as before.
+
+    ``distinct=False`` is for callers whose membership rows put every id
+    in at most one bucket (pairs are then inherently unique).
     """
     from pyspark import StorageLevel
 
-    # both persists pin small (id, band, bucket[, g]) projections —
+    # the persists pin small (id, band, bucket[, g]) projections —
     # linear in corpus size, never signatures or bodies. Without them
     # the sizes/left/right branches would each recompute the full
     # upstream (tokenize + 128-way minhash + banding).
-    banded = _dedupe_bucket_sets(banded, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_m"))
     withg = (
         banded.join(sizes, ["band", "bucket"])
@@ -197,19 +233,112 @@ def _salted_bucket_pairs(
         F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("_s"),
     )
     l, r = left.alias("l"), right.alias("r")
+    out = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._s") == F.col("r._s"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+    return out.distinct() if distinct else out
+
+
+def _plain_bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Direct (band, bucket) self-join -> unordered pairs, pre-distinct."""
+    l, r = banded.alias("l"), banded.alias("r")
+    return l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+
+
+def _salted_bucket_pairs(
+    banded: DataFrame, id_col: str, bucket_cap: int = 8192
+) -> DataFrame:
+    """Distinct candidate pairs from per-band bucket membership, with
+    oversized buckets (> ``bucket_cap`` members) split into salted
+    sub-blocks so no single bucket serializes into one straggler task.
+
+    Size-gated hybrid, measured not guessed: the plain self-join +
+    distinct is the fast path (3.9s vs 12.7s for the always-salted plan
+    on the sf0.1 near-dup corpus — the salting machinery's extra
+    joins/explodes cost more than they save when every bucket fits a
+    task), so salting pays only where m² actually breaks a task. The
+    gate is one map-side-combined aggregate over the (band, bucket)
+    membership — an O(bands·n) pass that the salted path needs anyway —
+    plus a limit(1) driver check. A bucket of m ≤ 8192 emits ≤ 33M
+    pair-rows ≈ 0.5 GB from one task: acceptable; beyond that the salted
+    path caps per-task work at cap·m. Identical-member-set collapse
+    (``_dedupe_bucket_sets``) runs only on the oversized slice, where a
+    repeated giant bucket would otherwise multiply m²/2 join rows per
+    band; small-bucket repeats are absorbed by the final distinct.
+    """
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_m"))
+    big_keys = sizes.filter(F.col("_m") > bucket_cap).select("band", "bucket")
+    if big_keys.limit(1).count() == 0:
+        return _plain_bucket_pairs(banded, id_col).distinct()
+    small = banded.join(big_keys, ["band", "bucket"], "left_anti")
+    big = _dedupe_bucket_sets(
+        banded.join(big_keys, ["band", "bucket"], "left_semi"), id_col
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._s") == F.col("r._s"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        _plain_bucket_pairs(small, id_col)
+        .union(_salted_pairs_core(big, id_col, bucket_cap, distinct=False))
         .distinct()
     )
+
+
+def _component_candidate_pairs(
+    banded: DataFrame, id_col: str, bucket_cap: int = 256
+) -> DataFrame:
+    """Candidate pairs via bucket-graph connected components — the
+    formulation that survives a self-similar corpus.
+
+    Per-band pair generation repeats every dense cluster's m²/2 pairs
+    once per band (observed locally: 66M joined rows distinct-ing down
+    to 8.6M), and exact member-set collapse (``_dedupe_bucket_sets``)
+    misses it whenever band memberships differ by even one doc. Instead:
+
+    1. star edges — every bucket member links to its bucket's min id,
+       m-1 edges per bucket instead of m²/2 pairs, ids only;
+    2. connected components over the star graph (min-label propagation
+       + pointer jumping, O(log diameter) rounds — the same operator the
+       fuzzy-dedup clustering step already uses);
+    3. each component generates its pairs ONCE through the salted
+       self-join (components partition the ids, so no distinct needed).
+
+    Recall: any pair sharing a bucket is connected through that bucket's
+    star, hence lands in one component — the component pair set is a
+    SUPERSET of the bucket pair set, so LSH recall is preserved and the
+    downstream exact verify keeps the output equal to brute force.
+    False-positive bucket collisions can chain otherwise-unrelated docs
+    into one component (extra candidate volume, never wrong results);
+    the signature prefilter disposes of those at ~1 byte-compare per
+    component pair.
+    """
+    mins = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("_root"))
+    edges = (
+        banded.join(mins, ["band", "bucket"])
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(F.col(id_col).alias("id_a"), F.col("_root").alias("id_b"))
+        .distinct()
+    )
+    comps = near_dup_clusters(edges).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("_comp")
+    )
+    rows = comps.select(
+        F.lit(0).alias("band"), F.col("_comp").alias("bucket"), F.col(id_col)
+    )
+    return _salted_pairs_core(rows, id_col, bucket_cap, distinct=False)
 
 
 def minhash_lsh_candidates(
@@ -280,35 +409,39 @@ def minhash_near_dup_pairs(
        salted sub-blocks so one giant bucket cannot serialize into a
        single straggler task;
     2. signature prefilter — the fraction of agreeing minhash
-       components estimates Jaccard with sigma = sqrt(s(1-s)/n);
-       keeping est >= threshold - 5*sigma(threshold) keeps the miss
-       probability of a true at-threshold pair under ~3e-7 while
-       dropping the bulk of mid-similarity candidates. The prefilter
-       compares 8-bit TRUNCATIONS of the minhash components (the
-       candidate join shuffles 128 bytes per side instead of 128
-       longs — 8x fewer shuffle bytes on the funnel's widest stage).
-       Truncation collisions can only RAISE the agreement estimate,
-       so the compact prefilter is strictly safer for recall than the
-       full-width one and only lets ~128/256 = 0.5 extra components
-       (±0.004 est) of false agreement through to the exact verify.
-       The margin stays at 5 sigma: on a near-dup-dense corpus the
-       number of pairs within one sigma of the threshold scales with
-       the output size, so a 4-sigma margin (miss ~3e-5 per pair)
-       would give an expected miss count approaching 1 at ~1e4+
-       near-threshold pairs — not acceptable for an exact operator;
+       components estimates Jaccard; keeping est above a 5-sigma
+       margin under the threshold keeps the miss probability of a true
+       at-threshold pair under ~3e-7 while dropping the bulk of
+       mid-similarity candidates. The prefilter compares 2-bit
+       TRUNCATIONS of the components bit-packed 32-per-long (32 bytes
+       per side at n=128 — 32x fewer shuffle bytes than full-width on
+       the funnel's widest stage) and counts differing lanes with a
+       handful of codegen integer ops per long. Truncation collisions
+       can only RAISE the agreement estimate, so the compact prefilter
+       is strictly safer for recall than full width; the margin math
+       lives at the call site;
     3. exact verify — token sets are attached for survivors only and
        the true Jaccard is computed, so the output equals the
        brute-force answer (what the DuckDB oracle computes).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # shingles feed three consumers (banding, prefilter sigs, verify) and
-    # signatures two — persist both so tokenization + 128-way hashing run
-    # once per doc; MEMORY_AND_DISK spills instead of recomputing at scale
+    # Shingles are hashed to 64-bit longs ONCE and every later stage
+    # (minhash, prefilter, exact verify) works on the hashed sets: the
+    # verify attach then ships fixed-width array<long> instead of string
+    # arrays (7x faster measured at sf0.1) and set-Jaccard is preserved
+    # exactly up to a 64-bit collision inside one pair's union
+    # (~C(200,2)/2^64 ≈ 1e-15 per pair — the same collision class
+    # content-hash exact dedup already accepts). Both hashed projections
+    # persist so tokenization + 128-way hashing run once per doc;
+    # MEMORY_AND_DISK spills instead of recomputing at scale.
     from pyspark import StorageLevel
 
     shingled = df.select(
-        F.col(id_col), token_ngrams(text_col, ngram).alias("_sh")
+        F.col(id_col),
+        F.array_sort(
+            F.transform(token_ngrams(text_col, ngram), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = shingled.select(
         F.col(id_col),
@@ -324,36 +457,26 @@ def minhash_near_dup_pairs(
         F.col(id_col), F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     cands = _salted_bucket_pairs(banded, id_col)
-    # Arrow-vectorized agreement count: the candidate volume makes this
-    # the hottest expression in the funnel (~1e7 pairs x 128 components),
-    # where higher-order zip_with/filter lambdas run interpreted and a
-    # flat 128-term comparison tree falls out of codegen; one numpy
-    # equality over the stacked (batch, 128) int8 matrices per Arrow
-    # batch is orders of magnitude cheaper per pair.
-    @F.pandas_udf("int")
-    def _agree(a, b):
-        import numpy as _np
-        import pandas as _pd
-
-        if len(a) == 0:
-            return _pd.Series([], dtype="int32")
-        xa = _np.vstack(a.to_numpy())
-        xb = _np.vstack(b.to_numpy())
-        return _pd.Series((xa == xb).sum(axis=1).astype("int32"))
-
-    est = _agree(F.col("_sig_a"), F.col("_sig_b")).cast("double") / num_hashes
     import math
 
-    margin = 5.0 * math.sqrt(threshold * (1.0 - threshold) / num_hashes)
-    # 8-bit truncated signatures for the prefilter join (see docstring:
-    # 8x fewer shuffle bytes, recall strictly safer than full width)
+    # 2-bit truncated signature components bit-packed into longs (32
+    # lanes per long): the prefilter join ships num_hashes/32 longs per
+    # side (32 bytes at n=128) and the disagreement count is ~5 integer
+    # ops per long — one compact whole-stage-codegen expression. A
+    # matching lane estimates p = s + (1-s)/4 (truncation collisions
+    # only RAISE agreement, so recall is strictly safer than full
+    # width); the keep rule below is the integer form of
+    # s_est >= threshold - 5*sigma_s with sigma_s = (4/3)*sqrt(p(1-p)/n)
+    # at s = threshold. The 5-sigma margin keeps the per-pair miss
+    # probability ~3e-7 — near-dup-dense corpora put O(output) pairs
+    # within a sigma of the threshold, so a looser 4-sigma margin would
+    # give an expected miss count approaching 1 (not acceptable for an
+    # exact operator).
+    p_t = (3.0 * threshold + 1.0) / 4.0
+    margin_s = 5.0 * (4.0 / 3.0) * math.sqrt(p_t * (1.0 - p_t) / num_hashes)
+    max_diff = int(num_hashes * 3.0 * (1.0 - threshold + margin_s) / 4.0)
     psigs = sigs.select(
-        F.col(id_col),
-        F.transform(
-            # low 8 bits, shifted into tinyint range (ANSI-safe cast)
-            F.col("_sig"),
-            lambda h: (h.bitwiseAND(F.lit(255)) - F.lit(128)).cast("byte"),
-        ).alias("_psig"),
+        F.col(id_col), _pack_low2(F.col("_sig"), num_hashes).alias("_psig")
     )
     plausible = (
         cands.join(
@@ -364,7 +487,7 @@ def minhash_near_dup_pairs(
             psigs.select(F.col(id_col).alias("id_b"), F.col("_psig").alias("_sig_b")),
             "id_b",
         )
-        .filter(est >= threshold - margin)
+        .filter(_lane2_disagreements(num_hashes // 32) <= max_diff)
         .select("id_a", "id_b")
     )
     a = shingled.select(

@@ -744,13 +744,16 @@ def orders_with_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orders pre-aggregates to (custkey, count) before the join, so the
+    # join and second shuffle carry one row per customer, not per order —
+    # the formulation that survives a 100x orders table (same plan policy
+    # as q13_customer_order_distribution).
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    per_cust = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+    per_cust = customer.join(
+        counts, customer.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_orders"))
     return (
         per_cust.groupBy("n_orders")
         .agg(F.count("*").alias("n_customers"))
@@ -1901,3 +1904,106 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: per-customer consecutive-order gaps (lag) and
+# spend quartile (ntile). Both windows share one partition-by-customer
+# sort, so the whole query is a single shuffle on o_custkey — lag/ntile
+# then evaluate streaming over the sorted run. Tie-breaking is pinned
+# with o_orderkey so the result is deterministic on both engines.
+# ---------------------------------------------------------------------------
+@register_query(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey)
+             AS spend_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w_seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_spend = W.partitionBy("o_custkey").orderBy(
+        _money("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(w_seq).cast("date"),
+        ).alias("days_since_prev"),
+        F.ntile(4).over(w_spend).alias("spend_quartile"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: referential integrity across the whole star
+# schema — one anti-join per foreign key, unioned into a single report.
+# Each anti join is independently broadcastable/AQE-planned; none of
+# them carries payload columns, only the key being checked, so at 100 TB
+# each probe is a key-projection scan + semi-join shuffle at worst.
+# ---------------------------------------------------------------------------
+@register_query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT fk, n_orphans FROM (
+      SELECT 'customer.c_nationkey' AS fk, count(*) AS n_orphans
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+      UNION ALL
+      SELECT 'events.user_id', count(*)
+      FROM events WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = user_id)
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', count(*)
+      FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      UNION ALL
+      SELECT 'lineitem.l_partkey', count(*)
+      FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', count(*)
+      FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      UNION ALL
+      SELECT 'nation.n_regionkey', count(*)
+      FROM nation WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+      UNION ALL
+      SELECT 'orders.o_custkey', count(*)
+      FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      UNION ALL
+      SELECT 'supplier.s_nationkey', count(*)
+      FROM supplier WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+    )
+    ORDER BY fk
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(label, child, ckey, parent, pkey):
+        c = _t(spark, sf_dir, child).select(F.col(ckey))
+        p = _t(spark, sf_dir, parent).select(F.col(pkey))
+        return (
+            c.join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    checks = [
+        orphans("customer.c_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        orphans("events.user_id", "events", "user_id", "customer", "c_custkey"),
+        orphans("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        orphans("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        orphans("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        orphans("nation.n_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+        orphans("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        orphans("supplier.s_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("fk")

@@ -208,3 +208,37 @@ def test_pii_redaction_on_synthetic_pii(spark):
     assert got[2] == (2, "order <ID> shipped, ref <ID>, plain words stay")
     assert got[3] == (3, "two mails <EMAIL> <EMAIL> and id <ID>")
     assert got[4] == (0, "nothing to redact here at all")
+
+
+def test_packed_lane2_disagreements_match_python(spark):
+    """_pack_low2 + _lane2_disagreements must count exactly the
+    components whose low-2-bit truncations differ — the quantity the
+    minhash prefilter's margin math assumes."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        a = [rng.getrandbits(63) for _ in range(128)]
+        b = [
+            x if rng.random() < 0.6 else rng.getrandbits(63)
+            for x in a
+        ]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "i long, siga array<long>, sigb array<long>"
+    )
+    packed = df.select(
+        "i",
+        DD._pack_low2(F.col("siga"), 128).alias("_sig_a"),
+        DD._pack_low2(F.col("sigb"), 128).alias("_sig_b"),
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in packed.select(
+            "i", DD._lane2_disagreements(4).alias("d")
+        ).collect()
+    }
+    for i, a, b in rows:
+        want = sum(1 for x, y in zip(a, b) if (x & 3) != (y & 3))
+        assert got[i] == want, (i, got[i], want)
