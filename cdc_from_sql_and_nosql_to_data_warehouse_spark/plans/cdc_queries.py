@@ -157,3 +157,73 @@ def cdc_count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.crossJoin(dst).withColumn(
         "counts_match", F.col("src_count") == F.col("dst_count")
     )
+
+
+@register_query(
+    "cdc_incremental_group_sums",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(value AS DECIMAL(12,2)) AS val,
+             {_OP_SQL} AS op,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'REMOVE')
+    SELECT event_type AS gtype,
+           count(*) AS n_keys,
+           CAST(sum(val) AS DOUBLE) AS total_value
+    FROM live
+    GROUP BY event_type
+    ORDER BY gtype
+    """,
+)
+def cdc_incremental_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the maintained aggregate equals a
+    full replay.
+
+    The feed splits at a cutoff: everything before it builds the base
+    state and its aggregate (the \"already materialized\" view);
+    everything after flows through
+    ``operators/incremental.incremental_upsert_agg`` as one change
+    batch. The oracle recomputes the aggregate from the ENTIRE feed —
+    hash-equality proves retract/apply maintenance is exact, including
+    keys that move groups (a user's latest event_type changes) and
+    tombstones (latest op REMOVE). Values ride DECIMAL(12,2) so base +
+    delta is exact addition, per the registry float policy.
+    """
+    from ..operators.incremental import (
+        incremental_upsert_agg,
+        latest_per_key_multi,
+    )
+
+    cutoff = "2024-01-21 00:00:00"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("op", _op_col())
+        .withColumn("val", F.col("value").cast("decimal(12,2)"))
+    )
+    base_ev = ev.filter(F.col("ts") < cutoff)
+    changes = ev.filter(F.col("ts") >= cutoff)
+    base_state = latest_per_key_multi(base_ev, "user_id", ["ts", "event_id"]).filter(
+        F.col("op") != "REMOVE"
+    )
+    base_agg = base_state.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"), F.sum("val").alias("total_value")
+    )
+    new_agg = incremental_upsert_agg(
+        base_state,
+        base_agg,
+        changes,
+        key="user_id",
+        group_col="event_type",
+        value_col="val",
+        seq_cols=["ts", "event_id"],
+    )
+    return new_agg.select(
+        F.col("event_type").alias("gtype"),
+        "n_keys",
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("gtype")

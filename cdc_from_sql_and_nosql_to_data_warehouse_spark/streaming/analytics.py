@@ -157,3 +157,46 @@ def streaming_dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [fingerprint_col]
     )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase pairs with every
+    same-user click in ``[purchase_ts - lookback, purchase_ts]``.
+
+    The streaming twin of the batch as-of/range joins in
+    ``operators/joins.py`` (attribution shape). Both inputs carry
+    watermarks and the join condition bounds click time relative to
+    purchase time from BOTH sides — that pair of constraints is what
+    lets Structured Streaming evict buffered state: a click older than
+    ``watermark + lookback`` can never join a future purchase and is
+    dropped, so state is bounded by (event rate x horizon), not the
+    stream's history. Inner join, append mode.
+
+    At scale the join shuffles both streams on ``key`` once per
+    micro-batch; no broadcast, no cross product — the range predicate
+    prunes inside each key's buffered slice.
+    """
+    c = clicks.withWatermark(ts_col, watermark).alias("c")
+    p = purchases.withWatermark(ts_col, watermark).alias("p")
+    cond = (
+        (F.col(f"c.{key}") == F.col(f"p.{key}"))
+        & (F.col(f"c.{ts_col}") <= F.col(f"p.{ts_col}"))
+        & (
+            F.col(f"c.{ts_col}")
+            >= F.col(f"p.{ts_col}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col(f"p.{key}").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col(f"p.{ts_col}").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col(f"c.{ts_col}").alias("click_ts"),
+    )

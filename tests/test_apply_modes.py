@@ -102,3 +102,42 @@ def test_apply_empty_batch_is_safe(spark, tmp_path):
     apply_changes(spark, empty, wh, "id", mode="upsert")
     apply_changes(spark, empty, wh, "id", mode="append")
     assert sorted(map(tuple, read_warehouse(spark, wh).collect())) == before
+
+
+def test_incremental_upsert_agg_matches_full_recompute(spark):
+    """Retract/apply maintenance on a hand-built batch: group movement,
+    tombstone delete, brand-new key, and an untouched key."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        incremental_upsert_agg,
+    )
+
+    # state: key -> (group, value)
+    base_state = spark.createDataFrame(
+        [(1, "a", "10.00"), (2, "a", "20.00"), (3, "b", "30.00")],
+        "k long, g string, v string",
+    ).select("k", "g", F.col("v").cast("decimal(12,2)").alias("v"))
+    base_agg = base_state.groupBy("g").agg(
+        F.count("*").alias("n_keys"), F.sum("v").alias("total_value")
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "b", "11.00", 1, "UPSERT"),   # moves a -> b, new value
+            (2, None, None, 1, "REMOVE"),     # tombstone
+            (4, "c", "40.00", 1, "UPSERT"),   # brand-new key/group
+            (4, "c", "41.00", 2, "UPSERT"),   # same key again, later seq wins
+        ],
+        "k long, g string, v string, seq long, op string",
+    ).select(
+        "k", "g", F.col("v").cast("decimal(12,2)").alias("v"), "seq", "op"
+    )
+    got = {
+        r["g"]: (r["n_keys"], float(r["total_value"]))
+        for r in incremental_upsert_agg(
+            base_state, base_agg, changes,
+            key="k", group_col="g", value_col="v", seq_cols=["seq"],
+        ).collect()
+    }
+    # full recompute: k1 -> (b, 11), k2 gone, k3 -> (b, 30), k4 -> (c, 41)
+    assert got == {"b": (2, 41.0), "c": (1, 41.0)}, got

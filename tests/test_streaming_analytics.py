@@ -180,3 +180,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _run_to_memory(dedup, "wmdedup", tmp_path, "append")
     out = spark.table("wmdedup").collect()
     assert sorted(r["event_id"] for r in out) == [1, 3, 5]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases join every same-user click within the 30-minute
+    lookback; out-of-window and other-user clicks are excluded."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.analytics import (
+        stream_stream_interval_join,
+    )
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    os.makedirs(clicks_dir)
+    os.makedirs(buys_dir)
+    _write_events(
+        clicks_dir,
+        "c0",
+        [
+            _ev(1, "2024-01-01 10:00:00", user=1),  # in window
+            _ev(2, "2024-01-01 10:20:00", user=1),  # in window
+            _ev(3, "2024-01-01 09:00:00", user=1),  # too old
+            _ev(4, "2024-01-01 10:25:00", user=2),  # other user
+            _ev(5, "2024-01-01 10:31:00", user=1),  # after purchase
+        ],
+    )
+    _write_events(
+        buys_dir,
+        "b0",
+        [_ev(100, "2024-01-01 10:30:00", user=1, etype="purchase", value=9.0)],
+    )
+    joined = stream_stream_interval_join(
+        _stream(spark, clicks_dir), _stream(spark, buys_dir)
+    )
+    _run_to_memory(joined, "ssjoin", tmp_path, "append")
+    rows = spark.sql("SELECT * FROM ssjoin").collect()
+    got = {(r["purchase_id"], r["click_id"]) for r in rows}
+    assert got == {(100, 1), (100, 2)}, got
