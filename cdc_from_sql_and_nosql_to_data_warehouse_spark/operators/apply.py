@@ -160,7 +160,10 @@ def apply_changes(
 
     prior: list[tuple] | None = None
     if exists:
-        existing = spark.read.parquet(target_path)
+        # mergeSchema: after an evolving batch rewrote only its touched
+        # partitions, untouched partitions still carry the older column
+        # set — the footer-union read sees them all
+        existing = spark.read.option("mergeSchema", "true").parquet(target_path)
         if partition_by and touched is None and propagate_deletes:
             # unpruned-merge fallback: remember every stored partition so
             # ones the merge empties can still be dropped after the write
@@ -188,6 +191,41 @@ def apply_changes(
             F.struct(*[F.col(c) for c in after_cols]).alias("after"),
             _canonical_seq(F.col(SEQ_COL)).alias("seq"),
         )
+        # Schema evolution (K6 parity: the reference's all-varchar DDL
+        # absorbs drift; typed tables must evolve instead): align both
+        # after-image structs on the union of their fields — stored
+        # column order first, new envelope columns appended — with
+        # typed nulls for whichever side lacks a field. Old rows read
+        # NULL in new columns; an upsert whose image drops a column
+        # nulls it for that key.
+        inc_t = {
+            f.name: f.dataType
+            for f in incoming.schema["after"].dataType.fields
+        }
+        sto_t = {
+            f.name: f.dataType for f in lifted.schema["after"].dataType.fields
+        }
+        if set(inc_t) != set(sto_t):
+            all_fields = list(dict.fromkeys([*sto_t, *inc_t]))
+            types = {**inc_t, **sto_t}  # stored type wins on overlap
+
+            def _align(df: DataFrame, have: dict) -> DataFrame:
+                return df.withColumn(
+                    "after",
+                    F.struct(
+                        *[
+                            (
+                                F.col(f"after.{c}").cast(types[c])
+                                if c in have
+                                else F.lit(None).cast(types[c])
+                            ).alias(c)
+                            for c in all_fields
+                        ]
+                    ),
+                )
+
+            incoming = _align(incoming, inc_t)
+            lifted = _align(lifted, sto_t)
         merged = latest_per_key(incoming.unionByName(lifted), "key", "seq")
     else:
         merged = incoming

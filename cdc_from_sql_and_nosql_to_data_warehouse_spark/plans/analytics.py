@@ -2007,3 +2007,47 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key: per-cell row counts over the Morton
+# interleave of two bucketed dimensions. Proves the layout operator's
+# clustering key byte-for-byte against an independent engine (the SQL
+# twin is generated from the same loop — operators/layout.py). The
+# write-side job (zorder_repartition: range shuffle on this key +
+# within-partition sort) and its pruning benefit are pinned by
+# tests/test_scale_ops.py.
+# ---------------------------------------------------------------------------
+def _register_zorder_query():
+    from ..operators.layout import zorder_sql, zorder_value
+
+    sql_z = zorder_sql(["xb", "yb"], bits=6)
+
+    @register_query(
+        "layout_zorder_cells",
+        oracle=f"""
+        WITH b AS (
+          SELECT l_partkey % 64 AS xb, l_suppkey % 64 AS yb FROM lineitem
+        )
+        SELECT ({sql_z}) AS zval, count(*) AS n_rows
+        FROM b
+        GROUP BY zval
+        ORDER BY zval
+        """,
+    )
+    def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.pmod(F.col("l_partkey"), F.lit(64)).alias("xb"),
+            F.pmod(F.col("l_suppkey"), F.lit(64)).alias("yb"),
+        )
+        return (
+            li.select(
+                zorder_value([F.col("xb"), F.col("yb")], bits=6).alias("zval")
+            )
+            .groupBy("zval")
+            .agg(F.count("*").alias("n_rows"))
+            .orderBy("zval")
+        )
+
+
+_register_zorder_query()

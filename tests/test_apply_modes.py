@@ -141,3 +141,42 @@ def test_incremental_upsert_agg_matches_full_recompute(spark):
     }
     # full recompute: k1 -> (b, 11), k2 gone, k3 -> (b, 30), k4 -> (c, 41)
     assert got == {"b": (2, 41.0), "c": (1, 41.0)}, got
+
+
+def test_upsert_schema_evolution_new_column(spark, tmp_path):
+    """A later batch whose after-image carries a NEW column evolves the
+    table: old rows read NULL there, the upserted key carries the value,
+    and a key whose new image drops a column nulls it."""
+    from pyspark.sql import types as T
+
+    t0, t1 = make_trade(0), make_trade(1)
+    target = str(tmp_path / "wh_evolve")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2)], "f1"),
+        target,
+        "id",
+        mode="upsert",
+    )
+    evolved_schema = T.StructType(
+        TRADE_SCHEMA.fields
+        + [T.StructField("venue", T.StringType(), True)]
+    )
+    t1c = dict(t1, price=333.0, venue="NYSE")
+    d = str(tmp_path / "f2")
+    write_envelope_file(d, "batch2.json", [("MODIFY", t1c, 3)])
+    changes2 = read_envelope_feed(spark, d, evolved_schema, streaming=False)
+    apply_changes(spark, changes2, target, "id", mode="upsert")
+
+    out = read_warehouse(spark, target)
+    assert "venue" in out.columns
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[t1["id"]]["venue"] == "NYSE"
+    assert rows[t1["id"]]["price"] == 333.0
+    assert rows[t0["id"]]["venue"] is None
+    assert rows[t0["id"]]["price"] == t0["price"]
+    # and replaying the evolved batch converges (no dup keys, same values)
+    apply_changes(spark, changes2, target, "id", mode="upsert")
+    out2 = read_warehouse(spark, target)
+    assert out2.count() == 2
+    assert out2.filter(F.col("id") == t1["id"]).first()["venue"] == "NYSE"

@@ -246,3 +246,41 @@ def test_salted_bucket_pairs_equals_naive_join(spark):
     want |= {(i, j) for i in range(40, 50) for j in range(i + 1, 50)}
     assert got == want
     assert len(got) == 300 * 299 // 2  # normal-bucket pairs are a subset
+
+
+def test_zorder_repartition_locality(spark):
+    """Z-ordered range partitions stay tight in BOTH dimensions: the
+    summed per-partition bounding-box area is a small multiple of the
+    grid (a 1-D sort on x would leave y spanning the full range in
+    every partition), and a small 2-D box predicate touches only a few
+    partitions — the file-pruning benefit the layout exists for."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    parts = (
+        zorder_repartition(grid, [F.col("x"), F.col("y")], 16, bits=6)
+        .withColumn("pid", F.spark_partition_id())
+    ).cache()
+    boxes = parts.groupBy("pid").agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+        F.count("*").alias("n"),
+    ).collect()
+    assert sum(b["n"] for b in boxes) == 4096
+    area = sum((b["x1"] - b["x0"] + 1) * (b["y1"] - b["y0"] + 1) for b in boxes)
+    # ideal: 16 tiles x 256 cells = 4096; z-curve stays within ~2x of
+    # it, while sorting on x alone gives every partition y-span 64
+    # (area 16384) and hash partitioning approaches 16 x 4096
+    assert area <= 3 * 4096, area
+    touched = {
+        b["pid"]
+        for b in boxes
+        if not (b["x1"] < 0 or b["x0"] > 7 or b["y1"] < 0 or b["y0"] > 7)
+    }
+    assert len(touched) <= 3, (len(touched), sorted(touched))
