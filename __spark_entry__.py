@@ -15,7 +15,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans import ORACLES, QUERIES
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans import (
+    ORACLES,
+    QUERIES,
+    ordered_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,8 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered least-recently-externally-checked-first (a deterministic
+    function of the CORRECTNESS_r*.json history — see
+    cdc_from_sql_and_nosql_to_data_warehouse_spark/plans/registry.py) so a
+    harness sampling a prefix always covers the stalest entries.
+    """
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
