@@ -182,15 +182,106 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+def _decode_dib_frame(
+    buf: bytes, offset: int, width: int, height: int
+) -> np.ndarray:
+    """One uncompressed 24-bit DIB frame (BMP pixel layout): bottom-up
+    BGR rows, 4-byte aligned -> (h, w, 3) uint8 RGB."""
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    img = (
+        np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=offset)
+        .reshape(h, stride)[:, : width * 3]
+        .reshape(h, width, 3)[:, :, ::-1]
+    )
+    return img if top_down else img[::-1]
+
+
+def parse_avi(payload: bytes) -> tuple[int, int, float, list[tuple[int, int]]]:
+    """Parse an uncompressed-video AVI container (numpy/stdlib only):
+    returns (width, height, fps, frame_chunks) where ``frame_chunks``
+    is the ordered list of (offset, size) of the ``NNdb``/``NNdc``
+    video chunks inside the ``movi`` list. Separated from the frame
+    decode so a seek-and-decode of ONE frame never touches the others
+    (the property ``sample_frames`` relies on).
+
+    RIFF walk: [fourcc][le32 size][data, even-padded]; LIST chunks
+    recurse past their 4-byte list type. Video geometry comes from the
+    BITMAPINFOHEADER in the ``strf`` following the ``vids`` ``strh``;
+    fps = dwRate/dwScale from that ``strh``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI payload")
+    width = height = 0
+    rate, scale = 0, 1
+    vids_pending = False
+    frames: list[tuple[int, int]] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, rate, scale, vids_pending
+        pos = lo
+        while pos + 8 <= hi:
+            fcc = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            data_lo = pos + 8
+            data_hi = min(data_lo + size, hi)
+            if fcc in (b"LIST", b"RIFF"):
+                walk(data_lo + 4, data_hi)
+            elif fcc == b"strh":
+                vids_pending = payload[data_lo : data_lo + 4] == b"vids"
+                if vids_pending:
+                    scale = (
+                        int.from_bytes(payload[data_lo + 20 : data_lo + 24], "little")
+                        or 1
+                    )
+                    rate = int.from_bytes(
+                        payload[data_lo + 24 : data_lo + 28], "little"
+                    )
+            elif fcc == b"strf" and vids_pending:
+                vids_pending = False
+                width = int.from_bytes(
+                    payload[data_lo + 4 : data_lo + 8], "little", signed=True
+                )
+                height = int.from_bytes(
+                    payload[data_lo + 8 : data_lo + 12], "little", signed=True
+                )
+                bpp = int.from_bytes(payload[data_lo + 14 : data_lo + 16], "little")
+                comp = int.from_bytes(payload[data_lo + 16 : data_lo + 20], "little")
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bit AVI video (got bpp={bpp}, "
+                        f"compression={comp})"
+                    )
+            elif fcc[2:4] in (b"db", b"dc") and fcc[:2].isdigit():
+                frames.append((data_lo, size))
+            pos = data_lo + size + (size & 1)
+
+    walk(12, len(payload))
+    if width == 0 or height == 0:
+        raise NotImplementedError("AVI has no uncompressed video stream")
+    return width, height, (rate / scale if rate else 0.0), frames
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Real uncompressed-AVI decode (numpy/stdlib only): returns
+    (frames, fps) with frames (n_frames, h, w, 3) uint8 RGB — the
+    frame-stack contract of a real ffmpeg/pyav decode."""
+    width, height, fps, chunks = parse_avi(payload)
+    imgs = [_decode_dib_frame(payload, off, width, height) for off, _ in chunks]
+    if not imgs:
+        return np.zeros((0, abs(height), width, 3), dtype=np.uint8), fps
+    return np.stack(imgs), fps
+
+
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
     """Decode a real media payload to an ndarray.
 
     Real dependency-free decoders handle one format per modality —
     WAV (stdlib ``wave``) for audio, PPM/PGM and 24-bit BMP (numpy
-    header parsing) for images — with PIL / soundfile as optional
-    wider-format fallbacks when importable. Video still raises (a real
-    implementation would shell out to ffmpeg/pyav; neither ships in
-    this container), as does any format with no available codec —
+    header parsing) for images, uncompressed-video AVI (RIFF
+    ``00db``/``00dc`` DIB frames) for video — with PIL / soundfile as
+    optional wider-format fallbacks when importable. Compressed video
+    codecs would need ffmpeg/pyav (not in this container) and raise —
     tests use the deterministic ``fake_decode*`` family for those."""
     if kind == "image":
         if payload[:2] in (b"P6", b"P5"):
@@ -202,18 +293,20 @@ def decode_media(payload: bytes, kind: str) -> np.ndarray:
 
             return np.asarray(_PIL_Image.open(io.BytesIO(payload)))
     if kind == "audio":
-        if payload[:4] == b"RIFF":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)[0]
         if _soundfile is not None:  # pragma: no cover
             import io
 
             data, _rate = _soundfile.read(io.BytesIO(payload), dtype="float32")
             return np.asarray(data)
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi(payload)[0]
     raise NotImplementedError(
         f"no codec available for kind={kind!r} payload head="
         f"{bytes(payload[:4])!r}; supported without extra deps: "
-        "PPM/PGM/BMP (image), WAV (audio); install PIL/soundfile for "
-        "more, or use the fake_decode* stand-ins"
+        "PPM/PGM/BMP (image), WAV (audio), uncompressed AVI (video); "
+        "install PIL/soundfile for more, or use the fake_decode* stand-ins"
     )
 
 
@@ -548,11 +641,14 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
     """Sample every ``every_n``-th frame index of video assets.
 
-    Frame *extraction* needs a codec (stubbed); the sampling plan —
-    which indices, per-frame fan-out shape, checksum column — is real.
     Fan-out happens JVM-side with ``sequence``+``explode`` so the
     payload is not replicated per frame; the per-frame stage is a
-    pandas_udf over (payload slice hash, index).
+    pandas_udf over (payload, index). Real uncompressed-AVI payloads
+    are seek-decoded — the container index is parsed once and ONLY the
+    sampled frame's chunk is materialized, so per-row work is bounded
+    by one frame, not the whole video — and the checksum is the md5 of
+    that frame's RGB pixels. Non-AVI payloads (no codec available) get
+    the deterministic payload-window stand-in hash.
     """
     frames = (
         media.filter(F.col("kind") == "video")
@@ -571,12 +667,28 @@ def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
 
     @F.pandas_udf(T.StringType())
     def frame_checksum(payload: pd.Series, idx: pd.Series) -> pd.Series:
-        # stand-in for "decode frame idx and checksum it": hash of the
-        # payload window the frame would occupy (deterministic)
+        # self-contained (own imports) so cloudpickle ships it by value
+        import hashlib as _hashlib
+
+        from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.multimodal import (
+            _decode_dib_frame,
+            parse_avi,
+        )
+
+        avi_cache: dict[int, tuple] = {}
+
         def one(b: bytes | None, i: int) -> str:
-            b = b or b""
+            b = bytes(b) if b else b""
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                key = (len(b), b[:32], b[-16:])
+                if key not in avi_cache:
+                    avi_cache[key] = parse_avi(b)
+                w, h, _fps, chunks = avi_cache[key]
+                if i < len(chunks):
+                    img = _decode_dib_frame(b, chunks[i][0], w, h)
+                    return _hashlib.md5(img.tobytes()).hexdigest()
             lo = (i * 37) % max(len(b), 1)
-            return hashlib.md5(b[lo : lo + 64] + str(i).encode()).hexdigest()
+            return _hashlib.md5(b[lo : lo + 64] + str(i).encode()).hexdigest()
 
         return pd.Series([one(b, i) for b, i in zip(payload, idx)])
 

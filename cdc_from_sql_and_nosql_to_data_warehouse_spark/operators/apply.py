@@ -69,6 +69,43 @@ def _swap_into(spark: SparkSession, df: DataFrame, target_path: str) -> None:
         shutil.rmtree(old)
 
 
+def _merge_latest(incoming: DataFrame, lifted: DataFrame) -> DataFrame:
+    """Max-seq merge of an incoming envelope batch with lifted stored
+    rows, with schema evolution.
+
+    Schema evolution (K6 parity: the reference's all-varchar DDL
+    absorbs drift; typed tables must evolve instead): align both
+    after-image structs on the union of their fields — stored column
+    order first, new envelope columns appended — with typed nulls for
+    whichever side lacks a field. Old rows read NULL in new columns; an
+    upsert whose image drops a column nulls it for that key.
+    """
+    inc_t = {f.name: f.dataType for f in incoming.schema["after"].dataType.fields}
+    sto_t = {f.name: f.dataType for f in lifted.schema["after"].dataType.fields}
+    if set(inc_t) != set(sto_t):
+        all_fields = list(dict.fromkeys([*sto_t, *inc_t]))
+        types = {**inc_t, **sto_t}  # stored type wins on overlap
+
+        def _align(df: DataFrame, have: dict) -> DataFrame:
+            return df.withColumn(
+                "after",
+                F.struct(
+                    *[
+                        (
+                            F.col(f"after.{c}").cast(types[c])
+                            if c in have
+                            else F.lit(None).cast(types[c])
+                        ).alias(c)
+                        for c in all_fields
+                    ]
+                ),
+            )
+
+        incoming = _align(incoming, inc_t)
+        lifted = _align(lifted, sto_t)
+    return latest_per_key(incoming.unionByName(lifted), "key", "seq")
+
+
 def apply_changes(
     spark: SparkSession,
     changes: DataFrame,
@@ -191,42 +228,7 @@ def apply_changes(
             F.struct(*[F.col(c) for c in after_cols]).alias("after"),
             _canonical_seq(F.col(SEQ_COL)).alias("seq"),
         )
-        # Schema evolution (K6 parity: the reference's all-varchar DDL
-        # absorbs drift; typed tables must evolve instead): align both
-        # after-image structs on the union of their fields — stored
-        # column order first, new envelope columns appended — with
-        # typed nulls for whichever side lacks a field. Old rows read
-        # NULL in new columns; an upsert whose image drops a column
-        # nulls it for that key.
-        inc_t = {
-            f.name: f.dataType
-            for f in incoming.schema["after"].dataType.fields
-        }
-        sto_t = {
-            f.name: f.dataType for f in lifted.schema["after"].dataType.fields
-        }
-        if set(inc_t) != set(sto_t):
-            all_fields = list(dict.fromkeys([*sto_t, *inc_t]))
-            types = {**inc_t, **sto_t}  # stored type wins on overlap
-
-            def _align(df: DataFrame, have: dict) -> DataFrame:
-                return df.withColumn(
-                    "after",
-                    F.struct(
-                        *[
-                            (
-                                F.col(f"after.{c}").cast(types[c])
-                                if c in have
-                                else F.lit(None).cast(types[c])
-                            ).alias(c)
-                            for c in all_fields
-                        ]
-                    ),
-                )
-
-            incoming = _align(incoming, inc_t)
-            lifted = _align(lifted, sto_t)
-        merged = latest_per_key(incoming.unionByName(lifted), "key", "seq")
+        merged = _merge_latest(incoming, lifted)
     else:
         merged = incoming
 
@@ -279,6 +281,82 @@ def apply_changes(
     _swap_into(spark, result, target_path)
 
 
+def apply_changes_bucketed(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_name: str,
+    key: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    propagate_deletes: bool = False,
+) -> None:
+    """Upsert one envelope batch into a BUCKETED managed table.
+
+    Same latest-wins / replay-convergent semantics as ``apply_changes``
+    (mode="upsert"), but the warehouse table is persisted hash-bucketed
+    on ``bucket_cols`` — the 100 TB serving layout: repeated fact-fact
+    joins against the maintained table on the bucket key plan with ZERO
+    Exchange on its side (each task reads matching bucket files), the
+    property ``maintenance.write_bucketed`` proves standalone. Within-
+    bucket sort on the bucket columns keeps scans merge-friendly, and
+    because every batch rewrites the table through one bucketed write,
+    files-per-bucket stays 1 — the small-file compaction the append
+    path needs (``maintenance.compact_parquet``) never arises here.
+
+    Swap protocol: the merge is written to ``{table}__staged`` first,
+    then swapped in via catalog rename — readers see the old or the new
+    table, mirroring ``_swap_into`` for path tables. (On a lakehouse
+    this whole function is ``MERGE INTO`` over a bucket-transformed
+    table.) ``bucket_cols`` must be after-image columns; as with every
+    bucketed layout, the bucket count is fixed at table creation.
+    """
+    bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
+    if bad:
+        raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
+    incoming = changes if propagate_deletes else changes.filter(
+        F.col("op") != "REMOVE"
+    )
+    incoming = latest_per_key(
+        incoming.select(
+            "key", "op", "after", _canonical_seq(F.col("seq")).alias("seq")
+        ),
+        "key",
+        "seq",
+    )
+    if spark.catalog.tableExists(table_name):
+        existing = spark.table(table_name)
+        after_cols = [c for c in existing.columns if c != SEQ_COL]
+        lifted = existing.select(
+            F.col(key).cast("string").alias("key"),
+            F.lit("MODIFY").alias("op"),
+            F.struct(*[F.col(c) for c in after_cols]).alias("after"),
+            _canonical_seq(F.col(SEQ_COL)).alias("seq"),
+        )
+        merged = _merge_latest(incoming, lifted)
+    else:
+        merged = incoming
+    result = merged.filter(F.col("op") != "REMOVE").select(
+        "after.*", F.col("seq").alias(SEQ_COL)
+    )
+
+    from .maintenance import write_bucketed
+
+    staged = f"{table_name}__staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    write_bucketed(
+        result, staged, bucket_cols, n_buckets=n_buckets, sort_cols=bucket_cols
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
+
+
 def read_warehouse(spark: SparkSession, target_path: str, with_seq: bool = False):
-    df = spark.read.parquet(target_path)
+    # mergeSchema: a schema-evolving upsert on a PARTITIONED table
+    # rewrites only the touched partitions (dynamic partition
+    # overwrite), so untouched partitions keep the pre-evolution column
+    # set; a plain read could bind to an old-schema footer and silently
+    # drop the evolved column. Merging footers restores the union
+    # schema (old rows read NULL in the new column), matching the
+    # merge path inside apply_changes.
+    df = spark.read.option("mergeSchema", "true").parquet(target_path)
     return df if with_seq else df.drop(SEQ_COL)

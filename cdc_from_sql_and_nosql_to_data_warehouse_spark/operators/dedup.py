@@ -129,9 +129,11 @@ def _pack_low2(sig: Column, num_hashes: int) -> Column:
     return F.array(*longs)
 
 
-def _lane2_disagreements(n_longs: int) -> Column:
+def _lane2_disagreements(
+    n_longs: int, a_col: str = "_sig_a", b_col: str = "_sig_b"
+) -> Column:
     """Count 2-bit lanes that differ between the packed signatures in
-    columns ``_sig_a`` / ``_sig_b``: per long XOR, OR the lane's two
+    columns ``a_col`` / ``b_col``: per long XOR, OR the lane's two
     bits together (masked shift), popcount. ~5 integer ops per long —
     small enough that the whole predicate stays one codegen expression
     (a wider per-byte SWAR tree measurably blew janino's method limits
@@ -140,8 +142,8 @@ def _lane2_disagreements(n_longs: int) -> Column:
     through projections, so the fix is a smaller tree, not staging)."""
     total = None
     for k in range(n_longs):
-        x = F.element_at(F.col("_sig_a"), k + 1).bitwiseXOR(
-            F.element_at(F.col("_sig_b"), k + 1)
+        x = F.element_at(F.col(a_col), k + 1).bitwiseXOR(
+            F.element_at(F.col(b_col), k + 1)
         )
         y = x.bitwiseOR(F.shiftrightunsigned(x, 1)).bitwiseAND(
             F.lit(0x5555555555555555)
@@ -183,162 +185,123 @@ def _dedupe_bucket_sets(banded: DataFrame, id_col: str) -> DataFrame:
     return banded.join(reps, ["band", "bucket"], "left_semi")
 
 
-def _salted_pairs_core(
-    banded: DataFrame, id_col: str, bucket_cap: int, distinct: bool
+def _bucket_join_pairs(
+    banded: DataFrame,
+    id_col: str,
+    pair_filter=None,
+    carry: tuple[str, ...] = (),
+    bucket_cap: int = 8192,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) from (id, band, bucket) membership
-    rows, with degenerate buckets split into salted sub-blocks.
+    """Distinct candidate pairs (id_a < id_b) from per-band bucket
+    membership rows ``(id, band, bucket, *carry)``.
 
-    A bucket of m members emits ~m²/2 join pairs under one (band,
-    bucket) key — on a self-similar corpus one giant bucket serializes
-    the whole stage into a single straggler task (observed locally: a
-    2.3k-member bucket per band ⇒ 5.4M products per task). Splitting:
-    each member gets a salt s = hash(id) mod g where g = ceil(m /
-    bucket_cap); the right side keeps its salt, the left side is
-    replicated to every salt in [0, g), and the join key becomes (band,
-    bucket, salt). Every unordered pair is still found exactly once per
-    band (left replica of x at salt(y) meets y), the per-task block
-    shrinks to m²/g, and replication adds only m·g ≈ m²/cap rows of
-    (id, band, bucket, salt) — ids only, never signatures or bodies.
-    Normal buckets (m ≤ cap) have g = 1 and join exactly as before.
+    ``pair_filter``, if given, is a callable ``(suffix_a, suffix_b) ->
+    Column`` building a predicate over the carried columns (exposed as
+    ``{col}_a`` / ``{col}_b``); it is evaluated INSIDE the bucket
+    self-join, so implausible pairs are dropped before they ever hit
+    the distinct shuffle. Measured at sf0.1 this cuts the distinct
+    input ~30% and removes the downstream prefilter join entirely
+    (12.2s → ~9s for the minhash funnel).
 
-    ``distinct=False`` is for callers whose membership rows put every id
-    in at most one bucket (pairs are then inherently unique).
+    Degenerate buckets (> ``bucket_cap`` members) are split into salted
+    sub-blocks so one giant bucket cannot serialize into a single
+    straggler task: each member of an oversized bucket gets a salt
+    s = hash(id) mod g with g = ceil(m / cap); the right side keeps its
+    salt, the left side replicates to every salt, the join key becomes
+    (band, bucket, salt), and every unordered pair is still found
+    exactly once per band. The split is size-gated (plain self-join is
+    measurably faster when every bucket fits a task) by ONE bucket-size
+    aggregate reused by both the gate and the salted path.
+
+    NOTE (eager): this operator runs two driver actions at plan-build
+    time — the size gate, and a ``localCheckpoint(eager=True)`` that
+    materializes the candidate pairs. The checkpoint cuts lineage (the
+    banding/minhash upstream is never recomputed by downstream joins)
+    and lets the internal persists be released deterministically in a
+    ``finally`` instead of accumulating MEMORY_AND_DISK blocks across
+    repeated dedup calls in one session.
     """
     from pyspark import StorageLevel
 
-    # the persists pin small (id, band, bucket[, g]) projections —
+    # the persists pin small (id, band, bucket, carry) projections —
     # linear in corpus size, never signatures or bodies. Without them
     # the sizes/left/right branches would each recompute the full
     # upstream (tokenize + 128-way minhash + banding).
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_m"))
-    withg = (
-        banded.join(sizes, ["band", "bucket"])
-        .withColumn(
-            "_g", F.greatest(F.lit(1), F.ceil(F.col("_m") / bucket_cap)).cast("int")
-        )
+    sizes = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_m"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    right = withg.select(
-        id_col,
-        "band",
-        "bucket",
-        F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int").alias("_s"),
-    )
-    left = withg.select(
-        id_col,
-        "band",
-        "bucket",
-        F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("_s"),
-    )
-    l, r = left.alias("l"), right.alias("r")
-    out = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col("l._s") == F.col("r._s"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-    )
-    return out.distinct() if distinct else out
+    try:
+        big_keys = sizes.filter(F.col("_m") > bucket_cap)
 
+        def side_cols(df: DataFrame, suffix: str, salt: Column | None):
+            cols = [
+                F.col(id_col).alias(f"_id{suffix}"),
+                F.col("band").alias(f"_band{suffix}"),
+                F.col("bucket").alias(f"_bucket{suffix}"),
+                *[F.col(c).alias(f"{c}{suffix}") for c in carry],
+            ]
+            if salt is not None:
+                cols.append(salt.alias(f"_s{suffix}"))
+            return df.select(*cols)
 
-def _plain_bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
-    """Direct (band, bucket) self-join -> unordered pairs, pre-distinct."""
-    l, r = banded.alias("l"), banded.alias("r")
-    return l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-    )
+        def join_pairs(left: DataFrame, right: DataFrame, salted: bool):
+            cond = (
+                (F.col("_band_a") == F.col("_band_b"))
+                & (F.col("_bucket_a") == F.col("_bucket_b"))
+                & (F.col("_id_a") < F.col("_id_b"))
+            )
+            if salted:
+                cond = cond & (F.col("_s_a") == F.col("_s_b"))
+            if pair_filter is not None:
+                cond = cond & pair_filter("_a", "_b")
+            return left.join(right, cond).select(
+                F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b")
+            )
+
+        if big_keys.limit(1).count() == 0:  # eager size gate (see NOTE)
+            out = join_pairs(
+                side_cols(banded, "_a", None), side_cols(banded, "_b", None), False
+            )
+        else:
+            keys = big_keys.select("band", "bucket")
+            small = banded.join(keys, ["band", "bucket"], "left_anti")
+            # identical-member-set collapse only on the oversized slice,
+            # where a repeated giant bucket would otherwise multiply
+            # m²/2 join rows per band; small-bucket repeats are absorbed
+            # by the final distinct
+            big = _dedupe_bucket_sets(
+                banded.join(keys, ["band", "bucket"], "left_semi"), id_col
+            )
+            withg = big.join(sizes, ["band", "bucket"]).withColumn(
+                "_g",
+                F.greatest(F.lit(1), F.ceil(F.col("_m") / bucket_cap)).cast("int"),
+            )
+            # left replicates to every salt; right keeps its own salt —
+            # replication adds ~m²/cap rows of ids+carry, never bodies
+            left = side_cols(
+                withg, "_a", F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+            )
+            right = side_cols(
+                withg, "_b", F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int")
+            )
+            out = join_pairs(
+                side_cols(small, "_a", None), side_cols(small, "_b", None), False
+            ).union(join_pairs(left, right, True))
+        return out.distinct().localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
+        sizes.unpersist()
 
 
 def _salted_bucket_pairs(
     banded: DataFrame, id_col: str, bucket_cap: int = 8192
 ) -> DataFrame:
-    """Distinct candidate pairs from per-band bucket membership, with
-    oversized buckets (> ``bucket_cap`` members) split into salted
-    sub-blocks so no single bucket serializes into one straggler task.
-
-    Size-gated hybrid, measured not guessed: the plain self-join +
-    distinct is the fast path (3.9s vs 12.7s for the always-salted plan
-    on the sf0.1 near-dup corpus — the salting machinery's extra
-    joins/explodes cost more than they save when every bucket fits a
-    task), so salting pays only where m² actually breaks a task. The
-    gate is one map-side-combined aggregate over the (band, bucket)
-    membership — an O(bands·n) pass that the salted path needs anyway —
-    plus a limit(1) driver check. A bucket of m ≤ 8192 emits ≤ 33M
-    pair-rows ≈ 0.5 GB from one task: acceptable; beyond that the salted
-    path caps per-task work at cap·m. Identical-member-set collapse
-    (``_dedupe_bucket_sets``) runs only on the oversized slice, where a
-    repeated giant bucket would otherwise multiply m²/2 join rows per
-    band; small-bucket repeats are absorbed by the final distinct.
-    """
-    from pyspark import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_m"))
-    big_keys = sizes.filter(F.col("_m") > bucket_cap).select("band", "bucket")
-    if big_keys.limit(1).count() == 0:
-        return _plain_bucket_pairs(banded, id_col).distinct()
-    small = banded.join(big_keys, ["band", "bucket"], "left_anti")
-    big = _dedupe_bucket_sets(
-        banded.join(big_keys, ["band", "bucket"], "left_semi"), id_col
-    )
-    return (
-        _plain_bucket_pairs(small, id_col)
-        .union(_salted_pairs_core(big, id_col, bucket_cap, distinct=False))
-        .distinct()
-    )
-
-
-def _component_candidate_pairs(
-    banded: DataFrame, id_col: str, bucket_cap: int = 256
-) -> DataFrame:
-    """Candidate pairs via bucket-graph connected components — the
-    formulation that survives a self-similar corpus.
-
-    Per-band pair generation repeats every dense cluster's m²/2 pairs
-    once per band (observed locally: 66M joined rows distinct-ing down
-    to 8.6M), and exact member-set collapse (``_dedupe_bucket_sets``)
-    misses it whenever band memberships differ by even one doc. Instead:
-
-    1. star edges — every bucket member links to its bucket's min id,
-       m-1 edges per bucket instead of m²/2 pairs, ids only;
-    2. connected components over the star graph (min-label propagation
-       + pointer jumping, O(log diameter) rounds — the same operator the
-       fuzzy-dedup clustering step already uses);
-    3. each component generates its pairs ONCE through the salted
-       self-join (components partition the ids, so no distinct needed).
-
-    Recall: any pair sharing a bucket is connected through that bucket's
-    star, hence lands in one component — the component pair set is a
-    SUPERSET of the bucket pair set, so LSH recall is preserved and the
-    downstream exact verify keeps the output equal to brute force.
-    False-positive bucket collisions can chain otherwise-unrelated docs
-    into one component (extra candidate volume, never wrong results);
-    the signature prefilter disposes of those at ~1 byte-compare per
-    component pair.
-    """
-    mins = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("_root"))
-    edges = (
-        banded.join(mins, ["band", "bucket"])
-        .filter(F.col(id_col) != F.col("_root"))
-        .select(F.col(id_col).alias("id_a"), F.col("_root").alias("id_b"))
-        .distinct()
-    )
-    comps = near_dup_clusters(edges).select(
-        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("_comp")
-    )
-    rows = comps.select(
-        F.lit(0).alias("band"), F.col("_comp").alias("bucket"), F.col(id_col)
-    )
-    return _salted_pairs_core(rows, id_col, bucket_cap, distinct=False)
+    """Distinct candidate pairs from (id, band, bucket) membership rows
+    with degenerate-bucket salting — see ``_bucket_join_pairs``."""
+    return _bucket_join_pairs(banded, id_col, bucket_cap=bucket_cap)
 
 
 def minhash_lsh_candidates(
@@ -405,24 +368,28 @@ def minhash_near_dup_pairs(
        1e-7 recall floor allows, so mid-similarity pairs generate far
        fewer candidates while the stage stays recall-~1 at the
        threshold. The bucket self-join runs through
-       ``_salted_bucket_pairs``, which splits degenerate buckets into
+       ``_bucket_join_pairs``, which splits degenerate buckets into
        salted sub-blocks so one giant bucket cannot serialize into a
        single straggler task;
-    2. signature prefilter — the fraction of agreeing minhash
+    2. signature prefilter — evaluated INSIDE the bucket self-join (the
+       banded rows carry the 32-byte packed signature), so implausible
+       pairs never reach the candidate distinct and no separate
+       prefilter join exists. The fraction of agreeing minhash
        components estimates Jaccard; keeping est above a 5-sigma
        margin under the threshold keeps the miss probability of a true
        at-threshold pair under ~3e-7 while dropping the bulk of
        mid-similarity candidates. The prefilter compares 2-bit
        TRUNCATIONS of the components bit-packed 32-per-long (32 bytes
-       per side at n=128 — 32x fewer shuffle bytes than full-width on
-       the funnel's widest stage) and counts differing lanes with a
-       handful of codegen integer ops per long. Truncation collisions
-       can only RAISE the agreement estimate, so the compact prefilter
-       is strictly safer for recall than full width; the margin math
-       lives at the call site;
+       per side at n=128) and counts differing lanes with a handful of
+       codegen integer ops per long. Truncation collisions can only
+       RAISE the agreement estimate, so the compact prefilter is
+       strictly safer for recall than full width;
     3. exact verify — token sets are attached for survivors only and
        the true Jaccard is computed, so the output equals the
        brute-force answer (what the DuckDB oracle computes).
+
+    NOTE: the candidate stage materializes eagerly at plan-build time
+    (size gate + localCheckpoint — see ``_bucket_join_pairs``).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -432,20 +399,23 @@ def minhash_near_dup_pairs(
     # arrays (7x faster measured at sf0.1) and set-Jaccard is preserved
     # exactly up to a 64-bit collision inside one pair's union
     # (~C(200,2)/2^64 ≈ 1e-15 per pair — the same collision class
-    # content-hash exact dedup already accepts). Both hashed projections
-    # persist so tokenization + 128-way hashing run once per doc;
-    # MEMORY_AND_DISK spills instead of recomputing at scale.
+    # content-hash exact dedup already accepts). The hashed projection
+    # persists so tokenization runs once per doc (released by Spark's
+    # ContextCleaner once the returned plan is dropped); the signature
+    # projection needs no pin — it is consumed exactly once, inside the
+    # eagerly-checkpointed candidate stage.
     from pyspark import StorageLevel
 
+    if num_hashes % 32 != 0 or num_hashes <= 0:
+        raise ValueError(
+            "num_hashes must be a positive multiple of 32 (the packed "
+            f"prefilter packs 32 2-bit lanes per long), got {num_hashes}"
+        )
     shingled = df.select(
         F.col(id_col),
         F.array_sort(
             F.transform(token_ngrams(text_col, ngram), lambda s: F.xxhash64(s))
         ).alias("_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = shingled.select(
-        F.col(id_col),
-        minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     rows = (
         num_hashes // bands
@@ -453,42 +423,41 @@ def minhash_near_dup_pairs(
         else adaptive_band_rows(threshold, num_hashes)
     )
     bands = num_hashes // rows
-    banded = sigs.select(
-        F.col(id_col), F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
-    cands = _salted_bucket_pairs(banded, id_col)
     import math
 
     # 2-bit truncated signature components bit-packed into longs (32
-    # lanes per long): the prefilter join ships num_hashes/32 longs per
-    # side (32 bytes at n=128) and the disagreement count is ~5 integer
-    # ops per long — one compact whole-stage-codegen expression. A
-    # matching lane estimates p = s + (1-s)/4 (truncation collisions
-    # only RAISE agreement, so recall is strictly safer than full
-    # width); the keep rule below is the integer form of
-    # s_est >= threshold - 5*sigma_s with sigma_s = (4/3)*sqrt(p(1-p)/n)
-    # at s = threshold. The 5-sigma margin keeps the per-pair miss
-    # probability ~3e-7 — near-dup-dense corpora put O(output) pairs
-    # within a sigma of the threshold, so a looser 4-sigma margin would
-    # give an expected miss count approaching 1 (not acceptable for an
-    # exact operator).
+    # lanes per long): a matching lane estimates p = s + (1-s)/4; the
+    # keep rule below is the integer form of s_est >= threshold -
+    # 5*sigma_s with sigma_s = (4/3)*sqrt(p(1-p)/n) at s = threshold.
+    # The 5-sigma margin keeps the per-pair miss probability ~3e-7 —
+    # near-dup-dense corpora put O(output) pairs within a sigma of the
+    # threshold, so a looser 4-sigma margin would give an expected miss
+    # count approaching 1 (not acceptable for an exact operator).
     p_t = (3.0 * threshold + 1.0) / 4.0
     margin_s = 5.0 * (4.0 / 3.0) * math.sqrt(p_t * (1.0 - p_t) / num_hashes)
     max_diff = int(num_hashes * 3.0 * (1.0 - threshold + margin_s) / 4.0)
-    psigs = sigs.select(
-        F.col(id_col), _pack_low2(F.col("_sig"), num_hashes).alias("_psig")
+    # _sig MUST be materialized as its own projection: inlining the
+    # 128-wide minhash expression into _pack_low2's 128 element_at
+    # calls plus 25 band slices would copy the signature subtree ~150x
+    # (measured: 6.5s of plan analysis and an interpreted join stage).
+    # CollapseProject keeps a multiply-referenced non-trivial alias as
+    # a separate projection, so the signature is computed once per row.
+    sigs = shingled.select(
+        F.col(id_col), minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig")
     )
-    plausible = (
-        cands.join(
-            psigs.select(F.col(id_col).alias("id_a"), F.col("_psig").alias("_sig_a")),
-            "id_a",
+    banded = sigs.select(
+        F.col(id_col),
+        _pack_low2(F.col("_sig"), num_hashes).alias("_psig"),
+        F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bb"),
+    ).select(id_col, "_psig", "bb.band", "bb.bucket")
+    plausible = _bucket_join_pairs(
+        banded,
+        id_col,
+        pair_filter=lambda sa, sb: _lane2_disagreements(
+            num_hashes // 32, f"_psig{sa}", f"_psig{sb}"
         )
-        .join(
-            psigs.select(F.col(id_col).alias("id_b"), F.col("_psig").alias("_sig_b")),
-            "id_b",
-        )
-        .filter(_lane2_disagreements(num_hashes // 32) <= max_diff)
-        .select("id_a", "id_b")
+        <= max_diff,
+        carry=("_psig",),
     )
     a = shingled.select(
         F.col(id_col).alias("id_a"),

@@ -64,6 +64,16 @@ def incremental_upsert_agg(
     with no surviving keys dropped — byte-equal to a full recompute
     because every addition is exact (counts are longs; run values
     through DECIMAL upstream).
+
+    Reordered/replayed delivery: when ``base_state`` carries the
+    ``seq_cols``, each touched key is arbitrated max-(seq) between the
+    stored row and the batch's latest row (batch wins seq ties, which
+    makes replays idempotent) — a late-arriving change whose sequence
+    is older than the stored row cannot regress the key, matching the
+    R4/R8 posture of ``apply_changes``. If ``base_state`` does NOT
+    carry the seq columns, the caller must guarantee every batch row is
+    strictly newer than the stored row for its key (the natural case
+    when batches come from an ordered change feed past a cutoff).
     """
     latest = latest_per_key_multi(changes, key, seq_cols)
     touched = latest.select(key)
@@ -72,11 +82,30 @@ def incremental_upsert_agg(
         (-F.count("*")).alias("_dn"),
         (-F.sum(value_col)).alias("_dv"),
     )
-    apply_new = (
-        latest.filter(F.col(op_col) != remove_op)
-        .groupBy(group_col)
-        .agg(F.count("*").alias("_dn"), F.sum(value_col).alias("_dv"))
-    )
+    if all(c in base_state.columns for c in seq_cols):
+        sel = [F.col(key), F.col(group_col), F.col(value_col)] + [
+            F.col(c) for c in seq_cols
+        ]
+        # stored rows re-enter the arbitration as keep-ops: when the
+        # stored row wins, its contribution is re-applied and the
+        # retract above nets to zero for that key
+        contenders = old.select(
+            *sel, F.lit("__KEEP__").alias("_op"), F.lit(0).alias("_src")
+        ).unionByName(
+            latest.select(*sel, F.col(op_col).alias("_op"), F.lit(1).alias("_src"))
+        )
+        winners = latest_per_key_multi(contenders, key, [*seq_cols, "_src"])
+        apply_new = (
+            winners.filter(F.col("_op") != remove_op)
+            .groupBy(group_col)
+            .agg(F.count("*").alias("_dn"), F.sum(value_col).alias("_dv"))
+        )
+    else:
+        apply_new = (
+            latest.filter(F.col(op_col) != remove_op)
+            .groupBy(group_col)
+            .agg(F.count("*").alias("_dn"), F.sum(value_col).alias("_dv"))
+        )
     deltas = base_agg.select(
         group_col,
         F.col("n_keys").alias("_dn"),

@@ -2051,3 +2051,78 @@ def _register_zorder_query():
 
 
 _register_zorder_query()
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates with exact-oracle tolerance twins. HLL++
+# (approx_count_distinct) and the percentile sketch are deterministic
+# functions of the data (hash registers / rank-error-bounded sketches,
+# commutative merges), so the within-tolerance booleans are stable
+# across partitionings; the oracle emits literal TRUE and the exact
+# values, putting the approximate path under the hard hash gate: the
+# row only matches while the sketch actually stays inside its bound.
+# At 100 TB these are the workhorse forms — approx_count_distinct is a
+# fixed-size register merge instead of a distinct shuffle, and the
+# percentile sketch replaces a full sort per group.
+# ---------------------------------------------------------------------------
+@register_query(
+    "approx_distinct_orders_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def approx_distinct_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("approx_within_5pct"),
+    ).orderBy("l_returnflag")
+
+
+@register_query(
+    "approx_percentile_order_values",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           quantile_cont(o_totalprice, 0.95) AS p95_exact,
+           TRUE AS approx_p50_ok,
+           TRUE AS approx_p95_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def approx_percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50_exact"),
+        F.percentile("o_totalprice", 0.95).alias("p95_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("_a95"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "p50_exact",
+        "p95_exact",
+        (
+            F.abs(F.col("_a50") - F.col("p50_exact"))
+            <= 0.01 * F.abs(F.col("p50_exact"))
+        ).alias("approx_p50_ok"),
+        (
+            F.abs(F.col("_a95") - F.col("p95_exact"))
+            <= 0.01 * F.abs(F.col("p95_exact"))
+        ).alias("approx_p95_ok"),
+    ).orderBy("o_orderstatus")

@@ -20,20 +20,25 @@ from ..sources.testdata import load_table
 from .registry import register_query
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     # The local fixtures are one parquet file -> one input split; spread
     # the expensive per-document projections (signatures, token stats)
-    # across all cores. On a real multi-file table the scan already has
-    # enough splits and this round-robin shuffle stays proportional.
-    return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # across all cores. CONDITIONAL: on a real multi-file table the scan
+    # already has enough splits and a whole-corpus round-robin shuffle
+    # of document bodies would be a gratuitous cost at scale, so the
+    # repartition fires only when the scan is narrower than the cluster.
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return _spread(spark, load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -611,6 +616,44 @@ def embedding_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     return SIM.ivf_topk(
         emb, queries, k=10, n_cells=8, nprobe=8, seed=42, cache_key=sf_dir
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# The same exact-twin trick for the PQ path: nprobe = n_cells makes the
+# candidate set the whole corpus, and a rerank buffer larger than the
+# corpus makes the exact rerank rescore every candidate — so the output
+# equals brute-force top-k regardless of PQ quantization error, and the
+# hash oracle certifies the ENTIRE IVF-PQ lifecycle (codebook train /
+# cache-load, encode, ADC scoring, shortlist, exact rerank) end to end.
+# embedding_ivf_pq_topk above keeps the approximate configuration
+# honest via local recall-floor tests.
+# ---------------------------------------------------------------------------
+@register_query(
+    "embedding_pq_full_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_pq_topk(
+        emb, queries, k=10, m=8, n_codes=64, n_cells=8, nprobe=8,
+        rerank=1_000_000_000, seed=42, cache_key=sf_dir,
     ).orderBy("query_id", "rank")
 
 

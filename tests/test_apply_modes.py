@@ -180,3 +180,78 @@ def test_upsert_schema_evolution_new_column(spark, tmp_path):
     out2 = read_warehouse(spark, target)
     assert out2.count() == 2
     assert out2.filter(F.col("id") == t1["id"]).first()["venue"] == "NYSE"
+
+
+def test_incremental_agg_arbitrates_late_and_replayed_changes(spark):
+    """A batch row whose seq is OLDER than the stored row's must not
+    regress the key (base_state carries the seq columns, so the
+    operator arbitrates max-seq per key); an exact replay of the
+    stored row (equal seq) is a no-op."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        incremental_upsert_agg,
+    )
+
+    base_state = spark.createDataFrame(
+        [(1, "a", "10.00", 5), (2, "a", "20.00", 5), (3, "b", "30.00", 5)],
+        "k long, g string, v string, seq long",
+    ).select("k", "g", F.col("v").cast("decimal(12,2)").alias("v"), "seq")
+    base_agg = base_state.groupBy("g").agg(
+        F.count("*").alias("n_keys"), F.sum("v").alias("total_value")
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "b", "99.00", 3, "UPSERT"),   # LATE: seq 3 < stored 5 -> ignored
+            (2, "a", "20.00", 5, "UPSERT"),   # exact replay (tie) -> no-op
+            (3, None, None, 6, "REMOVE"),     # genuinely newer tombstone
+        ],
+        "k long, g string, v string, seq long, op string",
+    ).select("k", "g", F.col("v").cast("decimal(12,2)").alias("v"), "seq", "op")
+    got = {
+        r["g"]: (r["n_keys"], float(r["total_value"]))
+        for r in incremental_upsert_agg(
+            base_state, base_agg, changes,
+            key="k", group_col="g", value_col="v", seq_cols=["seq"],
+        ).collect()
+    }
+    # full recompute on max-seq state: k1 (a,10), k2 (a,20), k3 deleted
+    assert got == {"a": (2, 30.0)}, got
+
+
+def test_partitioned_schema_evolution_read_warehouse(spark, tmp_path):
+    """After a schema-evolving upsert on a PARTITIONED table, dynamic
+    partition overwrite rewrites only the touched partition, so the
+    untouched partition keeps old-schema footers — read_warehouse must
+    still surface the union schema (mergeSchema) instead of silently
+    binding to an old footer and dropping the evolved column."""
+    from pyspark.sql import types as T
+
+    t0, t1 = make_trade(0), make_trade(1)  # shares 200 and 210
+    target = str(tmp_path / "wh_part_evolve")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2)], "pf1"),
+        target,
+        "id",
+        mode="upsert",
+        partition_by=["shares"],
+    )
+    evolved_schema = T.StructType(
+        TRADE_SCHEMA.fields + [T.StructField("venue", T.StringType(), True)]
+    )
+    t1c = dict(t1, price=333.0, venue="NYSE")
+    d = str(tmp_path / "pf2")
+    write_envelope_file(d, "batch2.json", [("MODIFY", t1c, 3)])
+    changes2 = read_envelope_feed(spark, d, evolved_schema, streaming=False)
+    apply_changes(
+        spark, changes2, target, "id", mode="upsert", partition_by=["shares"]
+    )
+
+    out = read_warehouse(spark, target)
+    assert "venue" in out.columns
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[t1["id"]]["venue"] == "NYSE"
+    assert rows[t1["id"]]["price"] == 333.0
+    assert rows[t0["id"]]["venue"] is None  # untouched partition, old footer
+    assert rows[t0["id"]]["price"] == t0["price"]

@@ -271,3 +271,100 @@ def test_audio_stats_real_wav(spark):
     assert r["n_samples"] == 8000
     assert abs(r["duration_s"] - 1.0) < 1e-9
     assert abs(r["rms"] - 0.5) < 1e-6 and abs(r["peak"] - 0.5) < 1e-6
+
+
+def make_avi(frames: "np.ndarray", fps: int = 24) -> bytes:
+    """Minimal uncompressed AVI writer (test-side inverse of
+    MM.decode_avi): RIFF(AVI ) { LIST hdrl { avih, LIST strl { strh,
+    strf } }, LIST movi { 00db ... } } with 24-bit bottom-up BGR DIB
+    frames, rows 4-byte aligned."""
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fcc: bytes, data: bytes) -> bytes:
+        return fcc + len(data).to_bytes(4, "little") + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = chunk(
+        b"avih",
+        (1_000_000 // fps).to_bytes(4, "little")  # usec/frame
+        + b"\x00" * 12
+        + n.to_bytes(4, "little")                  # total frames
+        + b"\x00" * 4
+        + (1).to_bytes(4, "little")                # streams
+        + b"\x00" * 4
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16,
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB " + b"\x00" * 12
+        + (1).to_bytes(4, "little")                # dwScale
+        + fps.to_bytes(4, "little")                # dwRate
+        + b"\x00" * 4
+        + n.to_bytes(4, "little")                  # dwLength
+        + b"\x00" * 16,
+    )
+    strf = chunk(
+        b"strf",
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16,
+    )
+    movi_frames = []
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = f[y][:, ::-1].tobytes()  # RGB -> BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        movi_frames.append(chunk(b"00db", b"".join(rows)))
+    body = lst(b"hdrl", avih + lst(b"strl", strh + strf)) + lst(
+        b"movi", b"".join(movi_frames)
+    )
+    return b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
+
+
+def test_decode_avi_real_bytes():
+    """Hand-built uncompressed AVI round-trips: exact frames and fps."""
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(3, 2, 5, 3), dtype=np.uint8)
+    payload = make_avi(frames, fps=24)
+    got, fps = MM.decode_avi(payload)
+    assert fps == 24.0
+    np.testing.assert_array_equal(got, frames)
+    np.testing.assert_array_equal(MM.decode_media(payload, "video"), frames)
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames over a real AVI payload checksums the DECODED RGB
+    pixels of exactly the sampled frame (seek-decode, not the payload
+    window stand-in)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(5, 4, 3, 3), dtype=np.uint8)
+    payload = make_avi(frames, fps=10)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), (3, 4, None, None, None, 10.0, 5))],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {
+        r["frame_index"]: r["frame_checksum"]
+        for r in MM.sample_frames(media, every_n=2).collect()
+    }
+    want = {
+        i: hashlib.md5(frames[i].tobytes()).hexdigest() for i in (0, 2, 4)
+    }
+    assert got == want

@@ -284,3 +284,65 @@ def test_zorder_repartition_locality(spark):
         if not (b["x1"] < 0 or b["x0"] > 7 or b["y1"] < 0 or b["y0"] > 7)
     }
     assert len(touched) <= 3, (len(touched), sorted(touched))
+
+
+def test_apply_changes_bucketed_zero_exchange_join(spark, tmp_path):
+    """End-to-end CDC -> bucketed warehouse: two micro-batches upsert
+    into a bucketed managed table (latest-wins, replay-convergent),
+    and a join against another table bucketed on the same key plans
+    with ZERO Exchange."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes_bucketed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        write_bucketed,
+    )
+
+    def envelope(rows):
+        # rows: (key, value, seq)
+        return spark.createDataFrame(
+            [(str(k), "MODIFY", (k, v), s) for k, v, s in rows],
+            "key string, op string, after struct<id:long, v:long>, seq long",
+        )
+
+    tbl = "cdc_bucketed_wh"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    apply_changes_bucketed(
+        spark, envelope([(i, i * 10, 1) for i in range(200)]),
+        tbl, "id", ["id"], n_buckets=8,
+    )
+    # second batch: updates half the keys, adds new ones
+    apply_changes_bucketed(
+        spark, envelope([(i, i * 100, 2) for i in range(100, 300)]),
+        tbl, "id", ["id"], n_buckets=8,
+    )
+    got = {r["id"]: r["v"] for r in spark.table(tbl).collect()}
+    want = {i: i * 10 for i in range(100)} | {i: i * 100 for i in range(100, 300)}
+    assert got == want
+    # replaying batch 2 converges (no dup keys, same values)
+    apply_changes_bucketed(
+        spark, envelope([(i, i * 100, 2) for i in range(100, 300)]),
+        tbl, "id", ["id"], n_buckets=8,
+    )
+    assert {r["id"]: r["v"] for r in spark.table(tbl).collect()} == want
+
+    dim = spark.range(300).select(F.col("id"), (F.col("id") % 5).alias("grp"))
+    write_bucketed(dim, "b_dim_join", ["id"], n_buckets=8)
+    prev_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_static
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        wh = spark.table(tbl)
+        joined = wh.join(spark.table("b_dim_join"), "id")
+        joined.collect()  # finalize AQE
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 300
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_static)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql("DROP TABLE IF EXISTS b_dim_join")
