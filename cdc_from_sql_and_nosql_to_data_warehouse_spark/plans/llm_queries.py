@@ -21,14 +21,20 @@ from .registry import register_query
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    # The local fixtures are one parquet file -> one input split; spread
-    # the expensive per-document projections (signatures, token stats)
-    # across all cores. CONDITIONAL: on a real multi-file table the scan
-    # already has enough splits and a whole-corpus round-robin shuffle
-    # of document bodies would be a gratuitous cost at scale, so the
-    # repartition fires only when the scan is narrower than the cluster.
+    # The local fixtures are one parquet file with one row group, so
+    # however many size-based splits the scan plans, only one carries
+    # rows (splits are row-group bound) — spread the expensive
+    # per-document projections (signatures, token stats) across all
+    # cores. CONDITIONAL: on a real multi-file table the scan already
+    # has enough genuinely-parallel splits and a whole-corpus
+    # round-robin shuffle of document bodies would be a gratuitous cost
+    # at scale, so the repartition fires only when the FILE count is
+    # narrower than the cluster. (Split count is the wrong gate: Spark
+    # plans ~defaultParallelism splits of a single file, but all except
+    # one are empty when the file has one row group — measured 2-5x
+    # slowdowns on every _docs query when gated on getNumPartitions.)
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    if len(df.inputFiles()) >= cores:
         return df
     return df.repartition(cores)
 
@@ -949,4 +955,56 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             one(stop_ok)("n_kept"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: the GPT-3-style pipeline step — flag every
+# training document sharing >= 1 13-gram with a benchmark/eval set
+# (here: a deterministic 1% doc_id slice standing in for the benchmark
+# corpus). Plan shape at 100 TB: the benchmark's distinct 13-grams are
+# a SMALL relation (benchmarks are millions of grams, not billions) —
+# the contamination check is a semi-ish join of exploded training grams
+# against it, which AQE broadcasts; training docs never shuffle their
+# bodies, only (doc_id, gram) rows. This local twin joins on the gram
+# STRING so the DuckDB oracle is exact; the scale variant ships 8-byte
+# xxhash64(gram) instead (same collision class content-hash dedup
+# accepts).
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_benchmark_contamination",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(
+        list_distinct([array_to_string(toks[i:i+12], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 11, 1))])
+      ) AS gram
+      FROM t
+    ), banned AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, count(*) AS n_banned_13grams
+    FROM g JOIN banned USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(DD.token_ngrams("text", 13)).alias("gram")
+    )
+    banned = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(banned, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_banned_13grams"))
+        .orderBy("doc_id")
     )
