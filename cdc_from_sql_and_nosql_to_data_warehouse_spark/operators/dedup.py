@@ -348,6 +348,25 @@ def adaptive_band_rows(
     return best
 
 
+def minimal_bands(
+    threshold: float, rows: int, num_hashes: int, max_miss: float = 1e-7
+) -> int:
+    """Fewest bands keeping the miss probability at ``threshold`` under
+    ``max_miss``: using all num_hashes // rows bands overshoots the
+    recall floor and multiplies candidate duplication — a true pair at
+    J ~= 1 matches EVERY band, so each extra band re-emits every dense-
+    cluster pair into the distinct. (t=0.9, r=5: 19 bands give miss
+    4.6e-8; the full 25 would give 2e-10 at ~30% more bucket products.)
+    """
+    import math
+
+    per_band_miss = 1.0 - threshold**rows
+    if per_band_miss <= 0.0:
+        return 1
+    need = math.ceil(math.log(max_miss) / math.log(per_band_miss))
+    return max(1, min(num_hashes // rows, need))
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -417,12 +436,11 @@ def minhash_near_dup_pairs(
             F.transform(token_ngrams(text_col, ngram), lambda s: F.xxhash64(s))
         ).alias("_sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    rows = (
-        num_hashes // bands
-        if bands is not None
-        else adaptive_band_rows(threshold, num_hashes)
-    )
-    bands = num_hashes // rows
+    if bands is not None:
+        rows = num_hashes // bands
+    else:
+        rows = adaptive_band_rows(threshold, num_hashes)
+        bands = minimal_bands(threshold, rows, num_hashes)
     import math
 
     # 2-bit truncated signature components bit-packed into longs (32

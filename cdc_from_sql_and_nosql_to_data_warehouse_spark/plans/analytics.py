@@ -2126,3 +2126,122 @@ def approx_percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFram
             <= 0.01 * F.abs(F.col("p95_exact"))
         ).alias("approx_p95_ok"),
     ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame moving window: 7-day trailing revenue over the daily
+# series. RANGE (value-based) frames differ from ROWS frames whenever
+# dates are missing — the frame is "last 6 calendar days", not "last 6
+# rows". Spark needs a numeric ordering key for rangeBetween, so the
+# date rides unix_date(); the daily pre-aggregate keeps the window
+# input one row per day (tiny), which is how a 100 TB fact table runs
+# this shape: partial-agg to days first, window the day series.
+# ---------------------------------------------------------------------------
+@register_query(
+    "moving_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT d,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(sum(rev) OVER (
+             ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d
+    FROM daily
+    ORDER BY d
+    """,
+)
+def moving_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    w = W.orderBy(F.unix_date(F.col("d"))).rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: reconcile two independently-aggregated daily series
+# (orders vs events) keeping days present in either — the
+# missing-on-one-side rows are the point of the shape. Both sides
+# pre-aggregate before the join (one row per day), so the full-outer
+# shuffle is tiny regardless of fact-table scale.
+# ---------------------------------------------------------------------------
+@register_query(
+    "daily_orders_vs_events_full_outer",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), e AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.d, e.d) AS d, o.n_orders, e.n_events
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    ORDER BY d
+    """,
+)
+def daily_orders_vs_events_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("ed"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        o.join(e, o["od"] == e["ed"], "full_outer")
+        .select(
+            F.coalesce(F.col("od"), F.col("ed")).alias("d"),
+            "n_orders",
+            "n_events",
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+# cardinality (a user purchasing 3x and clicking 2x intersects 2x) —
+# semantics the distinct-based set_ops query cannot express.
+# ---------------------------------------------------------------------------
+@register_query(
+    "multiset_ops_purchase_click",
+    oracle="""
+    SELECT 'intersect_all' AS setop, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    UNION ALL
+    SELECT 'except_all' AS setop, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    ORDER BY setop, user_id
+    """,
+)
+def multiset_ops_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    c = ev.filter(F.col("event_type") == "click").select("user_id")
+    return (
+        p.intersectAll(c).select(F.lit("intersect_all").alias("setop"), "user_id")
+        .unionByName(
+            p.exceptAll(c).select(F.lit("except_all").alias("setop"), "user_id")
+        )
+        .orderBy("setop", "user_id")
+    )

@@ -244,3 +244,50 @@ def run_envelope_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_envelope_apply_bucketed(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    feed_dir: str,
+    table_name: str,
+    checkpoint_dir: str,
+    after_schema: T.StructType,
+    key: str | None = None,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int = 32,
+):
+    """Streaming hop into the bucketed serving layout: envelope feed ->
+    ``apply_changes_bucketed`` per micro-batch, so the continuously
+    maintained warehouse table keeps the zero-Exchange join property
+    (see operators/apply.py). Same checkpoint/replay posture as
+    ``run_envelope_apply`` — the merge converges under replays."""
+    from ..operators.apply import apply_changes_bucketed
+
+    key = key or cfg.document_key
+    bucket_cols = bucket_cols or [key]
+    feed = read_envelope_feed(
+        spark,
+        feed_dir,
+        after_schema,
+        streaming=True,
+        max_files_per_trigger=cfg.max_files_per_trigger,
+    )
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        apply_changes_bucketed(
+            spark,
+            batch,
+            table_name,
+            key,
+            bucket_cols,
+            n_buckets=n_buckets,
+            propagate_deletes=cfg.propagate_deletes,
+        )
+
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -346,3 +346,27 @@ def test_apply_changes_bucketed_zero_exchange_join(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql("DROP TABLE IF EXISTS b_dim_join")
+
+
+def test_bucket_join_pairs_releases_cache_pins(spark):
+    """_bucket_join_pairs pins internal projections while building the
+    candidate stage but must release them (finally-unpersist after the
+    eager checkpoint) — repeated dedup calls in one session must not
+    accumulate MEMORY_AND_DISK blocks."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import _bucket_join_pairs
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    rows = [(i, 0, i % 7) for i in range(500)]
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    before = n_persisted()
+    for _ in range(3):
+        out = _bucket_join_pairs(banded, "doc_id")
+        out.count()
+    # the checkpointed RESULT of each call stays cached while (and only
+    # while) its DataFrame is referenced — that one block per call is
+    # the operator's output, not a leak. The internal banded/sizes pins
+    # (2 more per call) must be gone; without the finally-unpersist this
+    # would read before + 9.
+    assert n_persisted() <= before + 3

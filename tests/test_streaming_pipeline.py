@@ -240,3 +240,36 @@ def test_streaming_partitioned_deletes_across_batches(spark, tmp_path):
     out = read_warehouse(spark, wh).collect()
     assert [(r["id"], r["region"], r["price"]) for r in out] == [("c", "eu", 3.0)]
     assert not os.path.exists(f"{wh}/region=us")  # emptied partition dropped
+
+
+def test_envelope_apply_bucketed_stream(spark, tmp_path):
+    """Streaming envelope feed -> bucketed managed warehouse table:
+    latest-wins across micro-batches, REMOVE propagates, and the
+    maintained table is bucketed (joins on the key need no Exchange —
+    the plan property test_apply_changes_bucketed_zero_exchange_join
+    pins; here we assert the catalog records the bucket spec)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.pipeline import (
+        run_envelope_apply_bucketed,
+    )
+
+    cfg = EngineConfig(apply_mode="upsert", propagate_deletes=True)
+    feed = str(tmp_path / "feed_b")
+    t0, t1 = make_trade(0), make_trade(1)
+    write_envelope_file(feed, "b1.json", [("INSERT", t0, 1), ("INSERT", t1, 2)])
+    write_envelope_file(feed, "b2.json", [("MODIFY", dict(t0, shares=777), 3),
+                                          ("REMOVE", {"id": t1["id"]}, 4)])
+    tbl = "stream_bucketed_wh"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        _await(run_envelope_apply_bucketed(
+            spark, cfg, feed, tbl, str(tmp_path / "ck_b"), TRADE_SCHEMA,
+            n_buckets=4,
+        ))
+        out = spark.table(tbl)
+        assert out.count() == 1
+        row = out.first()
+        assert row["id"] == t0["id"] and row["shares"] == 777
+        ddl = spark.sql(f"SHOW CREATE TABLE {tbl}").first()[0]
+        assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl, ddl
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
