@@ -2245,3 +2245,116 @@ def multiset_ops_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("setop", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide per-group metrics -> long (group, metric, value)
+# form — the inverse of pivot, and the shape every metrics exporter
+# wants. Values share one DOUBLE type post-melt; sums ride DECIMAL
+# until the final cast per the registry float policy.
+# ---------------------------------------------------------------------------
+@register_query(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_rev,
+             CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS max_rev
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, value FROM (
+      SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM agg
+      UNION ALL
+      SELECT o_orderstatus, 'total_rev', total_rev FROM agg
+      UNION ALL
+      SELECT o_orderstatus, 'max_rev', max_rev FROM agg
+    )
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_rev"),
+        F.max(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("max_rev"),
+    )
+    return agg.unpivot(
+        "o_orderstatus", ["n_orders", "total_rev", "max_rev"], "metric", "value"
+    ).orderBy("o_orderstatus", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Filtered + boolean aggregates: count_if / bool_and / bool_or — the
+# FILTER-clause family, all map-side-combinable.
+# ---------------------------------------------------------------------------
+@register_query(
+    "event_flag_aggregates",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 100) AS n_big,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(value > 900) AS any_huge
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_flag_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_big"),
+            F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+            F.bool_or(F.col("value") > 900).alias("any_huge"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted JOIN under the hash oracle: the hot-key fact side (events
+# concentrates on few users) joins customer attributes through
+# operators/skew.salted_join — hot keys spread over n_salts reducers,
+# the dim side replicated per salt — and the result must equal the
+# plain join exactly. (AQE skew-split handles this automatically when
+# stats trip it; the explicit operator is the deterministic form for
+# pipelines that disable AQE or pre-salt upstream.)
+# ---------------------------------------------------------------------------
+@register_query(
+    "skew_salted_join_user_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def skew_salted_join_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        ev, cust.withColumnRenamed("c_custkey", "user_id"), ["user_id"], n_salts=8
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )

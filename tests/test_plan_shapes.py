@@ -131,3 +131,43 @@ def test_embedding_near_dup_no_quadratic_join(spark):
     plan = _plan(spark, "embedding_near_dup_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_banned_grams(spark):
+    """text_benchmark_contamination joins exploded training grams
+    against the benchmark's distinct gram set — the banned set must be
+    the broadcast build side so training grams never shuffle for the
+    join (the 'bodies never shuffle' posture for decontamination)."""
+    plan = _plan(spark, "text_benchmark_contamination")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_cartesian_product_across_registry(spark):
+    """Sweep EVERY registered query's physical plan for CartesianProduct
+    — the one join strategy that cannot survive a 100x scale-up. The
+    allowlist names the deliberate exceptions: the brute-force ANN
+    baseline (the exactness yardstick the approximate paths are judged
+    against), 1x1 scalar reconciliation joins, and broadcast scalar
+    attachments (1-row build sides planned as BroadcastNestedLoopJoin,
+    not CartesianProduct — those pass the sweep anyway)."""
+    allow = {
+        "embedding_cosine_topk",      # deliberate brute-force baseline
+        "embedding_ivf_full_probe",   # nprobe=all exact twin (bounded query set)
+        "embedding_pq_full_rerank",   # same, PQ path
+        "cdc_count_reconciliation",   # 1x1 scalar crossJoin
+        "cdc_checksum_reconciliation",
+        "daily_orders_vs_events_full_outer",  # full outer of two tiny day series
+    }
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in allow:
+            continue
+        try:
+            plan = _plan(spark, name)
+        except Exception as exc:  # pragma: no cover - surface build breaks
+            offenders.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
