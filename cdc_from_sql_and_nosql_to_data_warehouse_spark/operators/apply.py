@@ -17,7 +17,10 @@ Ordering correctness under at-least-once, possibly reordered delivery
 (R4/R8): every merge is keyed by ``(key, seq)`` and resolved by max-seq,
 so replays and cross-batch reordering converge to the same table. The
 upsert table persists ``_seq`` per row to arbitrate against future
-batches.
+batches, and in ``propagate_deletes`` mode a winning REMOVE persists as
+a seq-bearing TOMBSTONE row (``_deleted`` marker, filtered by
+``read_warehouse``) — without it, a later batch replaying an older
+upsert of a deleted key would resurrect it unopposed.
 
 Scale: the merge is one shuffle on the key (window row_number), the same
 plan a Delta/Iceberg MERGE generates for the matched path. On plain
@@ -37,6 +40,15 @@ from pyspark.sql import functions as F
 from ..sources.change_feed import VALID_OPS
 
 SEQ_COL = "_seq"
+# Tombstone marker for propagate_deletes mode: a winning REMOVE stores a
+# seq-bearing tombstone row instead of erasing the key, so a LATER batch
+# replaying an OLDER upsert still arbitrates against the delete's seq
+# and cannot resurrect the key (the R4 cross-batch-reorder guarantee
+# around deletes). Readers filter tombstones via read_warehouse; old
+# tombstones are junk data, not correctness state, once every source's
+# replay horizon has passed — compaction may drop them then (the
+# standard tombstone-GC caveat of every log-structured merge store).
+DELETED_COL = "_deleted"
 
 
 def _canonical_seq(seq) -> F.Column:
@@ -67,6 +79,68 @@ def _swap_into(spark: SparkSession, df: DataFrame, target_path: str) -> None:
     os.rename(tmp, target_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _lift_stored(existing: DataFrame, key: str) -> DataFrame:
+    """Stored warehouse rows back into envelope form for the merge.
+
+    Live rows lift as MODIFY images; tombstone rows (propagate_deletes
+    tables) lift as REMOVE so the stored delete keeps arbitrating by
+    seq against late-arriving older upserts. Tables written before the
+    tombstone representation have no marker column — every row lifts
+    live."""
+    meta = {SEQ_COL, DELETED_COL}
+    after_cols = [c for c in existing.columns if c not in meta]
+    if DELETED_COL in existing.columns:
+        op = (
+            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "REMOVE")
+            .otherwise("MODIFY")
+        )
+    else:
+        op = F.lit("MODIFY")
+    return existing.select(
+        F.col(key).cast("string").alias("key"),
+        op.alias("op"),
+        F.struct(*[F.col(c) for c in after_cols]).alias("after"),
+        _canonical_seq(F.col(SEQ_COL)).alias("seq"),
+    )
+
+
+def _stored_form(
+    merged: DataFrame, key: str, propagate_deletes: bool
+) -> DataFrame:
+    """Merged envelope winners -> stored row form.
+
+    Without delete propagation, REMOVE winners simply drop. With it,
+    they persist as tombstones: the key field is materialized into the
+    after-image (a key-only REMOVE has a null image) so future merges
+    can arbitrate, and the row carries DELETED_COL = true."""
+    if not propagate_deletes:
+        return merged.filter(F.col("op") != "REMOVE").select(
+            "after.*", F.col("seq").alias(SEQ_COL)
+        )
+    key_type = merged.schema["after"].dataType[key].dataType
+    after_fields = [f.name for f in merged.schema["after"].dataType.fields]
+    merged = merged.withColumn(
+        "after",
+        F.struct(
+            *[
+                (
+                    F.coalesce(
+                        F.col(f"after.{c}"), F.col("key").cast(key_type)
+                    )
+                    if c == key
+                    else F.col(f"after.{c}")
+                ).alias(c)
+                for c in after_fields
+            ]
+        ),
+    )
+    return merged.select(
+        "after.*",
+        F.col("seq").alias(SEQ_COL),
+        (F.col("op") == "REMOVE").alias(DELETED_COL),
+    )
 
 
 def _merge_latest(incoming: DataFrame, lifted: DataFrame) -> DataFrame:
@@ -220,22 +294,21 @@ def apply_changes(
                 for c, v in zip(partition_by, vals):
                     clause = clause & F.col(c).eqNullSafe(F.lit(v))
                 pred = pred | clause
+            if propagate_deletes:
+                # tombstones of key-only REMOVEs carry null partition
+                # values and live in the __HIVE_DEFAULT_PARTITION__
+                # directories — every pruned merge must read them or a
+                # late older upsert would resurrect a deleted key
+                nullc = F.lit(True)
+                for c in partition_by:
+                    nullc = nullc & F.col(c).isNull()
+                pred = pred | nullc
             existing = existing.filter(pred)
-        after_cols = [c for c in existing.columns if c != SEQ_COL]
-        lifted = existing.select(
-            F.col(key).cast("string").alias("key"),
-            F.lit("MODIFY").alias("op"),  # stored rows behave as live images
-            F.struct(*[F.col(c) for c in after_cols]).alias("after"),
-            _canonical_seq(F.col(SEQ_COL)).alias("seq"),
-        )
-        merged = _merge_latest(incoming, lifted)
+        merged = _merge_latest(incoming, _lift_stored(existing, key))
     else:
         merged = incoming
 
-    result = (
-        merged.filter(F.col("op") != "REMOVE")
-        .select("after.*", F.col("seq").alias(SEQ_COL))
-    )
+    result = _stored_form(merged, key, propagate_deletes)
 
     if partition_by and exists:
         # a winning REMOVE can empty a partition entirely; dynamic
@@ -324,20 +397,10 @@ def apply_changes_bucketed(
         "seq",
     )
     if spark.catalog.tableExists(table_name):
-        existing = spark.table(table_name)
-        after_cols = [c for c in existing.columns if c != SEQ_COL]
-        lifted = existing.select(
-            F.col(key).cast("string").alias("key"),
-            F.lit("MODIFY").alias("op"),
-            F.struct(*[F.col(c) for c in after_cols]).alias("after"),
-            _canonical_seq(F.col(SEQ_COL)).alias("seq"),
-        )
-        merged = _merge_latest(incoming, lifted)
+        merged = _merge_latest(incoming, _lift_stored(spark.table(table_name), key))
     else:
         merged = incoming
-    result = merged.filter(F.col("op") != "REMOVE").select(
-        "after.*", F.col("seq").alias(SEQ_COL)
-    )
+    result = _stored_form(merged, key, propagate_deletes)
 
     from .maintenance import write_bucketed
 
@@ -350,6 +413,16 @@ def apply_changes_bucketed(
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
 
 
+def _reader_view(df: DataFrame, with_seq: bool) -> DataFrame:
+    """Hide storage metadata from readers: tombstone rows filtered,
+    marker column dropped, seq dropped unless requested."""
+    if DELETED_COL in df.columns:
+        df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
+            DELETED_COL
+        )
+    return df if with_seq else df.drop(SEQ_COL)
+
+
 def read_warehouse(spark: SparkSession, target_path: str, with_seq: bool = False):
     # mergeSchema: a schema-evolving upsert on a PARTITIONED table
     # rewrites only the touched partitions (dynamic partition
@@ -359,4 +432,14 @@ def read_warehouse(spark: SparkSession, target_path: str, with_seq: bool = False
     # schema (old rows read NULL in the new column), matching the
     # merge path inside apply_changes.
     df = spark.read.option("mergeSchema", "true").parquet(target_path)
-    return df if with_seq else df.drop(SEQ_COL)
+    return _reader_view(df, with_seq)
+
+
+def read_warehouse_table(
+    spark: SparkSession, table_name: str, with_seq: bool = False
+):
+    """Reader view of a bucketed managed warehouse table (tombstones
+    filtered). Reading through spark.table() directly keeps the
+    bucketed scan properties for joins; this only adds the metadata
+    filter/projection on top."""
+    return _reader_view(spark.table(table_name), with_seq)

@@ -1008,3 +1008,102 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_banned_13grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratios (Gopher-style quality rules): within-document
+# duplication measured as 1 - distinct/total over unigrams and
+# 3-grams. Pure column expressions over the scan — no shuffle at all;
+# the downstream filter (rep3 > x) is the classic repetitive-boilerplate
+# gate. Emitted as exact (num, den) integer ratios so the hash oracle
+# needs no float policy.
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_repetition_ratios",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN range(1, greatest(len(toks) - 1, 1))] AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(toks) - len(list_distinct(toks)) AS dup_tokens,
+           len(g3) AS n_3grams,
+           len(g3) - len(list_distinct(g3)) AS dup_3grams
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    count3 = F.size(toks) - 2
+    g3 = F.when(count3 < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count3, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).alias("dup_tokens"),
+        F.size(g3).alias("n_3grams"),
+        (F.size(g3) - F.size(F.array_distinct(g3))).alias("dup_3grams"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency score: mean log10 document-frequency of a doc's
+# distinct tokens — the two-pass "common-token" quality proxy. Pass 1
+# builds the token -> doc-frequency dictionary (a SMALL relation at any
+# corpus size: vocabulary, not corpus, scale); pass 2 joins exploded
+# distinct tokens against it — AQE broadcasts the dictionary, so
+# document bodies never shuffle. log10/avg ride DOUBLE identically in
+# both engines (deterministic: the per-doc avg sums in token order
+# after an array_sort-free groupBy — both engines sum over the same
+# unordered small set, so we aggregate exact integer df counts and do
+# ONE float division at the end).
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_token_docfreq_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(
+        list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+      FROM documents
+    ), df AS (
+      SELECT t, count(*) AS doc_freq FROM tok GROUP BY t
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_distinct_tokens,
+           CAST(sum(df.doc_freq) AS BIGINT) AS total_doc_freq,
+           CAST(sum(df.doc_freq) AS DOUBLE) / count(*) AS mean_doc_freq
+    FROM tok JOIN df USING (t)
+    GROUP BY tok.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_token_docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(TX.distinct_tokens("text")).alias("t")
+    )
+    df_tbl = tok.groupBy("t").agg(F.count("*").alias("doc_freq"))
+    return (
+        tok.join(df_tbl, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.sum("doc_freq").alias("total_doc_freq"),
+            (
+                F.sum("doc_freq").cast("double") / F.count("*")
+            ).alias("mean_doc_freq"),
+        )
+        .orderBy("doc_id")
+    )

@@ -255,3 +255,35 @@ def test_partitioned_schema_evolution_read_warehouse(spark, tmp_path):
     assert rows[t1["id"]]["price"] == 333.0
     assert rows[t0["id"]]["venue"] is None  # untouched partition, old footer
     assert rows[t0["id"]]["price"] == t0["price"]
+
+
+def test_remove_tombstone_blocks_late_resurrection(spark, tmp_path):
+    """Cross-batch reordering around a delete: a REMOVE winner must
+    leave a seq-bearing tombstone so a LATER batch replaying an OLDER
+    upsert cannot resurrect the key; a genuinely newer upsert revives
+    it."""
+    t0 = make_trade(0)
+    target = str(tmp_path / "wh_tomb")
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "tf1"),
+        target, "id", mode="upsert", propagate_deletes=True,
+    )
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("REMOVE", {"id": t0["id"]}, 3)], "tf2"),
+        target, "id", mode="upsert", propagate_deletes=True,
+    )
+    assert read_warehouse(spark, target).count() == 0
+    # late batch: an OLDER image of the deleted key arrives afterwards
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=111), 2)], "tf3"),
+        target, "id", mode="upsert", propagate_deletes=True,
+    )
+    assert read_warehouse(spark, target).count() == 0  # stays deleted
+    # genuinely newer image revives the key
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=222), 4)], "tf4"),
+        target, "id", mode="upsert", propagate_deletes=True,
+    )
+    out = read_warehouse(spark, target)
+    assert out.count() == 1
+    assert out.first()["shares"] == 222

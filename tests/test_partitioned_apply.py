@@ -108,7 +108,13 @@ def test_partitioned_delete_empties_partition(spark, tmp_path):
     )
     out = read_warehouse(spark, wh).collect()
     assert [r["id"] for r in out] == ["a"]
-    assert not os.path.exists(f"{wh}/region=us")
+    # the deleted key's partition keeps a seq-bearing TOMBSTONE row
+    # (hidden from readers): erasing it would let a later batch
+    # replaying an older upsert resurrect the key
+    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    tomb = raw.filter(raw["region"] == "us").collect()
+    assert len(tomb) == 1
+    assert tomb[0]["id"] == "b" and tomb[0]["_deleted"] is True
 
 
 def test_streaming_envelope_apply_partitioned(spark, tmp_path):

@@ -216,3 +216,85 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ssjoin").collect()
     got = {(r["purchase_id"], r["click_id"]) for r in rows}
     assert got == {(100, 1), (100, 2)}, got
+
+
+def test_streaming_incremental_agg_matches_full_replay(spark, tmp_path):
+    """IVM in its intended seat: a foreachBatch loop maintains keyed
+    state + the aggregate with incremental_upsert_agg across streaming
+    micro-batches (including an out-of-order late row a later batch
+    replays under an older seq), and the final aggregate equals a full
+    recompute over max-seq state."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        incremental_upsert_agg,
+        latest_per_key_multi,
+    )
+
+    feed = tmp_path / "ivm_feed"
+    feed.mkdir()
+    b1 = [
+        {"k": 1, "g": "a", "v": "10.00", "seq": 5, "op": "UPSERT"},
+        {"k": 2, "g": "a", "v": "20.00", "seq": 5, "op": "UPSERT"},
+        {"k": 3, "g": "b", "v": "30.00", "seq": 5, "op": "UPSERT"},
+    ]
+    b2 = [
+        {"k": 1, "g": "b", "v": "99.00", "seq": 3, "op": "UPSERT"},  # LATE
+        {"k": 3, "g": None, "v": None, "seq": 6, "op": "REMOVE"},
+        {"k": 4, "g": "c", "v": "40.00", "seq": 1, "op": "UPSERT"},
+    ]
+    (feed / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (feed / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    schema = "k long, g string, v string, seq long, op string"
+    state_dir = str(tmp_path / "ivm_state")
+    agg_dir = str(tmp_path / "ivm_agg")
+
+    def maintain(batch, epoch_id):
+        batch = batch.withColumn("v", F.col("v").cast("decimal(12,2)"))
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+            agg = spark.read.parquet(agg_dir)
+        else:
+            state = batch.limit(0).select("k", "g", "v", "seq")
+            agg = spark.createDataFrame(
+                [], "g string, n_keys long, total_value decimal(22,2)"
+            )
+        new_agg = incremental_upsert_agg(
+            state, agg, batch,
+            key="k", group_col="g", value_col="v", seq_cols=["seq"],
+        )
+        lifted = state.select("k", "g", "v", "seq", F.lit("UPSERT").alias("op"))
+        new_state = latest_per_key_multi(
+            batch.select("k", "g", "v", "seq", "op").unionByName(lifted),
+            "k", ["seq"],
+        ).filter(F.col("op") != "REMOVE").drop("op")
+        na = new_agg.select(
+            "g", "n_keys", F.col("total_value").cast("decimal(22,2)").alias("total_value")
+        ).collect()
+        ns = new_state.collect()
+        spark.createDataFrame(na, "g string, n_keys long, total_value decimal(22,2)") \
+            .write.mode("overwrite").parquet(agg_dir)
+        spark.createDataFrame(ns, "k long, g string, v decimal(12,2), seq long") \
+            .write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ivm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["g"]: (r["n_keys"], float(r["total_value"]))
+        for r in spark.read.parquet(agg_dir).collect()
+    }
+    # full replay on max-seq state: k1 (a,10) seq5 beats late seq3;
+    # k2 (a,20); k3 removed; k4 (c,40)
+    assert got == {"a": (2, 30.0), "c": (1, 40.0)}, got

@@ -239,7 +239,11 @@ def test_streaming_partitioned_deletes_across_batches(spark, tmp_path):
 
     out = read_warehouse(spark, wh).collect()
     assert [(r["id"], r["region"], r["price"]) for r in out] == [("c", "eu", 3.0)]
-    assert not os.path.exists(f"{wh}/region=us")  # emptied partition dropped
+    # deleted keys persist as reader-hidden tombstones (seq-bearing, so
+    # later micro-batches replaying older images cannot resurrect them)
+    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    tombs = {r["id"]: r["_deleted"] for r in raw.filter("_deleted").collect()}
+    assert tombs == {"a": True, "b": True}
 
 
 def test_envelope_apply_bucketed_stream(spark, tmp_path):
@@ -265,7 +269,11 @@ def test_envelope_apply_bucketed_stream(spark, tmp_path):
             spark, cfg, feed, tbl, str(tmp_path / "ck_b"), TRADE_SCHEMA,
             n_buckets=4,
         ))
-        out = spark.table(tbl)
+        from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+            read_warehouse_table,
+        )
+
+        out = read_warehouse_table(spark, tbl)
         assert out.count() == 1
         row = out.first()
         assert row["id"] == t0["id"] and row["shares"] == 777
