@@ -68,11 +68,19 @@ def latest_per_key(df: DataFrame, key: str, seq_col: str = "seq") -> DataFrame:
     ).drop("_rn")
 
 
-def _swap_into(spark: SparkSession, df: DataFrame, target_path: str) -> None:
+def _swap_into(
+    spark: SparkSession,
+    df: DataFrame,
+    target_path: str,
+    partition_by: list[str] | None = None,
+) -> None:
     """Materialize df then atomically replace target_path (parquet has no
     MERGE; a lakehouse table format would do this transactionally)."""
     tmp = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
     if os.path.exists(target_path):
         os.rename(target_path, old)

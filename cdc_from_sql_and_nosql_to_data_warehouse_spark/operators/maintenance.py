@@ -96,6 +96,42 @@ def expire_files(
     return deleted
 
 
+def vacuum_tombstones(
+    spark: SparkSession,
+    path: str,
+    before_seq: int,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Drop delete-tombstone rows whose sequence is older than
+    ``before_seq`` — the tombstone GC step for ``propagate_deletes``
+    tables (see ``operators/apply.DELETED_COL``).
+
+    A tombstone is correctness state only while a source could still
+    replay an older image of its key; once every source's replay
+    horizon has passed ``before_seq``, the rows are pure storage junk.
+    Vacuuming EARLIER than the horizon re-opens the resurrection window
+    the tombstone closed — the caller owns that invariant, exactly as
+    with Delta's ``VACUUM`` retention or a Cassandra ``gc_grace``.
+    Returns the number of tombstones dropped. Same swap protocol as
+    compaction (readers see old or new fileset, never a mix).
+    """
+    from pyspark.sql import functions as F
+
+    from .apply import DELETED_COL, SEQ_COL, _canonical_seq
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if DELETED_COL not in df.columns:
+        return 0
+    is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+        _canonical_seq(F.col(SEQ_COL)) < _canonical_seq(F.lit(before_seq))
+    )
+    n = df.filter(is_dead).count()
+    if n == 0:
+        return 0
+    _swap_into(spark, df.filter(~is_dead), path, partition_by=partition_by)
+    return n
+
+
 def write_bucketed(
     df,
     table_name: str,

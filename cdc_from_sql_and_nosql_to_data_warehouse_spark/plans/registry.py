@@ -45,16 +45,17 @@ def register_query(name: str, oracle: str | None = None):
 # External verification harnesses may sample only a prefix of the exported
 # registry. To guarantee every query's most recent external check is at
 # most one round old, the exported ordering is LEAST-RECENTLY-CHECKED
-# FIRST: sort key (last_checked_round ascending, name ascending). The
-# table below is transcribed from the CORRECTNESS_r{N}.json files at the
-# repo root at the start of each round (a query absent from every file has
-# round 0, as does any query registered after the newest file). This is
-# the opposite of ad-hoc rotation: the policy is a pure function of the
-# on-disk check history, so freshly changed or never-checked code always
-# sorts to the front, and nothing can hide from the sampled window for
-# more than one round. The full registry is verified locally every round
-# by tests/test_oracle_parity.py regardless of sampling.
-LAST_CHECKED: dict[str, int] = {
+# FIRST: sort key (last_checked_round ascending, name ascending), derived
+# at import time from the CORRECTNESS_r{N}.json files at the repo root (a
+# query absent from every file has round 0, as does any newly registered
+# query). This is the opposite of ad-hoc rotation: the policy is a pure
+# function of the on-disk check history, so freshly changed or
+# never-checked code always sorts to the front, and nothing can hide from
+# the sampled window for more than one round. The full registry is
+# verified locally every round by tests/test_oracle_parity.py regardless
+# of sampling. _LAST_CHECKED_FALLBACK pins the round-3 state for
+# environments where the history files are unreadable.
+_LAST_CHECKED_FALLBACK: dict[str, int] = {
     # round 3 (CORRECTNESS_r03.json)
     "q1_pricing_summary": 3, "q3_shipping_priority": 3,
     "q5_local_supplier_volume": 3, "rollup_acctbal_by_region_nation": 3,
@@ -97,6 +98,32 @@ LAST_CHECKED: dict[str, int] = {
     "dedup_fuzzy_clusters": 2, "text_lang_id_trigram": 2,
     # never externally checked -> implicit round 0 (omitted; .get default)
 }
+
+
+def _load_last_checked() -> dict[str, int]:
+    """Newest round each query appears in a CORRECTNESS_r{N}.json at the
+    repo root — self-maintaining: the ordering advances automatically
+    when a new round's file lands, with no transcription step."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    derived: dict[str, int] = {}
+    try:
+        for path in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"_r(\d+)\.json$", path.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            for name in json.loads(path.read_text()):
+                derived[name] = max(derived.get(name, 0), rnd)
+    except (OSError, ValueError):
+        return dict(_LAST_CHECKED_FALLBACK)
+    return derived or dict(_LAST_CHECKED_FALLBACK)
+
+
+LAST_CHECKED: dict[str, int] = _load_last_checked()
 
 
 def ordered_queries() -> dict[str, QueryFn]:

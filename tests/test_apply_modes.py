@@ -287,3 +287,43 @@ def test_remove_tombstone_blocks_late_resurrection(spark, tmp_path):
     out = read_warehouse(spark, target)
     assert out.count() == 1
     assert out.first()["shares"] == 222
+
+
+def test_vacuum_tombstones_gc(spark, tmp_path):
+    """Tombstone GC: vacuuming drops only tombstones older than the
+    replay horizon; newer tombstones keep protecting their keys, and a
+    vacuumed key's resurrection window re-opens (the documented caller
+    invariant — GC only behind the horizon)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_tombstones,
+    )
+
+    t0, t1 = make_trade(0), make_trade(1)
+    target = str(tmp_path / "wh_vac")
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2)], "vf1"),
+        target, "id", mode="upsert", propagate_deletes=True,
+    )
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("REMOVE", {"id": t0["id"]}, 3), ("REMOVE", {"id": t1["id"]}, 10)],
+              "vf2"),
+        target, "id", mode="upsert", propagate_deletes=True,
+    )
+    assert read_warehouse(spark, target).count() == 0
+    # horizon 5: only t0's tombstone (seq 3) is old enough to drop
+    assert vacuum_tombstones(spark, target, before_seq=5) == 1
+    raw = spark.read.option("mergeSchema", "true").parquet(target)
+    assert raw.filter("_deleted").count() == 1  # t1's seq-10 tombstone kept
+    # t1 still protected against a late older image; t0 no longer is
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("MODIFY", dict(t1, shares=1), 4), ("MODIFY", dict(t0, shares=2), 2)],
+              "vf3"),
+        target, "id", mode="upsert", propagate_deletes=True,
+    )
+    out = {r["id"]: r["shares"] for r in read_warehouse(spark, target).collect()}
+    assert out == {t0["id"]: 2}  # t0 resurrected (GC'd), t1 stays deleted
+    assert vacuum_tombstones(spark, target, before_seq=1) == 0  # no-op

@@ -30,21 +30,15 @@ def test_ordering_is_least_recently_checked_first():
 
 
 def test_last_checked_matches_correctness_history():
-    """LAST_CHECKED must agree with the CORRECTNESS_r*.json files on disk.
-
-    The table is a snapshot transcribed at the start of a round; a newer
-    correctness file written after that snapshot (end of this round) is
-    expected to be absorbed next round, so only rounds up to the table's
-    own max are compared.
-    """
-    snapshot_round = max(LAST_CHECKED.values())
+    """LAST_CHECKED (derived at import) must agree with an independent
+    read of the CORRECTNESS_r*.json files — guards the repo-root path
+    resolution and round parsing inside registry._load_last_checked."""
     derived: dict[str, int] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(path.stem.split("_r")[1])
-        if rnd > snapshot_round:
-            continue
         for name in json.loads(path.read_text()):
             derived[name] = max(derived.get(name, 0), rnd)
+    assert derived, "history files must exist and parse"
     for name in QUERIES:
         assert LAST_CHECKED.get(name, 0) == derived.get(name, 0), name
 
