@@ -2358,3 +2358,43 @@ def skew_salted_join_user_segments(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT path (Spark 4 native semi-structured type): props parse ONCE
+# into the binary VARIANT encoding, then typed variant_get access — the
+# engine-native successor of per-access string extraction
+# (json_props_rollup keeps the classic get_json_object form). At scale
+# the parse cost is paid once per row regardless of how many fields are
+# later accessed, and the binary encoding pushes through shuffles far
+# smaller than the JSON text. This is the SUPER-column parity path done
+# the Spark 4 way (reference: Redshift SUPER via COPY, SURVEY.md §2.4).
+# ---------------------------------------------------------------------------
+@register_query(
+    "variant_props_buckets",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+           AS BIGINT) AS k_bucket,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+)
+def variant_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select(F.floor(k / 10).cast("bigint").alias("k_bucket"), k.alias("_k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )

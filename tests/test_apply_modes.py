@@ -327,3 +327,47 @@ def test_vacuum_tombstones_gc(spark, tmp_path):
     out = {r["id"]: r["shares"] for r in read_warehouse(spark, target).collect()}
     assert out == {t0["id"]: 2}  # t0 resurrected (GC'd), t1 stays deleted
     assert vacuum_tombstones(spark, target, before_seq=1) == 0  # no-op
+
+
+def test_bucketed_tombstone_blocks_late_resurrection(spark):
+    """Same cross-batch-reorder-around-delete guarantee on the bucketed
+    managed-table path (shared _lift_stored/_stored_form helpers)."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes_bucketed,
+        read_warehouse_table,
+    )
+
+    def envelope(rows):
+        return spark.createDataFrame(
+            [(str(k), op, (k, v) if v is not None else (k, None), s)
+             for k, op, v, s in rows],
+            "key string, op string, after struct<id:long, v:long>, seq long",
+        )
+
+    tbl = "tomb_bucketed_wh"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        apply_changes_bucketed(
+            spark, envelope([(1, "MODIFY", 10, 1)]), tbl, "id", ["id"],
+            n_buckets=4, propagate_deletes=True,
+        )
+        apply_changes_bucketed(
+            spark, envelope([(1, "REMOVE", None, 3)]), tbl, "id", ["id"],
+            n_buckets=4, propagate_deletes=True,
+        )
+        assert read_warehouse_table(spark, tbl).count() == 0
+        apply_changes_bucketed(
+            spark, envelope([(1, "MODIFY", 99, 2)]), tbl, "id", ["id"],
+            n_buckets=4, propagate_deletes=True,  # LATE older image
+        )
+        assert read_warehouse_table(spark, tbl).count() == 0  # stays deleted
+        apply_changes_bucketed(
+            spark, envelope([(1, "MODIFY", 7, 4)]), tbl, "id", ["id"],
+            n_buckets=4, propagate_deletes=True,  # genuinely newer
+        )
+        out = read_warehouse_table(spark, tbl).collect()
+        assert [(r["id"], r["v"]) for r in out] == [(1, 7)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -370,3 +370,48 @@ def test_bucket_join_pairs_releases_cache_pins(spark):
     # (2 more per call) must be gone; without the finally-unpersist this
     # would read before + 9.
     assert n_persisted() <= before + 3
+
+
+def test_salted_bucket_pairs_with_pair_filter(spark):
+    """The salted-split path combined with an in-join pair_filter (what
+    a degenerate bucket takes inside minhash_near_dup_pairs) must emit
+    exactly the filtered naive pair set — each pair once, filter
+    applied identically on the plain and salted branches."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import _bucket_join_pairs
+
+    rows = (
+        # giant bucket: 200 members in (band 0, bucket 7), psig = parity
+        [(i, 0, 7, [i % 4]) for i in range(200)]
+        # normal bucket sharing some ids
+        + [(i, 1, 9, [i % 4]) for i in range(40, 60)]
+    )
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, bucket long, _psig array<long>"
+    )
+
+    def parity_match(sa, sb):
+        return (
+            F.element_at(F.col(f"_psig{sa}"), 1).bitwiseAND(F.lit(1))
+            == F.element_at(F.col(f"_psig{sb}"), 1).bitwiseAND(F.lit(1))
+        )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _bucket_join_pairs(
+            banded, "doc_id", pair_filter=parity_match, carry=("_psig",),
+            bucket_cap=32,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(200) for j in range(i + 1, 200)
+        if (i % 4) % 2 == (j % 4) % 2
+    }
+    want |= {
+        (i, j)
+        for i in range(40, 60) for j in range(i + 1, 60)
+        if (i % 4) % 2 == (j % 4) % 2
+    }
+    assert got == want
