@@ -227,3 +227,99 @@ def cdc_incremental_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("gtype")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history: every change event opens a version row
+# with (valid_from, valid_to, is_current); the next event of the key —
+# including a REMOVE — closes it. The bread-and-butter CDC-warehouse
+# derivation the reference's Redshift users would build from the
+# replicated change table. One window per key (lead over the event
+# sequence), no self-join.
+# ---------------------------------------------------------------------------
+@register_query(
+    "cdc_scd2_user_history",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             {_OP_SQL} AS op,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS valid_to
+      FROM events
+    )
+    SELECT user_id, event_id AS version_id, ts AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current,
+           event_type AS attr_type, value AS attr_value
+    FROM seq
+    WHERE op <> 'REMOVE'
+    ORDER BY user_id, valid_from, version_id
+    """,
+)
+def cdc_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("op", _op_col())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("op") != "REMOVE")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            F.col("event_type").alias("attr_type"),
+            F.col("value").alias("attr_value"),
+        )
+        .orderBy("user_id", "valid_from", "version_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): generate the monthly calendar
+# spanning the order history and count orders per month — the canonical
+# gap-filling series shape. ~80 recursion steps, under Spark's default
+# recursion limit; each engine uses its own date-step dialect
+# (add_months vs + INTERVAL) over the same logic.
+# ---------------------------------------------------------------------------
+@register_query(
+    "recursive_monthly_order_calendar",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ), cal(m) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM cal
+      WHERE m < (SELECT hi FROM bounds)
+    )
+    SELECT m, count(o_orderkey) AS n_orders
+    FROM cal LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m
+    ORDER BY m
+    """,
+)
+def recursive_monthly_order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+          FROM _rc_orders
+        ), cal(m) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT add_months(m, 1) FROM cal
+          WHERE m < (SELECT hi FROM bounds)
+        )
+        SELECT m, count(o_orderkey) AS n_orders
+        FROM cal LEFT JOIN _rc_orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        ORDER BY m
+        """
+    )
