@@ -371,3 +371,56 @@ def test_bucketed_tombstone_blocks_late_resurrection(spark):
         assert [(r["id"], r["v"]) for r in out] == [(1, 7)]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_vacuum_tombstones_partitioned_preserves_layout(spark, tmp_path):
+    """Vacuuming a PARTITIONED table must keep the hive layout (the
+    partition_by passthrough into the swap) and only drop the
+    behind-horizon tombstones."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_tombstones,
+    )
+    from pyspark.sql import types as T
+
+    ENV = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("key", T.StringType()),
+            T.StructField(
+                "after",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("region", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    wh = str(tmp_path / "wh_pvac")
+    seed = spark.createDataFrame(
+        [
+            ("INSERT", "a", ("a", "eu"), 1, 1),
+            ("INSERT", "b", ("b", "us"), 2, 2),
+        ],
+        ENV,
+    )
+    apply_changes(
+        spark, seed, wh, "id", mode="upsert", partition_by=["region"],
+        propagate_deletes=True,
+    )
+    rm = spark.createDataFrame([("REMOVE", "b", ("b", "us"), 3, 3)], ENV)
+    apply_changes(
+        spark, rm, wh, "id", mode="upsert", partition_by=["region"],
+        propagate_deletes=True,
+    )
+    assert vacuum_tombstones(
+        spark, wh, before_seq=10, partition_by=["region"]
+    ) == 1
+    assert os.path.isdir(f"{wh}/region=eu")  # hive layout preserved
+    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    assert raw.count() == 1 and raw.first()["id"] == "a"

