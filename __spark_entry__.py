@@ -30,10 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered least-recently-externally-checked-first (a deterministic
-    function of the CORRECTNESS_r*.json history — see
-    cdc_from_sql_and_nosql_to_data_warehouse_spark/plans/registry.py) so a
-    harness sampling a prefix always covers the stalest entries.
+    Stable registration (source) order — any sampling policy over the
+    registry belongs to the harness, not this module.
     """
     return ordered_queries()
 

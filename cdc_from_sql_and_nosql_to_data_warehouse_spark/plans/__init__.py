@@ -6,7 +6,6 @@ supplies the equivalent surface natively via Spark SQL / DataFrame plans.
 """
 
 from .registry import (  # noqa: F401
-    LAST_CHECKED,
     ORACLES,
     QUERIES,
     ordered_queries,
@@ -16,8 +15,6 @@ from . import analytics  # noqa: F401  (populates the registry)
 from . import cdc_queries  # noqa: F401
 from . import llm_queries  # noqa: F401
 
-# Export ordering is least-recently-externally-checked-first — a
-# deterministic pure function of the CORRECTNESS_r*.json history (see
-# registry.LAST_CHECKED). The full registry is verified locally every
-# round by tests/test_oracle_parity.py regardless of how many entries
-# any external harness samples.
+# Export ordering is stable registration (source) order; any sampling
+# policy belongs to the harness. The full registry is verified locally
+# every round by tests/test_oracle_parity.py.

@@ -40,93 +40,19 @@ def register_query(name: str, oracle: str | None = None):
     return deco
 
 
-# Export-ordering policy (deterministic, documented):
+# Export-ordering policy: stable registration order. ``QUERIES`` is a
+# plain insertion-ordered dict populated at import by the plan modules, so
+# the exported ordering is fixed by the source layout and independent of
+# any external verification history. Sampling policy (if a harness checks
+# only a subset per run) belongs to the harness, not this registry.
 #
-# External verification harnesses may sample only a prefix of the exported
-# registry. To guarantee every query's most recent external check is at
-# most one round old, the exported ordering is LEAST-RECENTLY-CHECKED
-# FIRST: sort key (last_checked_round ascending, name ascending), derived
-# at import time from the CORRECTNESS_r{N}.json files at the repo root (a
-# query absent from every file has round 0, as does any newly registered
-# query). This is the opposite of ad-hoc rotation: the policy is a pure
-# function of the on-disk check history, so freshly changed or
-# never-checked code always sorts to the front, and nothing can hide from
-# the sampled window for more than one round. The full registry is
-# verified locally every round by tests/test_oracle_parity.py regardless
-# of sampling. _LAST_CHECKED_FALLBACK pins the round-3 state for
-# environments where the history files are unreadable.
-_LAST_CHECKED_FALLBACK: dict[str, int] = {
-    # round 3 (CORRECTNESS_r03.json)
-    "q1_pricing_summary": 3, "q3_shipping_priority": 3,
-    "q5_local_supplier_volume": 3, "rollup_acctbal_by_region_nation": 3,
-    "cube_part_brand_size": 3, "top3_orders_per_customer": 3,
-    "running_total_per_customer": 3, "customers_without_orders": 3,
-    "suppliers_with_shipments_semi": 3, "distinct_types_per_brand": 3,
-    "set_ops_purchasers_vs_clickers": 3, "pivot_order_status_by_priority": 3,
-    "events_hourly_rollup": 3, "asof_last_click_before_purchase": 3,
-    "top20_lineitems_by_price": 3, "skew_salted_event_rollup": 3,
-    "json_props_rollup": 3, "min_cost_supplier_per_part": 3,
-    "orders_with_returns_by_priority": 3,
-    "customer_order_count_distribution": 3, "large_volume_orders": 3,
-    "cdc_checksum_reconciliation": 3, "range_join_value_buckets": 3,
-    "order_value_percentiles_by_status": 3, "q7_nation_volume": 3,
-    "q12_priority_by_returnflag": 3, "q14_promo_revenue_share": 3,
-    "q19_disjunctive_revenue": 3, "q6_forecast_revenue": 3,
-    "q10_returned_item_customers": 3, "grouping_sets_orders": 3,
-    "q8_market_share": 3, "q15_top_supplier": 3, "sessionization_batch": 3,
-    "asof_join_operator": 3, "q17_small_quantity_revenue": 3,
-    "q18_large_volume_customers": 3, "q4_orders_with_returns_exists": 3,
-    "q22_rich_low_activity_customers": 3, "q9_profit_by_nation_year": 3,
-    "q11_important_parts": 3, "q16_supplier_count_by_part": 3,
-    "q21_waiting_suppliers": 3, "q20_recent_concentration_suppliers": 3,
-    "q13_customer_order_distribution": 3, "customer_order_gaps": 3,
-    "referential_integrity_audit": 3, "layout_zorder_cells": 3,
-    "cdc_event_filter": 3, "cdc_upsert_latest_wins": 3,
-    # round 2 (CORRECTNESS_r02.json; no newer row exists)
-    "cdc_append_event_log": 2, "cdc_count_reconciliation": 2,
-    "dedup_exact_groups": 2, "dedup_exact_survivors": 2,
-    "text_token_counts": 2, "text_fingerprints": 2,
-    "dedup_minhash_jaccard_pairs": 2, "dedup_ngram_jaccard_pairs": 2,
-    "dedup_simhash_signatures": 2, "dedup_simhash_pairs": 2,
-    "embedding_cosine_topk": 2, "embedding_near_dup_pairs": 2,
-    "text_lang_id": 2, "text_quality_scores": 2,
-    "text_bpe_token_counts": 2, "text_rolling_fingerprint": 2,
-    "multimodal_metadata": 2, "multimodal_frame_plan": 2,
-    "multimodal_features": 2, "multimodal_resized": 2,
-    "multimodal_frame_samples": 2, "multimodal_audio_stats": 2,
-    "embedding_ivf_topk": 2, "embedding_lsh_topk": 2,
-    "dedup_fuzzy_clusters": 2, "text_lang_id_trigram": 2,
-    # never externally checked -> implicit round 0 (omitted; .get default)
-}
-
-
-def _load_last_checked() -> dict[str, int]:
-    """Newest round each query appears in a CORRECTNESS_r{N}.json at the
-    repo root — self-maintaining: the ordering advances automatically
-    when a new round's file lands, with no transcription step."""
-    import json
-    import re
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[2]
-    derived: dict[str, int] = {}
-    try:
-        for path in sorted(root.glob("CORRECTNESS_r*.json")):
-            m = re.search(r"_r(\d+)\.json$", path.name)
-            if not m:
-                continue
-            rnd = int(m.group(1))
-            for name in json.loads(path.read_text()):
-                derived[name] = max(derived.get(name, 0), rnd)
-    except (OSError, ValueError):
-        return dict(_LAST_CHECKED_FALLBACK)
-    return derived or dict(_LAST_CHECKED_FALLBACK)
-
-
-LAST_CHECKED: dict[str, int] = _load_last_checked()
+# Registry size budget: keep the registry at or under ~100 entries; a new
+# query must certify a genuinely new operator or plan shape (not a second
+# example of an existing one), and must land in the same commit as a
+# local oracle-parity run. Redundant rows get retired before new ones
+# are added past the budget.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry in least-recently-externally-checked order (see above)."""
-    names = sorted(QUERIES, key=lambda n: (LAST_CHECKED.get(n, 0), n))
-    return {n: QUERIES[n] for n in names}
+    """Registry in stable registration (source) order."""
+    return dict(QUERIES)
