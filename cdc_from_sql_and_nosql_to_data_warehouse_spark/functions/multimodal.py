@@ -675,12 +675,16 @@ def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
             parse_avi,
         )
 
-        avi_cache: dict[int, tuple] = {}
+        avi_cache: dict[str, tuple] = {}
 
         def one(b: bytes | None, i: int) -> str:
             b = bytes(b) if b else b""
             if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                key = (len(b), b[:32], b[-16:])
+                # full-payload digest as the cache key: a truncated
+                # head/tail fingerprint can collide across distinct AVIs
+                # with equal size and identical header/trailing bytes,
+                # silently reusing the wrong chunk offsets
+                key = _hashlib.md5(b).hexdigest()
                 if key not in avi_cache:
                     avi_cache[key] = parse_avi(b)
                 w, h, _fps, chunks = avi_cache[key]

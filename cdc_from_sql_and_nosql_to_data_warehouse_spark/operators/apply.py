@@ -385,15 +385,22 @@ def apply_changes_bucketed(
     path needs (``maintenance.compact_parquet``) never arises here.
 
     Swap protocol: the merge is written to ``{table}__staged`` first,
-    then swapped in via catalog rename — readers see the old or the new
-    table, mirroring ``_swap_into`` for path tables. (On a lakehouse
-    this whole function is ``MERGE INTO`` over a bucket-transformed
-    table.) ``bucket_cols`` must be after-image columns; as with every
-    bucketed layout, the bucket count is fixed at table creation.
+    then swapped in via DROP + catalog rename. The swap is NOT atomic:
+    between the DROP and the RENAME there is a brief window where a
+    concurrent reader sees no table, and a crash inside that window
+    leaves the warehouse table missing with the fully-committed merge
+    stranded in ``__staged``. Crash recovery is automatic: the next
+    apply (or ``recover_bucketed_table``) detects the orphaned staged
+    table and adopts it before merging. (On a lakehouse this whole
+    function is ``MERGE INTO`` over a bucket-transformed table, which
+    makes the swap transactional.) ``bucket_cols`` must be after-image
+    columns; as with every bucketed layout, the bucket count is fixed
+    at table creation.
     """
     bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
     if bad:
         raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
+    recover_bucketed_table(spark, table_name)
     incoming = changes if propagate_deletes else changes.filter(
         F.col("op") != "REMOVE"
     )
@@ -419,6 +426,27 @@ def apply_changes_bucketed(
     )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
+
+
+def recover_bucketed_table(spark: SparkSession, table_name: str) -> bool:
+    """Adopt an orphaned ``{table}__staged`` left by a crash inside the
+    DROP→RENAME swap window of ``apply_changes_bucketed``.
+
+    Safe by construction: a staged table is only registered in the
+    catalog once its CTAS write committed, and the warehouse table is
+    only missing if the previous apply got past its DROP — at which
+    point the staged table held the complete next state. If the
+    warehouse table still exists, an existing ``__staged`` is a stale
+    pre-swap leftover of unknown vintage and is left for the next
+    apply's ``DROP TABLE IF EXISTS`` to clear. Returns True if a
+    recovery rename happened."""
+    staged = f"{table_name}__staged"
+    if spark.catalog.tableExists(staged) and not spark.catalog.tableExists(
+        table_name
+    ):
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
+        return True
+    return False
 
 
 def _reader_view(df: DataFrame, with_seq: bool) -> DataFrame:

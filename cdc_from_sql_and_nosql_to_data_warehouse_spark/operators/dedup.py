@@ -191,6 +191,7 @@ def _bucket_join_pairs(
     pair_filter=None,
     carry: tuple[str, ...] = (),
     bucket_cap: int = 8192,
+    eager: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from per-band bucket
     membership rows ``(id, band, bucket, *carry)``.
@@ -213,15 +214,27 @@ def _bucket_join_pairs(
     measurably faster when every bucket fits a task) by ONE bucket-size
     aggregate reused by both the gate and the salted path.
 
-    NOTE (eager): this operator runs two driver actions at plan-build
-    time — the size gate, and a ``localCheckpoint(eager=True)`` that
-    materializes the candidate pairs. The checkpoint cuts lineage (the
-    banding/minhash upstream is never recomputed by downstream joins)
-    and lets the internal persists be released deterministically in a
-    ``finally`` instead of accumulating MEMORY_AND_DISK blocks across
-    repeated dedup calls in one session.
+    NOTE (eager): with ``eager=True`` (default) this operator runs two
+    driver actions at plan-build time — the size gate, and a
+    ``localCheckpoint(eager=True)`` that materializes the candidate
+    pairs. The checkpoint cuts lineage (the banding/minhash upstream is
+    never recomputed by downstream joins) and lets the internal
+    persists be released deterministically in a ``finally`` instead of
+    accumulating MEMORY_AND_DISK blocks across repeated dedup calls in
+    one session. ``eager=False`` builds a fully lazy plan for callers
+    that compose without executing: the size gate is skipped (the
+    salted path runs unconditionally — correct for any bucket profile,
+    marginally slower when every bucket is small) and cache release is
+    left to Spark's ContextCleaner.
     """
     from pyspark import StorageLevel
+
+    if not eager:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_m"))
+        return _salted_pairs_plan(
+            banded, sizes, id_col, pair_filter, carry, bucket_cap
+        ).distinct()
 
     # the persists pin small (id, band, bucket, carry) projections —
     # linear in corpus size, never signatures or bodies. Without them
@@ -235,65 +248,99 @@ def _bucket_join_pairs(
     )
     try:
         big_keys = sizes.filter(F.col("_m") > bucket_cap)
-
-        def side_cols(df: DataFrame, suffix: str, salt: Column | None):
-            cols = [
-                F.col(id_col).alias(f"_id{suffix}"),
-                F.col("band").alias(f"_band{suffix}"),
-                F.col("bucket").alias(f"_bucket{suffix}"),
-                *[F.col(c).alias(f"{c}{suffix}") for c in carry],
-            ]
-            if salt is not None:
-                cols.append(salt.alias(f"_s{suffix}"))
-            return df.select(*cols)
-
-        def join_pairs(left: DataFrame, right: DataFrame, salted: bool):
-            cond = (
-                (F.col("_band_a") == F.col("_band_b"))
-                & (F.col("_bucket_a") == F.col("_bucket_b"))
-                & (F.col("_id_a") < F.col("_id_b"))
-            )
-            if salted:
-                cond = cond & (F.col("_s_a") == F.col("_s_b"))
-            if pair_filter is not None:
-                cond = cond & pair_filter("_a", "_b")
-            return left.join(right, cond).select(
-                F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b")
-            )
-
         if big_keys.limit(1).count() == 0:  # eager size gate (see NOTE)
-            out = join_pairs(
-                side_cols(banded, "_a", None), side_cols(banded, "_b", None), False
+            out = _join_pairs(
+                _side_cols(banded, "_a", id_col, carry, None),
+                _side_cols(banded, "_b", id_col, carry, None),
+                False,
+                pair_filter,
             )
         else:
-            keys = big_keys.select("band", "bucket")
-            small = banded.join(keys, ["band", "bucket"], "left_anti")
-            # identical-member-set collapse only on the oversized slice,
-            # where a repeated giant bucket would otherwise multiply
-            # m²/2 join rows per band; small-bucket repeats are absorbed
-            # by the final distinct
-            big = _dedupe_bucket_sets(
-                banded.join(keys, ["band", "bucket"], "left_semi"), id_col
+            out = _salted_pairs_plan(
+                banded, sizes, id_col, pair_filter, carry, bucket_cap
             )
-            withg = big.join(sizes, ["band", "bucket"]).withColumn(
-                "_g",
-                F.greatest(F.lit(1), F.ceil(F.col("_m") / bucket_cap)).cast("int"),
-            )
-            # left replicates to every salt; right keeps its own salt —
-            # replication adds ~m²/cap rows of ids+carry, never bodies
-            left = side_cols(
-                withg, "_a", F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
-            )
-            right = side_cols(
-                withg, "_b", F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int")
-            )
-            out = join_pairs(
-                side_cols(small, "_a", None), side_cols(small, "_b", None), False
-            ).union(join_pairs(left, right, True))
         return out.distinct().localCheckpoint(eager=True)
     finally:
         banded.unpersist()
         sizes.unpersist()
+
+
+def _side_cols(
+    df: DataFrame,
+    suffix: str,
+    id_col: str,
+    carry: tuple[str, ...],
+    salt: Column | None,
+) -> DataFrame:
+    cols = [
+        F.col(id_col).alias(f"_id{suffix}"),
+        F.col("band").alias(f"_band{suffix}"),
+        F.col("bucket").alias(f"_bucket{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in carry],
+    ]
+    if salt is not None:
+        cols.append(salt.alias(f"_s{suffix}"))
+    return df.select(*cols)
+
+
+def _join_pairs(
+    left: DataFrame, right: DataFrame, salted: bool, pair_filter
+) -> DataFrame:
+    cond = (
+        (F.col("_band_a") == F.col("_band_b"))
+        & (F.col("_bucket_a") == F.col("_bucket_b"))
+        & (F.col("_id_a") < F.col("_id_b"))
+    )
+    if salted:
+        cond = cond & (F.col("_s_a") == F.col("_s_b"))
+    if pair_filter is not None:
+        cond = cond & pair_filter("_a", "_b")
+    return left.join(right, cond).select(
+        F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b")
+    )
+
+
+def _salted_pairs_plan(
+    banded: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    pair_filter,
+    carry: tuple[str, ...],
+    bucket_cap: int,
+) -> DataFrame:
+    """Candidate-pair plan with degenerate buckets split into salted
+    sub-blocks (lazy — no driver actions). Correct for any bucket
+    profile: when no bucket exceeds the cap, the big slice is empty and
+    the plan degrades to the plain self-join of the small slice."""
+    keys = sizes.filter(F.col("_m") > bucket_cap).select("band", "bucket")
+    small = banded.join(keys, ["band", "bucket"], "left_anti")
+    # identical-member-set collapse only on the oversized slice,
+    # where a repeated giant bucket would otherwise multiply
+    # m²/2 join rows per band; small-bucket repeats are absorbed
+    # by the final distinct
+    big = _dedupe_bucket_sets(
+        banded.join(keys, ["band", "bucket"], "left_semi"), id_col
+    )
+    withg = big.join(sizes, ["band", "bucket"]).withColumn(
+        "_g",
+        F.greatest(F.lit(1), F.ceil(F.col("_m") / bucket_cap)).cast("int"),
+    )
+    # left replicates to every salt; right keeps its own salt —
+    # replication adds ~m²/cap rows of ids+carry, never bodies
+    left = _side_cols(
+        withg, "_a", id_col, carry,
+        F.explode(F.sequence(F.lit(0), F.col("_g") - 1)),
+    )
+    right = _side_cols(
+        withg, "_b", id_col, carry,
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int"),
+    )
+    return _join_pairs(
+        _side_cols(small, "_a", id_col, carry, None),
+        _side_cols(small, "_b", id_col, carry, None),
+        False,
+        pair_filter,
+    ).union(_join_pairs(left, right, True, pair_filter))
 
 
 def _salted_bucket_pairs(
@@ -376,6 +423,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 128,
     bands: int | None = None,
     seed: int = 42,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard ≥ threshold.
 
@@ -407,8 +455,12 @@ def minhash_near_dup_pairs(
        the true Jaccard is computed, so the output equals the
        brute-force answer (what the DuckDB oracle computes).
 
-    NOTE: the candidate stage materializes eagerly at plan-build time
-    (size gate + localCheckpoint — see ``_bucket_join_pairs``).
+    NOTE: with ``eager=True`` (default) the candidate stage
+    materializes at plan-BUILD time — calling this function runs Spark
+    jobs (size gate + localCheckpoint — see ``_bucket_join_pairs``),
+    which is the fast execution path. Callers that compose plans
+    without executing pass ``eager=False`` for a fully lazy plan
+    (identical output; unconditional salted path, lineage uncut).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -476,6 +528,7 @@ def minhash_near_dup_pairs(
         )
         <= max_diff,
         carry=("_psig",),
+        eager=eager,
     )
     a = shingled.select(
         F.col(id_col).alias("id_a"),

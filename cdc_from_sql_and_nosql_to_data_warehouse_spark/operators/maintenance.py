@@ -122,8 +122,13 @@ def vacuum_tombstones(
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if DELETED_COL not in df.columns:
         return 0
-    is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
-        _canonical_seq(F.col(SEQ_COL)) < _canonical_seq(F.lit(before_seq))
+    # NULL-safe on _seq: a tombstone with unknown seq must be RETAINED
+    # (its replay horizon can't be proven passed), not silently dropped
+    # by a three-valued ~NULL filter — and the count must agree with the
+    # rows actually removed.
+    is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & F.coalesce(
+        _canonical_seq(F.col(SEQ_COL)) < _canonical_seq(F.lit(before_seq)),
+        F.lit(False),
     )
     n = df.filter(is_dead).count()
     if n == 0:

@@ -424,3 +424,29 @@ def test_vacuum_tombstones_partitioned_preserves_layout(spark, tmp_path):
     assert os.path.isdir(f"{wh}/region=eu")  # hive layout preserved
     raw = spark.read.option("mergeSchema", "true").parquet(wh)
     assert raw.count() == 1 and raw.first()["id"] == "a"
+
+
+def test_vacuum_retains_null_seq_tombstones(spark, tmp_path):
+    """A tombstone whose _seq is NULL must be RETAINED by vacuum (its
+    replay horizon can't be proven passed) and the returned count must
+    equal the rows actually removed — three-valued logic must not let
+    NULL-seq rows slip through the keep filter uncounted."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_tombstones,
+    )
+
+    target = str(tmp_path / "wh_vac_null")
+    spark.createDataFrame(
+        [
+            (1, "live", "1", False),
+            (2, "dead_old", "2", True),
+            (3, "dead_null_seq", None, True),
+            (4, "dead_new", "9", True),
+        ],
+        "id long, name string, _seq string, _deleted boolean",
+    ).write.parquet(target)
+    assert vacuum_tombstones(spark, target, before_seq=5) == 1
+    raw = spark.read.parquet(target)
+    assert raw.count() == 3
+    kept = {r["name"] for r in raw.collect()}
+    assert kept == {"live", "dead_null_seq", "dead_new"}

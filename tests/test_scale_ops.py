@@ -415,3 +415,52 @@ def test_salted_bucket_pairs_with_pair_filter(spark):
         if (i % 4) % 2 == (j % 4) % 2
     }
     assert got == want
+
+
+def test_bucketed_apply_recovers_from_crashed_swap(spark):
+    """A crash between DROP TABLE and RENAME leaves the warehouse table
+    missing with the committed merge stranded in __staged; the next
+    apply must adopt the staged table and keep merging correctly."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes_bucketed,
+        recover_bucketed_table,
+    )
+
+    def envelope(rows):
+        return spark.createDataFrame(
+            [(str(k), "MODIFY", (k, v), s) for k, v, s in rows],
+            "key string, op string, after struct<id:long, v:long>, seq long",
+        )
+
+    tbl = "cdc_crash_wh"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__staged")
+    try:
+        apply_changes_bucketed(
+            spark, envelope([(i, i * 10, 1) for i in range(50)]),
+            tbl, "id", ["id"], n_buckets=4,
+        )
+        # no orphan -> recovery is a no-op
+        assert recover_bucketed_table(spark, tbl) is False
+        # simulate the crash window: table dropped, merge stranded in
+        # __staged (exactly the state a kill between DROP and RENAME
+        # leaves behind)
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__staged")
+        assert not spark.catalog.tableExists(tbl)
+        # next apply adopts the staged table, then merges its batch
+        apply_changes_bucketed(
+            spark, envelope([(i, i * 100, 2) for i in range(25, 75)]),
+            tbl, "id", ["id"], n_buckets=4,
+        )
+        got = {r["id"]: r["v"] for r in spark.table(tbl).collect()}
+        want = {i: i * 10 for i in range(25)} | {
+            i: i * 100 for i in range(25, 75)
+        }
+        assert got == want
+        # standalone recovery: returns True only when it renames
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__staged")
+        assert recover_bucketed_table(spark, tbl) is True
+        assert {r["id"]: r["v"] for r in spark.table(tbl).collect()} == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__staged")

@@ -242,3 +242,26 @@ def test_packed_lane2_disagreements_match_python(spark):
     for i, a, b in rows:
         want = sum(1 for x, y in zip(a, b) if (x & 3) != (y & 3))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_minhash_pairs_lazy_equals_eager(spark):
+    """eager=False builds a fully lazy plan (no checkpoint, no size
+    gate) whose output is identical to the default eager path."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a completely different sentence about spark engines",
+        "the quick brown fox jumps over the lazy dog",
+        "spark engines process completely different sentences",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+
+    def pairs(eager):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in DD.minhash_near_dup_pairs(
+                df, "i", "t", threshold=0.6, eager=eager
+            ).collect()
+        }
+
+    assert pairs(False) == pairs(True)
