@@ -45,10 +45,17 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    partition_by: list[str] | None = None,
 ) -> TableStats:
     """Rewrite ``path`` into ceil(total_bytes / target) similar-sized
     files. No-op when the table is already compact. Row-order-free
     (parquet tables here carry no implicit order contract).
+
+    ``partition_by`` preserves a hive-partitioned layout: rows are
+    clustered on the partition columns before the write so each
+    partition directory is rewritten into ~1 file, and the swap keeps
+    the directory structure (a flat rewrite would silently destroy
+    partition pruning for every later merge).
 
     At cluster scale the repartition is one narrow-ish shuffle of the
     table; run it off the hot path (the reference's 5-minute cadence
@@ -61,8 +68,12 @@ def compact_parquet(
     n_out = max(1, math.ceil(before.total_bytes / target_file_bytes))
     if n_out >= before.n_files:
         return before
-    df = spark.read.parquet(path).repartition(n_out)
-    _swap_into(spark, df, path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if partition_by:
+        df = df.repartition(max(n_out, 1), *partition_by)
+    else:
+        df = df.repartition(n_out)
+    _swap_into(spark, df, path, partition_by=partition_by)
     return table_stats(spark, path)
 
 
@@ -134,6 +145,50 @@ def vacuum_tombstones(
     if n == 0:
         return 0
     _swap_into(spark, df.filter(~is_dead), path, partition_by=partition_by)
+    return n
+
+
+def vacuum_tombstones_table(
+    spark: SparkSession,
+    table_name: str,
+    before_seq: int,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> int:
+    """Tombstone GC for a BUCKETED managed warehouse table — the
+    managed-table twin of ``vacuum_tombstones`` (same caller-owned
+    replay-horizon invariant, same NULL-_seq retention rule). The
+    rewrite goes through the staged-table swap protocol of
+    ``apply_changes_bucketed`` so the bucketed (zero-Exchange-join)
+    layout survives the vacuum. Returns tombstones dropped."""
+    from pyspark.sql import functions as F
+
+    from .apply import (
+        DELETED_COL,
+        SEQ_COL,
+        _canonical_seq,
+        recover_bucketed_table,
+    )
+
+    recover_bucketed_table(spark, table_name)
+    df = spark.table(table_name)
+    if DELETED_COL not in df.columns:
+        return 0
+    is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & F.coalesce(
+        _canonical_seq(F.col(SEQ_COL)) < _canonical_seq(F.lit(before_seq)),
+        F.lit(False),
+    )
+    n = df.filter(is_dead).count()
+    if n == 0:
+        return 0
+    staged = f"{table_name}__staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    write_bucketed(
+        df.filter(~is_dead), staged, bucket_cols,
+        n_buckets=n_buckets, sort_cols=bucket_cols,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
     return n
 
 

@@ -303,18 +303,20 @@ def cdc_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def recursive_monthly_order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the recursion carries `hi` as a column so the stop condition reads
+    # the previous iteration's single row — a correlated `(SELECT hi
+    # FROM bounds)` would re-derive the bounds (a full min/max scan of
+    # orders) on EVERY iteration: ~80 extra scans, measured 37s -> ~2s
+    # at sf0.1
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
     return spark.sql(
         """
-        WITH RECURSIVE bounds AS (
-          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
-                 CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        WITH RECURSIVE cal(m, hi) AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+                 CAST(date_trunc('month', max(o_orderdate)) AS DATE)
           FROM _rc_orders
-        ), cal(m) AS (
-          SELECT lo FROM bounds
           UNION ALL
-          SELECT add_months(m, 1) FROM cal
-          WHERE m < (SELECT hi FROM bounds)
+          SELECT add_months(m, 1), hi FROM cal WHERE m < hi
         )
         SELECT m, count(o_orderkey) AS n_orders
         FROM cal LEFT JOIN _rc_orders

@@ -664,6 +664,44 @@ def embedding_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The same exact-twin trick for the LSH path: planes=0 hashes every
+# vector to the single signature 0, so every (query, corpus) pair
+# collides in the one bucket of the one table — the candidate set is
+# the whole corpus and the exact cosine rerank makes the output equal
+# brute-force top-k. The hash oracle thereby certifies the ENTIRE LSH
+# plumbing (per-table signing, bucket equi-join, candidate distinct,
+# vector re-attach, exact rerank window) end to end;
+# embedding_lsh_topk above keeps the approximate configuration honest
+# via local recall-floor tests.
+# ---------------------------------------------------------------------------
+@register_query(
+    "embedding_lsh_full_probe",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos_sim
+      FROM e q JOIN e c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def embedding_lsh_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.lsh_topk(emb, queries, k=10, tables=1, planes=0).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy-dedup clustering: connected components over the near-dup pair
 # graph (min reachable doc_id = cluster id). Oracle: recursive CTE
 # transitive closure over the brute-force pair set.

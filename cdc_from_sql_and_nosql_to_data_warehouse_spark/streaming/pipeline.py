@@ -212,12 +212,24 @@ def run_envelope_apply(
     checkpoint_dir: str,
     after_schema: T.StructType,
     key: str | None = None,
+    compact_every_n_batches: int | None = None,
+    compact_target_file_bytes: int = 128 * 1024 * 1024,
 ):
     """Collapsed pipeline: envelope feed -> apply_changes per micro-batch.
 
     This is also the SQL-path (EP1) replication hop: DMS's
     full-load-and-cdc becomes an initial snapshot append plus this
-    continuous apply (S5) — same envelope, same sink."""
+    continuous apply (S5) — same envelope, same sink.
+
+    ``compact_every_n_batches`` wires small-file maintenance into the
+    hop: after every N micro-batches the warehouse table is compacted
+    in place (``maintenance.compact_parquet``, hive layout preserved
+    for partitioned tables). Without it, append-mode tables grow one
+    file-generation per trigger — ~288/day at the reference's 5-minute
+    cadence — until someone runs maintenance by hand. Compaction is
+    keyed off the checkpointed epoch id, so the cadence survives
+    restarts; it preserves data byte-for-byte, so a crash between
+    apply and compact changes nothing on replay."""
     key = key or cfg.document_key
     feed = read_envelope_feed(
         spark,
@@ -237,6 +249,18 @@ def run_envelope_apply(
             propagate_deletes=cfg.propagate_deletes,
             partition_by=cfg.partition_by,
         )
+        if (
+            compact_every_n_batches
+            and (epoch_id + 1) % compact_every_n_batches == 0
+        ):
+            from ..operators.maintenance import compact_parquet
+
+            compact_parquet(
+                spark,
+                warehouse_path,
+                target_file_bytes=compact_target_file_bytes,
+                partition_by=cfg.partition_by,
+            )
 
     return (
         feed.writeStream.foreachBatch(apply_batch)
@@ -256,12 +280,25 @@ def run_envelope_apply_bucketed(
     key: str | None = None,
     bucket_cols: list[str] | None = None,
     n_buckets: int = 32,
+    vacuum_every_n_batches: int | None = None,
+    vacuum_horizon_seq=None,
 ):
     """Streaming hop into the bucketed serving layout: envelope feed ->
     ``apply_changes_bucketed`` per micro-batch, so the continuously
     maintained warehouse table keeps the zero-Exchange join property
     (see operators/apply.py). Same checkpoint/replay posture as
-    ``run_envelope_apply`` — the merge converges under replays."""
+    ``run_envelope_apply`` — the merge converges under replays.
+
+    Small-file compaction is unnecessary here by construction (every
+    batch rewrites the table through one bucketed write, so
+    files-per-bucket stays 1); the maintenance that DOES accumulate is
+    delete tombstones under ``propagate_deletes``.
+    ``vacuum_every_n_batches`` wires their GC into the hop: after every
+    N micro-batches, tombstones older than ``vacuum_horizon_seq`` (an
+    int, or a zero-arg callable evaluated at vacuum time — the caller
+    owns the replay-horizon invariant, exactly as with
+    ``maintenance.vacuum_tombstones``) are dropped through the
+    bucketed-layout-preserving rewrite."""
     from ..operators.apply import apply_changes_bucketed
 
     key = key or cfg.document_key
@@ -284,6 +321,21 @@ def run_envelope_apply_bucketed(
             n_buckets=n_buckets,
             propagate_deletes=cfg.propagate_deletes,
         )
+        if (
+            vacuum_every_n_batches
+            and vacuum_horizon_seq is not None
+            and (epoch_id + 1) % vacuum_every_n_batches == 0
+        ):
+            from ..operators.maintenance import vacuum_tombstones_table
+
+            horizon = (
+                vacuum_horizon_seq()
+                if callable(vacuum_horizon_seq)
+                else vacuum_horizon_seq
+            )
+            vacuum_tombstones_table(
+                spark, table_name, horizon, bucket_cols, n_buckets=n_buckets
+            )
 
     return (
         feed.writeStream.foreachBatch(apply_batch)

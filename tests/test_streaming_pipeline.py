@@ -281,3 +281,79 @@ def test_envelope_apply_bucketed_stream(spark, tmp_path):
         assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl, ddl
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_apply_compacts_every_n_batches(spark, tmp_path):
+    """compact_every_n_batches wires small-file maintenance into the
+    apply hop: an append-mode stream that would leave one file
+    generation per micro-batch ends compacted, data byte-identical,
+    and the knob off changes nothing."""
+    import glob as _glob
+
+    def n_files(p):
+        return len(_glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    trades = [make_trade(i) for i in range(8)]
+    for variant, knob in (("off", None), ("on", 2)):
+        cfg = EngineConfig(apply_mode="append", max_files_per_trigger=1)
+        feed = str(tmp_path / f"feed_{variant}")
+        wh = str(tmp_path / f"wh_{variant}")
+        for b in range(4):
+            write_envelope_file(
+                feed, f"b{b}.json",
+                [("INSERT", trades[2 * b + j], 2 * b + j) for j in range(2)],
+            )
+        _await(run_envelope_apply(
+            spark, cfg, feed, wh, str(tmp_path / f"ck_{variant}"), TRADE_SCHEMA,
+            compact_every_n_batches=knob,
+        ))
+        assert spark.read.parquet(wh).count() == 8
+        if variant == "off":
+            files_off = n_files(wh)
+        else:
+            files_on = n_files(wh)
+    assert files_off >= 4  # one generation per micro-batch without the knob
+    assert files_on == 1, files_on  # final epoch (id 3) compacted to 1 file
+    # same rows either way
+    key_col = "id"
+    rows_off = {r[key_col] for r in spark.read.parquet(str(tmp_path / "wh_off")).collect()}
+    rows_on = {r[key_col] for r in spark.read.parquet(str(tmp_path / "wh_on")).collect()}
+    assert rows_off == rows_on
+
+
+def test_bucketed_stream_vacuums_tombstones(spark, tmp_path):
+    """vacuum_every_n_batches on the bucketed hop GCs tombstones past
+    the caller-supplied horizon while the bucketed layout survives."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_warehouse_table,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.pipeline import (
+        run_envelope_apply_bucketed,
+    )
+
+    cfg = EngineConfig(
+        apply_mode="upsert", propagate_deletes=True, max_files_per_trigger=1
+    )
+    feed = str(tmp_path / "feed_vac")
+    t0, t1 = make_trade(0), make_trade(1)
+    write_envelope_file(feed, "b1.json", [("INSERT", t0, 1), ("INSERT", t1, 2)])
+    write_envelope_file(feed, "b2.json", [("REMOVE", {"id": t1["id"]}, 4)])
+    tbl = "stream_bucketed_vac"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__staged")
+    try:
+        _await(run_envelope_apply_bucketed(
+            spark, cfg, feed, tbl, str(tmp_path / "ck_vac"), TRADE_SCHEMA,
+            n_buckets=4,
+            vacuum_every_n_batches=2,   # fires after epoch 1 (the REMOVE batch)
+            vacuum_horizon_seq=lambda: 100,
+        ))
+        out = read_warehouse_table(spark, tbl)
+        assert {r["id"] for r in out.collect()} == {t0["id"]}
+        # the seq-4 tombstone is behind the horizon -> vacuumed away
+        assert spark.table(tbl).filter(F.col("_deleted")).count() == 0
+        ddl = spark.sql(f"SHOW CREATE TABLE {tbl}").first()[0]
+        assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl, ddl
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__staged")
