@@ -657,6 +657,7 @@ def simhash_near_dup_pairs(
 def near_dup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph -> (doc_id,
     cluster_id), cluster_id = min doc_id reachable. The step LLM
@@ -671,61 +672,79 @@ def near_dup_clusters(
     itself is never materialized beyond its two-column form. AQE handles
     the skewed giant-cluster joins.
 
+    Driver round-trips are batched: ``checkpoint_interval`` propagation
+    rounds build lazily, then one eager ``localCheckpoint`` materializes
+    them and one comparison against the labels at the previous
+    checkpoint decides convergence. That comparison is sound because
+    per-node labels are monotone non-increasing: if the labels after k
+    rounds equal the labels before them, no intermediate round changed
+    anything either, so the fixed point is reached. The edge list is
+    checkpointed once up front so the (possibly expensive) upstream
+    pair plan is evaluated exactly once, not once per action.
+
     Raises ``RuntimeError`` if the loop exits without converging rather
     than silently returning partial labels.
 
     Deterministic output; isolated docs (no pairs) are absent — union
     the corpus back with cluster_id = doc_id for a full assignment.
     """
+    if checkpoint_interval < 1:
+        raise ValueError(f"checkpoint_interval must be >= 1, got {checkpoint_interval}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)  # evaluate the upstream pair plan once
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+    rounds_done = 0
+    while rounds_done < max_iterations and not converged:
+        base = labels
+        steps = min(checkpoint_interval, max_iterations - rounds_done)
+        for _ in range(steps):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
             )
-        )
-        # pointer jumping: adopt the current label of one's label
-        lab2 = new_labels.select(
-            F.col("node").alias("_jn"), F.col("label").alias("_jl")
-        )
-        new_labels = (
-            new_labels.join(lab2, new_labels.label == lab2._jn, "left")
-            .select(
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            # pointer jumping: adopt the current label of one's label
+            lab2 = new_labels.select(
+                F.col("node").alias("_jn"), F.col("label").alias("_jl")
+            )
+            labels = new_labels.join(
+                lab2, new_labels.label == lab2._jn, "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)  # cut lineage per round
-        )
+        rounds_done += steps
+        labels = labels.localCheckpoint(eager=True)  # cut the interval's lineage
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            labels.alias("n")
+            .join(base.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
         if changed == 0:
             converged = True
-            break
     if not converged:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iterations} iterations"

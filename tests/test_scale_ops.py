@@ -129,6 +129,30 @@ def test_near_dup_clusters_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
 
 
+def test_near_dup_clusters_checkpoint_interval_invariant(spark):
+    """The batched convergence check (labels monotone non-increasing, so
+    equal-to-checkpoint-base ⇒ fixed point) must give identical clusters
+    at every cadence — including a long chain that needs several
+    propagation rounds."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 40)]  # one 40-node chain
+    pairs = spark.createDataFrame(chain + [(100, 101)], ["id_a", "id_b"])
+    expected = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, checkpoint_interval=1).collect()
+    }
+    assert set(expected.values()) == {1, 100}
+    for interval in (2, 5):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(
+                pairs, checkpoint_interval=interval
+            ).collect()
+        }
+        assert got == expected
+
+
 def test_fuzzy_dedup_survivors(spark):
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import fuzzy_dedup_survivors
 
