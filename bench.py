@@ -64,6 +64,7 @@ HEADLINE = [
     # round-4/5 operators with real cost profiles, guarded here so a
     # regression in any of them shows up in the next BENCH_r{N}
     "cdc_scd2_user_history",
+    "dedup_fuzzy_clusters",
     "recursive_monthly_order_calendar",
     "daily_orders_vs_events_full_outer",
     "moving_7d_revenue",

@@ -51,6 +51,92 @@ SEQ_COL = "_seq"
 DELETED_COL = "_deleted"
 
 
+def _hive_partition_value_str(v):
+    """Python value -> the string Spark uses in a hive partition dir
+    name (before %-escaping), or NotImplemented for types whose
+    stringification we are not certain matches Spark's — the caller
+    must then fall back to the full-table listing. None means the
+    __HIVE_DEFAULT_PARTITION__ directory."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (str, int)):
+        return str(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
+    return NotImplemented
+
+
+def _touched_partition_dirs(
+    target_path: str,
+    partition_by: list[str],
+    touched: list[tuple],
+    include_all_null: bool,
+) -> list[str] | None:
+    """Resolve the touched partition tuples to the EXISTING hive
+    directories that could hold their stored rows, by walking the
+    table's partition tree one level at a time and matching parsed
+    (un-escaped) directory values — O(touched + dirs-listed), never
+    O(table data).
+
+    This is the 100 TB lever for the partitioned merge: creating a
+    DataFrame over the whole table costs O(all partitions) in listing +
+    footer reads (measured 9-14 s at 5,000 partitions, per micro-batch)
+    while a ``basePath``-scoped read of the touched directories is
+    ~constant. Matching is by Hive unescape (%XX), the inverse of the
+    escaping Spark applies when writing dir names; the caller keeps its
+    eqNullSafe partition filter, so over-inclusion is harmless and the
+    only hazard — under-inclusion — is confined to value types we
+    refuse above (returning None => caller falls back to the full
+    read).
+
+    ``include_all_null`` additionally keeps the all-levels-null
+    tombstone route (__HIVE_DEFAULT_PARTITION__ at every level) that
+    key-only REMOVEs live in."""
+    from urllib.parse import unquote
+
+    wanted: set[tuple] = set()
+    for vals in touched:
+        svals = []
+        for v in vals:
+            s = _hive_partition_value_str(v)
+            if s is NotImplemented:
+                return None
+            svals.append(s)
+        wanted.add(tuple(svals))
+
+    dirs: list[str] = []
+
+    def walk(cur: str, depth: int, prefix: tuple) -> None:
+        col = partition_by[depth]
+        try:
+            entries = os.listdir(cur)
+        except FileNotFoundError:
+            return
+        for ename in entries:
+            if not ename.startswith(col + "="):
+                continue
+            raw = ename[len(col) + 1 :]
+            val = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+            newprefix = prefix + (val,)
+            keep = any(w[: depth + 1] == newprefix for w in wanted) or (
+                include_all_null and all(x is None for x in newprefix)
+            )
+            if not keep:
+                continue
+            full = os.path.join(cur, ename)
+            if depth + 1 == len(partition_by):
+                dirs.append(full)
+            else:
+                walk(full, depth + 1, newprefix)
+
+    walk(target_path, 0, ())
+    return dirs
+
+
 def _canonical_seq(seq) -> F.Column:
     """Sequence values in max-seq arbitration form: a 40-char
     zero-padded string (lexicographic == numeric for the non-negative
@@ -279,10 +365,39 @@ def apply_changes(
 
     prior: list[tuple] | None = None
     if exists:
-        # mergeSchema: after an evolving batch rewrote only its touched
-        # partitions, untouched partitions still carry the older column
-        # set — the footer-union read sees them all
-        existing = spark.read.option("mergeSchema", "true").parquet(target_path)
+        existing: DataFrame | None = None
+        dirs: list[str] | None = None
+        if touched is not None:
+            # listing-pruned read: resolve the touched tuples to their
+            # hive directories and scope the scan to them via basePath,
+            # so DataFrame creation (listing + footer merge) is
+            # O(touched), not O(all partitions) — the difference between
+            # flat and linearly-degrading wall-per-batch as the table
+            # grows (see COVERAGE.md CDC probe). None => value types we
+            # can't map to dir names; fall back to the full listing.
+            dirs = _touched_partition_dirs(
+                target_path,
+                partition_by,
+                touched,
+                include_all_null=propagate_deletes,
+            )
+            if dirs:
+                existing = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", target_path)
+                    .parquet(*dirs)
+                )
+            elif dirs is not None:
+                # every touched partition is new — nothing stored to
+                # merge against; leave existing = None
+                pass
+        if existing is None and (touched is None or dirs is None):
+            # mergeSchema: after an evolving batch rewrote only its
+            # touched partitions, untouched partitions still carry the
+            # older column set — the footer-union read sees them all
+            existing = spark.read.option("mergeSchema", "true").parquet(
+                target_path
+            )
         if partition_by and touched is None and propagate_deletes:
             # unpruned-merge fallback: remember every stored partition so
             # ones the merge empties can still be dropped after the write
@@ -290,7 +405,7 @@ def apply_changes(
                 tuple(r)
                 for r in existing.select(*partition_by).distinct().collect()
             ]
-        if touched is not None:
+        if touched is not None and existing is not None:
             # partition-pruned read: only files of touched partitions.
             # eqNullSafe so an upsert whose partition value is NULL
             # matches the stored __HIVE_DEFAULT_PARTITION__ rows — a
@@ -312,7 +427,10 @@ def apply_changes(
                     nullc = nullc & F.col(c).isNull()
                 pred = pred | nullc
             existing = existing.filter(pred)
-        merged = _merge_latest(incoming, _lift_stored(existing, key))
+        if existing is not None:
+            merged = _merge_latest(incoming, _lift_stored(existing, key))
+        else:
+            merged = incoming
     else:
         merged = incoming
 

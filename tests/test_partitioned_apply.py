@@ -230,3 +230,133 @@ def test_mixed_era_seq_representations_arbitrate_numerically(spark, tmp_path):
     )
     rows = read_warehouse(spark, wh).collect()
     assert len(rows) == 1 and rows[0]["price"] == 42.0
+
+
+def test_pruned_merge_with_escaped_partition_values(spark, tmp_path):
+    """Partition values needing Hive %-escaping in dir names (colon,
+    space, '%') must round-trip through the listing-pruned read: an
+    under-match would silently skip the stored row and duplicate the
+    key."""
+    wh = str(tmp_path / "wh")
+    weird = "eu:west 1%x#y"
+    apply_changes(
+        spark,
+        _envelope(spark, [("INSERT", "a", weird, 1.0, 1),
+                          ("INSERT", "b", "us", 2.0, 1)]),
+        wh, "id", mode="upsert", partition_by=["region"],
+    )
+    # the dir name must actually be escaped (else the test proves nothing)
+    dirs = os.listdir(wh)
+    assert not any(d == f"region={weird}" for d in dirs if d.startswith("region="))
+    apply_changes(
+        spark,
+        _envelope(spark, [("MODIFY", "a", weird, 9.0, 2)]),
+        wh, "id", mode="upsert", partition_by=["region"],
+    )
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 9.0, "b": 2.0}  # no duplicate "a", update won
+
+
+def test_pruned_merge_int_and_date_partitions(spark, tmp_path):
+    """Multi-level int+date partitioning resolves through the touched-dir
+    walk; untouched partitions' files are not rewritten."""
+    import datetime
+
+    wh = str(tmp_path / "wh")
+    after = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("bucket_no", T.IntegerType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    def env(rows):
+        return spark.createDataFrame(
+            [(op, i, {"id": i, "bucket_no": b, "day": d, "price": p}, seq, seq)
+             for op, i, b, d, p, seq in rows],
+            T.StructType(
+                [
+                    T.StructField("op", T.StringType()),
+                    T.StructField("key", T.StringType()),
+                    T.StructField("after", after),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField("seq", T.LongType()),
+                ]
+            ),
+        )
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    apply_changes(
+        spark,
+        env([("INSERT", "a", 1, d1, 1.0, 1), ("INSERT", "b", 2, d2, 2.0, 1)]),
+        wh, "id", mode="upsert", partition_by=["bucket_no", "day"],
+    )
+    before = _files(f"{wh}/bucket_no=2")
+    apply_changes(
+        spark,
+        env([("MODIFY", "a", 1, d1, 7.0, 2)]),
+        wh, "id", mode="upsert", partition_by=["bucket_no", "day"],
+    )
+    assert _files(f"{wh}/bucket_no=2") == before  # untouched partition intact
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 7.0, "b": 2.0}
+
+
+def test_pruned_merge_new_partition_only_batch(spark, tmp_path):
+    """A batch whose touched partitions are all NEW skips the stored-side
+    read entirely and must still leave existing partitions intact."""
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark,
+        _envelope(spark, [("INSERT", "a", "eu", 1.0, 1)]),
+        wh, "id", mode="upsert", partition_by=["region"],
+    )
+    before = _files(f"{wh}/region=eu")
+    apply_changes(
+        spark,
+        _envelope(spark, [("INSERT", "z", "apac", 5.0, 2)]),
+        wh, "id", mode="upsert", partition_by=["region"],
+    )
+    assert _files(f"{wh}/region=eu") == before
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 1.0, "z": 5.0}
+
+
+def test_touched_dir_fallback_for_unmapped_value_types(spark, tmp_path):
+    """A partition value type the dir-name mapper refuses (float) makes
+    _touched_partition_dirs return None — the merge must fall back to
+    the full-table read and stay correct."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _touched_partition_dirs,
+    )
+
+    assert _touched_partition_dirs("/nonexistent", ["p"], [(1.5,)], False) is None
+
+    wh = str(tmp_path / "wh")
+    after = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("ratio", T.DoubleType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    def env(rows):
+        return spark.createDataFrame(
+            [(op, i, {"id": i, "ratio": rr, "price": p}, seq, seq)
+             for op, i, rr, p, seq in rows],
+            T.StructType(
+                [
+                    T.StructField("op", T.StringType()),
+                    T.StructField("key", T.StringType()),
+                    T.StructField("after", after),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField("seq", T.LongType()),
+                ]
+            ),
+        )
+    apply_changes(spark, env([("INSERT", "a", 0.5, 1.0, 1)]),
+                  wh, "id", mode="upsert", partition_by=["ratio"])
+    apply_changes(spark, env([("MODIFY", "a", 0.5, 9.0, 2)]),
+                  wh, "id", mode="upsert", partition_by=["ratio"])
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 9.0}
