@@ -360,3 +360,57 @@ def test_touched_dir_fallback_for_unmapped_value_types(spark, tmp_path):
                   wh, "id", mode="upsert", partition_by=["ratio"])
     rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
     assert rows == {"a": 9.0}
+
+
+def test_touched_dir_resolver_matches_spark_escaping_fuzz(spark, tmp_path):
+    """Adversarial escaping coverage for _touched_partition_dirs: write a
+    partitioned table through Spark (so Spark picks the dir-name
+    escaping) for a zoo of hostile values, then require the resolver to
+    find every value's directory. A miss here means a pruned merge
+    would silently skip stored rows and duplicate keys."""
+    import random
+    import string
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _touched_partition_dirs,
+    )
+
+    rng = random.Random(20260814)
+    specials = ' :%#/\\{}[]^?*="\'\t\n&@+~`|<>$()!,.;'
+    values = [
+        "plain",
+        "has space",
+        "colon:colon",
+        "100%",
+        "%41",  # literal percent-escape lookalike
+        "a/b\\c",
+        "__HIVE_DEFAULT_PARTITION_",  # near-miss of the null marker
+        "naïve-café-日本語-κόσμος",
+        "trailing.",
+        "semi;colon",
+    ] + [
+        "".join(rng.choice(string.ascii_letters + specials) for _ in range(rng.randint(1, 12)))
+        for _ in range(15)
+    ]
+    # empty string is excluded by design: Spark stores it as the default
+    # partition and reads it back as NULL, so no stored row keeps the
+    # value "" — the full-read path skips it identically.
+    values = sorted({v for v in values if v.strip("") != ""})
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, p string"
+    ).write.partitionBy("p").parquet(wh)
+    stored = {
+        r["p"] for r in spark.read.parquet(wh).select("p").distinct().collect()
+    }
+    for v in values:
+        if v not in stored:
+            continue  # value Spark itself didn't round-trip (none expected)
+        dirs = _touched_partition_dirs(wh, ["p"], [(v,)], False)
+        assert dirs, f"resolver missed dir for {v!r}"
+        got = {
+            r["p"]
+            for r in spark.read.option("basePath", wh).parquet(*dirs)
+            .select("p").distinct().collect()
+        }
+        assert v in got, f"resolved dirs for {v!r} do not contain it: {dirs}"
