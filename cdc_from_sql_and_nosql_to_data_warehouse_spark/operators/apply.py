@@ -302,12 +302,25 @@ def apply_changes(
 
     def _table_exists(path: str) -> bool:
         # a directory without data files (e.g. left by a REMOVE-only
-        # first batch) must read as "no table yet", not poison the scan
-        import glob as _glob
-
-        return os.path.exists(path) and bool(
-            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        )
+        # first batch) must read as "no table yet", not poison the scan.
+        # Early-exit walk, not a recursive glob: the glob materializes
+        # every file path — O(table files) driver work per micro-batch —
+        # while this returns at the FIRST data file found.
+        if not os.path.exists(path):
+            return False
+        stack = [path]
+        while stack:
+            cur = stack.pop()
+            try:
+                with os.scandir(cur) as it:
+                    for entry in it:
+                        if entry.is_dir(follow_symlinks=False):
+                            stack.append(entry.path)
+                        elif entry.name.endswith(".parquet"):
+                            return True
+            except FileNotFoundError:
+                continue
+        return False
 
     if mode == "append":
         # Reference behavior: INSERT+MODIFY append their after-image, one
