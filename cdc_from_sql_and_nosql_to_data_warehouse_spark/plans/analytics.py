@@ -698,32 +698,9 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Q4-shaped EXISTS semi-join: orders with >=1 returned lineitem, counted
-# by priority.
-# ---------------------------------------------------------------------------
-@register_query(
-    "orders_with_returns_by_priority",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n_orders
-    FROM orders o
-    WHERE EXISTS (
-      SELECT 1 FROM lineitem l
-      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
-    )
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def orders_with_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-        .orderBy("o_orderpriority")
-    )
+# (A Q4-shaped "orders_with_returns_by_priority" EXISTS query lived here
+# through round 4; retired in round 5 under the registry size budget —
+# q4_orders_with_returns_exists certifies the identical semi-join shape.)
 
 
 # ---------------------------------------------------------------------------

@@ -325,3 +325,97 @@ def recursive_monthly_order_calendar(spark: SparkSession, sf_dir: str) -> DataFr
         ORDER BY m
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end replay through the REAL partitioned apply machinery: the
+# events feed is mapped onto envelope batches and driven through
+# operators/apply.py:apply_changes (upsert + delete tombstones +
+# hive-partitioned layout + listing-pruned merge reads), in a scrambled
+# batch order to prove order-independence of max-seq arbitration. The
+# other cdc_* queries restate apply SEMANTICS as batch plans; this one
+# certifies the machinery itself — partition routing, pruned reads,
+# tombstone arbitration, dynamic partition overwrite — against the same
+# SQL oracle.
+# ---------------------------------------------------------------------------
+@register_query(
+    "cdc_partitioned_apply_replay",
+    oracle=f"""
+    SELECT user_id,
+           user_id % 8 AS shard,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1 AND {_OP_SQL} <> 'REMOVE'
+    ORDER BY user_id
+    """,
+)
+def cdc_partitioned_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/R4/R8 through the actual merge: three envelope batches applied
+    out of order into a shard-partitioned warehouse; a user whose
+    final change is a REMOVE must stay deleted (tombstone arbitration)
+    and everyone else surfaces their max-seq image."""
+    import shutil
+    import tempfile
+
+    from ..operators.apply import apply_changes, read_warehouse
+
+    ev = _t(spark, sf_dir, "events")
+    # seq encodes the oracle's (ts, event_id) order as one numeric
+    # string: microseconds (16 digits) || event_id (12 digits)
+    env = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        _op_col().alias("op"),
+        F.struct(
+            F.col("user_id"),
+            (F.col("user_id") % 8).alias("shard"),
+            F.col("event_id"),
+            F.col("value"),
+        ).alias("after"),
+        F.concat(
+            # ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is monotone, so
+            # the seq order equals the oracle's ts order
+            F.lpad(
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+                16,
+                "0",
+            ),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+        (F.col("event_id") % 3).alias("_batch"),
+    )
+    wh = tempfile.mkdtemp(prefix="cdc_replay_")
+    try:
+        for b in (1, 2, 0):  # scrambled on purpose
+            apply_changes(
+                spark,
+                env.filter(F.col("_batch") == b).drop("_batch"),
+                wh,
+                "user_id",
+                mode="upsert",
+                propagate_deletes=True,
+                partition_by=["shard"],
+            )
+        out = (
+            read_warehouse(spark, wh)
+            .select(
+                "user_id",
+                # hive partition-dir inference types shard as int; cast
+                # back to the oracle's bigint
+                F.col("shard").cast("long").alias("shard"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            # pin the result in session memory so the temp warehouse
+            # dir can be removed before returning
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out.orderBy("user_id")
