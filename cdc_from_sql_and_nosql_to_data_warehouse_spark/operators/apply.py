@@ -109,6 +109,12 @@ def _touched_partition_dirs(
         wanted.add(tuple(svals))
 
     dirs: list[str] = []
+    # per-depth prefix sets: O(1) membership per dir entry instead of a
+    # linear scan of the touched set (matters when a batch touches many
+    # partitions of a many-partition table)
+    prefixes = [
+        {w[: d + 1] for w in wanted} for d in range(len(partition_by))
+    ]
 
     def walk(cur: str, depth: int, prefix: tuple) -> None:
         col = partition_by[depth]
@@ -122,7 +128,7 @@ def _touched_partition_dirs(
             raw = ename[len(col) + 1 :]
             val = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
             newprefix = prefix + (val,)
-            keep = any(w[: depth + 1] == newprefix for w in wanted) or (
+            keep = newprefix in prefixes[depth] or (
                 include_all_null and all(x is None for x in newprefix)
             )
             if not keep:
