@@ -65,8 +65,14 @@ def _hive_partition_value_str(v):
         return "true" if v else "false"
     if isinstance(v, (str, int)):
         return str(v)
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
         return str(v)
+    # datetime.datetime is deliberately refused: Spark renders timestamp
+    # partition values with the fractional second's trailing zeros
+    # trimmed (and tz-aware values differently again), so str(v) would
+    # under-match the dir and the pruned merge would silently drop the
+    # partition's other rows. Timestamp-partitioned tables take the
+    # full-listing fallback.
     return NotImplemented
 
 
@@ -166,8 +172,18 @@ def _swap_into(
     target_path: str,
     partition_by: list[str] | None = None,
 ) -> None:
-    """Materialize df then atomically replace target_path (parquet has no
-    MERGE; a lakehouse table format would do this transactionally)."""
+    """Materialize df then replace target_path by rename (parquet has no
+    MERGE; a lakehouse table format would do this transactionally).
+
+    The two renames are NOT one atomic step: a crash between them
+    leaves target_path momentarily missing with the fully-committed new
+    fileset in ``__staging_*`` (and the previous one in ``__old_*``).
+    ``_recover_swap`` — invoked at the start of every apply, compact,
+    vacuum, and warehouse read — adopts the newest staging dir whose
+    ``_SUCCESS`` marker proves its write committed (or, failing that,
+    restores the old fileset), so a replayed micro-batch after a crash
+    merges against the full table instead of rebuilding from one
+    batch."""
     tmp = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -179,6 +195,40 @@ def _swap_into(
     os.rename(tmp, target_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _recover_swap(target_path: str) -> bool:
+    """Crash recovery for ``_swap_into``'s rename window: if the table
+    directory is missing, adopt the newest fully-written ``__staging_*``
+    (its ``_SUCCESS`` marker proves the write committed before the old
+    table was moved aside) or, with no committed staging, restore the
+    newest ``__old_*``. Stale siblings are cleaned up once the table is
+    present again. Returns True if a recovery rename happened."""
+    import glob as _glob
+
+    def _clean_stale() -> None:
+        for p in _glob.glob(f"{target_path}__old_*") + _glob.glob(
+            f"{target_path}__staging_*"
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+    if os.path.exists(target_path):
+        return False
+    stagings = [
+        p
+        for p in _glob.glob(f"{target_path}__staging_*")
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if stagings:
+        os.rename(max(stagings, key=os.path.getmtime), target_path)
+        _clean_stale()
+        return True
+    olds = _glob.glob(f"{target_path}__old_*")
+    if olds:
+        os.rename(max(olds, key=os.path.getmtime), target_path)
+        _clean_stale()
+        return True
+    return False
 
 
 def _lift_stored(existing: DataFrame, key: str) -> DataFrame:
@@ -305,6 +355,7 @@ def apply_changes(
     bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
     if bad:
         raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
+    _recover_swap(target_path)  # adopt a swap a previous crash left undone
 
     def _table_exists(path: str) -> bool:
         # a directory without data files (e.g. left by a REMOVE-only
@@ -384,33 +435,33 @@ def apply_changes(
 
     prior: list[tuple] | None = None
     if exists:
-        existing: DataFrame | None = None
+        # listing-pruned read: resolve the touched tuples to their hive
+        # directories and scope the scan to them via basePath, so
+        # DataFrame creation (listing + footer merge) is O(touched), not
+        # O(all partitions) — the difference between flat and linearly-
+        # degrading wall-per-batch as the table grows (see COVERAGE.md
+        # CDC probe). Three-way outcome: a dir list => pruned read;
+        # [] => every touched partition is new, nothing stored to merge
+        # against; None (unpruned merge, or value types that can't map
+        # to dir names) => full-table listing.
         dirs: list[str] | None = None
         if touched is not None:
-            # listing-pruned read: resolve the touched tuples to their
-            # hive directories and scope the scan to them via basePath,
-            # so DataFrame creation (listing + footer merge) is
-            # O(touched), not O(all partitions) — the difference between
-            # flat and linearly-degrading wall-per-batch as the table
-            # grows (see COVERAGE.md CDC probe). None => value types we
-            # can't map to dir names; fall back to the full listing.
             dirs = _touched_partition_dirs(
                 target_path,
                 partition_by,
                 touched,
                 include_all_null=propagate_deletes,
             )
-            if dirs:
-                existing = (
-                    spark.read.option("mergeSchema", "true")
-                    .option("basePath", target_path)
-                    .parquet(*dirs)
-                )
-            elif dirs is not None:
-                # every touched partition is new — nothing stored to
-                # merge against; leave existing = None
-                pass
-        if existing is None and (touched is None or dirs is None):
+        existing: DataFrame | None
+        if dirs:
+            existing = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", target_path)
+                .parquet(*dirs)
+            )
+        elif dirs is not None:
+            existing = None
+        else:
             # mergeSchema: after an evolving batch rewrote only its
             # touched partitions, untouched partitions still carry the
             # older column set — the footer-union read sees them all
@@ -484,12 +535,26 @@ def apply_changes(
             for vals in candidates:
                 if tuple(vals) in remaining:
                     continue
-                sub = os.path.join(
-                    target_path,
-                    *[f"{c}={v}" for c, v in zip(partition_by, vals)],
+                # resolve through the same escape-aware walk as the
+                # pruned read: Spark %-escapes special chars in dir
+                # names, so a naive f"{c}={v}" path misses them and the
+                # stale partition's old files would read as live rows —
+                # resurrecting the deleted keys
+                subs = _touched_partition_dirs(
+                    target_path, partition_by, [tuple(vals)], False
                 )
-                if os.path.exists(sub):
-                    shutil.rmtree(sub)
+                if subs is None:
+                    # value types the dir mapper refuses: best-effort
+                    # raw path (matches dirs Spark wrote unescaped)
+                    subs = [
+                        os.path.join(
+                            target_path,
+                            *[f"{c}={v}" for c, v in zip(partition_by, vals)],
+                        )
+                    ]
+                for sub in subs:
+                    if os.path.exists(sub):
+                        shutil.rmtree(sub)
         return
     if partition_by:
         result.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
@@ -556,11 +621,26 @@ def apply_changes_bucketed(
 
     from .maintenance import write_bucketed
 
+    swap_staged_table(
+        spark,
+        table_name,
+        lambda staged: write_bucketed(
+            result, staged, bucket_cols, n_buckets=n_buckets, sort_cols=bucket_cols
+        ),
+    )
+
+
+def swap_staged_table(spark: SparkSession, table_name: str, write_staged) -> None:
+    """The managed-table swap protocol shared by ``apply_changes_bucketed``
+    and ``maintenance.vacuum_tombstones_table``: write the next state to
+    ``{table}__staged`` (via ``write_staged(staged_name)``), then DROP +
+    RENAME it into place. The window between the DROP and the RENAME is
+    the one ``recover_bucketed_table`` repairs — keeping the sequence in
+    one place keeps that recovery contract from silently diverging
+    between call sites."""
     staged = f"{table_name}__staged"
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    write_bucketed(
-        result, staged, bucket_cols, n_buckets=n_buckets, sort_cols=bucket_cols
-    )
+    write_staged(staged)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
 
@@ -604,6 +684,7 @@ def read_warehouse(spark: SparkSession, target_path: str, with_seq: bool = False
     # drop the evolved column. Merging footers restores the union
     # schema (old rows read NULL in the new column), matching the
     # merge path inside apply_changes.
+    _recover_swap(target_path)
     df = spark.read.option("mergeSchema", "true").parquet(target_path)
     return _reader_view(df, with_seq)
 

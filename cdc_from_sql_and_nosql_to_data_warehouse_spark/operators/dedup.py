@@ -702,49 +702,64 @@ def near_dup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    def _round(lbl: DataFrame) -> DataFrame:
+        neighbor_min = (
+            edges.join(lbl, edges.dst == lbl.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = lbl.join(
+            neighbor_min, lbl.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt the current label of one's label
+        lab2 = new_labels.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
+        return new_labels.join(
+            lab2, new_labels.label == lab2._jn, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
+            ).alias("label"),
+        )
+
+    def _changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+
     converged = False
     rounds_done = 0
     while rounds_done < max_iterations and not converged:
         base = labels
         steps = min(checkpoint_interval, max_iterations - rounds_done)
         for _ in range(steps):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("label").alias("nlabel"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                    ).alias("label"),
-                )
-            )
-            # pointer jumping: adopt the current label of one's label
-            lab2 = new_labels.select(
-                F.col("node").alias("_jn"), F.col("label").alias("_jl")
-            )
-            labels = new_labels.join(
-                lab2, new_labels.label == lab2._jn, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
-                ).alias("label"),
-            )
+            labels = _round(labels)
         rounds_done += steps
         labels = labels.localCheckpoint(eager=True)  # cut the interval's lineage
-        changed = (
-            labels.alias("n")
-            .join(base.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        if changed == 0:
+        if _changed(labels, base) == 0:
             converged = True
+    if not converged:
+        # The budget may have been exhausted with the fixed point
+        # reached mid-interval (the interval-level check compares only
+        # against the interval's base, so it cannot see a late no-op
+        # round). One certification round settles it: labels unchanged
+        # => fixed point => converged, exactly the guarantee the old
+        # per-round check gave.
+        cert = _round(labels).localCheckpoint(eager=True)
+        if _changed(cert, labels) == 0:
+            converged = True
+            labels = cert
     if not converged:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iterations} iterations"

@@ -62,6 +62,9 @@ def compact_parquet(
     leaves 99% idle headroom) or per-partition for date-partitioned
     tables.
     """
+    from .apply import _recover_swap
+
+    _recover_swap(path)  # adopt a swap a previous crash left undone
     before = table_stats(spark, path)
     if before.n_files < min_files_to_compact:
         return before
@@ -126,26 +129,34 @@ def vacuum_tombstones(
     Returns the number of tombstones dropped. Same swap protocol as
     compaction (readers see old or new fileset, never a mix).
     """
-    from pyspark.sql import functions as F
+    from .apply import DELETED_COL, _recover_swap
 
-    from .apply import DELETED_COL, SEQ_COL, _canonical_seq
-
+    _recover_swap(path)  # adopt a swap a previous crash left undone
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if DELETED_COL not in df.columns:
         return 0
-    # NULL-safe on _seq: a tombstone with unknown seq must be RETAINED
-    # (its replay horizon can't be proven passed), not silently dropped
-    # by a three-valued ~NULL filter — and the count must agree with the
-    # rows actually removed.
-    is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & F.coalesce(
-        _canonical_seq(F.col(SEQ_COL)) < _canonical_seq(F.lit(before_seq)),
-        F.lit(False),
-    )
+    is_dead = _dead_tombstone_pred(before_seq)
     n = df.filter(is_dead).count()
     if n == 0:
         return 0
     _swap_into(spark, df.filter(~is_dead), path, partition_by=partition_by)
     return n
+
+
+def _dead_tombstone_pred(before_seq: int):
+    """Vacuum predicate shared by both vacuum entry points. NULL-safe on
+    _seq: a tombstone with unknown seq must be RETAINED (its replay
+    horizon can't be proven passed), not silently dropped by a
+    three-valued ~NULL filter — and the count must agree with the rows
+    actually removed."""
+    from pyspark.sql import functions as F
+
+    from .apply import DELETED_COL, SEQ_COL, _canonical_seq
+
+    return F.coalesce(F.col(DELETED_COL), F.lit(False)) & F.coalesce(
+        _canonical_seq(F.col(SEQ_COL)) < _canonical_seq(F.lit(before_seq)),
+        F.lit(False),
+    )
 
 
 def vacuum_tombstones_table(
@@ -161,34 +172,25 @@ def vacuum_tombstones_table(
     rewrite goes through the staged-table swap protocol of
     ``apply_changes_bucketed`` so the bucketed (zero-Exchange-join)
     layout survives the vacuum. Returns tombstones dropped."""
-    from pyspark.sql import functions as F
-
-    from .apply import (
-        DELETED_COL,
-        SEQ_COL,
-        _canonical_seq,
-        recover_bucketed_table,
-    )
+    from .apply import DELETED_COL, recover_bucketed_table, swap_staged_table
 
     recover_bucketed_table(spark, table_name)
     df = spark.table(table_name)
     if DELETED_COL not in df.columns:
         return 0
-    is_dead = F.coalesce(F.col(DELETED_COL), F.lit(False)) & F.coalesce(
-        _canonical_seq(F.col(SEQ_COL)) < _canonical_seq(F.lit(before_seq)),
-        F.lit(False),
-    )
+    is_dead = _dead_tombstone_pred(before_seq)
     n = df.filter(is_dead).count()
     if n == 0:
         return 0
-    staged = f"{table_name}__staged"
-    spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    write_bucketed(
-        df.filter(~is_dead), staged, bucket_cols,
-        n_buckets=n_buckets, sort_cols=bucket_cols,
+    survivors = df.filter(~is_dead)
+    swap_staged_table(
+        spark,
+        table_name,
+        lambda staged: write_bucketed(
+            survivors, staged, bucket_cols,
+            n_buckets=n_buckets, sort_cols=bucket_cols,
+        ),
     )
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
     return n
 
 

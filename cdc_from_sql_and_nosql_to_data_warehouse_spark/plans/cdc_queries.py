@@ -378,13 +378,13 @@ def cdc_partitioned_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value"),
         ).alias("after"),
         F.concat(
-            # ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is monotone, so
-            # the seq order equals the oracle's ts order
-            F.lpad(
-                F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
-                16,
-                "0",
-            ),
+            # ts is TIMESTAMP_NTZ; format the WALL time to a fixed-width
+            # digit string rather than casting to TIMESTAMP —
+            # unix_micros(cast) would route through the session zone,
+            # where a DST spring-forward gap makes the mapping
+            # non-monotone and the seq order could diverge from the
+            # oracle's ts order on non-UTC hosts
+            F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
             F.lpad(F.col("event_id").cast("string"), 12, "0"),
         ).alias("seq"),
         (F.col("event_id") % 3).alias("_batch"),

@@ -154,12 +154,15 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    scales = tuple(
+        int(s) for s in sys.argv[1:]
+    ) or (1, 10, 100)  # COVERAGE.md reports all three
     results = []
     try:
-        for scale in (1, 10):
+        for scale in scales:
             results.append(probe_partitioned(spark, scale, root))
             print(json.dumps(results[-1]), flush=True)
-        for scale in (1, 10):
+        for scale in scales:
             results.append(probe_bucketed(spark, scale, root))
             print(json.dumps(results[-1]), flush=True)
     finally:

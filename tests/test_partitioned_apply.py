@@ -414,3 +414,129 @@ def test_touched_dir_resolver_matches_spark_escaping_fuzz(spark, tmp_path):
             .select("p").distinct().collect()
         }
         assert v in got, f"resolved dirs for {v!r} do not contain it: {dirs}"
+
+
+def test_timestamp_partition_values_take_full_read_fallback(spark, tmp_path):
+    """Spark trims trailing fractional zeros in timestamp dir names, so
+    str(datetime) under-matches; the mapper must refuse datetimes and
+    the merge must fall back to the full read — an upsert into a
+    timestamp partition may not drop the partition's other rows."""
+    import datetime
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _hive_partition_value_str,
+        _touched_partition_dirs,
+    )
+
+    dt = datetime.datetime(2024, 1, 1, 0, 0, 0, 123000)
+    assert _hive_partition_value_str(dt) is NotImplemented
+    assert _touched_partition_dirs("/x", ["ts"], [(dt,)], False) is None
+
+    wh = str(tmp_path / "wh")
+    after = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    def env(rows):
+        return spark.createDataFrame(
+            [(op, i, {"id": i, "ts": t, "price": p}, seq, seq)
+             for op, i, t, p, seq in rows],
+            T.StructType(
+                [
+                    T.StructField("op", T.StringType()),
+                    T.StructField("key", T.StringType()),
+                    T.StructField("after", after),
+                    T.StructField("ts_ms", T.LongType()),
+                    T.StructField("seq", T.LongType()),
+                ]
+            ),
+        )
+    apply_changes(
+        spark,
+        env([("INSERT", "a", dt, 1.0, 1), ("INSERT", "b", dt, 2.0, 1)]),
+        wh, "id", mode="upsert", partition_by=["ts"],
+    )
+    apply_changes(
+        spark,
+        env([("MODIFY", "a", dt, 9.0, 2)]),
+        wh, "id", mode="upsert", partition_by=["ts"],
+    )
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 9.0, "b": 2.0}  # b must survive
+
+
+def test_remove_emptying_escaped_partition_removes_its_dir(spark, tmp_path):
+    """A winning key-only REMOVE that empties a partition whose value
+    Spark %-escapes must still remove the stale directory — otherwise
+    the old files read back as live rows, resurrecting the key."""
+    wh = str(tmp_path / "wh")
+    weird = "eu:west"
+    apply_changes(
+        spark,
+        _envelope(spark, [("INSERT", "a", weird, 1.0, 1)]),
+        wh, "id", mode="upsert", partition_by=["region"],
+        propagate_deletes=True,
+    )
+    # key-only REMOVE: no partition values -> unpruned-merge fallback
+    remove = spark.createDataFrame(
+        [("REMOVE", "a", None, 2, 2)],
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("key", T.StringType()),
+                T.StructField("after", AFTER),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        ),
+    )
+    apply_changes(
+        spark, remove, wh, "id", mode="upsert", partition_by=["region"],
+        propagate_deletes=True,
+    )
+    assert read_warehouse(spark, wh).count() == 0  # no resurrection
+    assert not any(
+        d.startswith("region=eu") for d in os.listdir(wh)
+    ), os.listdir(wh)
+
+
+def test_recover_swap_adopts_committed_staging(spark, tmp_path):
+    """Crash inside _swap_into's rename window: the table dir is gone,
+    the new state sits in __staging_* with _SUCCESS. The next apply (or
+    read) must adopt it instead of rebuilding from one micro-batch."""
+    import shutil
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import _recover_swap
+
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark,
+        _envelope(spark, [("INSERT", "a", "eu", 1.0, 1),
+                          ("INSERT", "b", "us", 2.0, 1)]),
+        wh, "id", mode="upsert",
+    )
+    # simulate: new state fully staged, old table moved aside, crash
+    shutil.copytree(wh, f"{wh}__staging_deadbeef")
+    os.rename(wh, f"{wh}__old_cafe0001")
+    assert _recover_swap(wh) is True
+    assert not os.path.exists(f"{wh}__old_cafe0001")
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 1.0, "b": 2.0}
+
+    # next apply on the recovered table merges against the FULL state
+    apply_changes(
+        spark,
+        _envelope(spark, [("MODIFY", "a", "eu", 9.0, 2)]),
+        wh, "id", mode="upsert",
+    )
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 9.0, "b": 2.0}
+
+    # with no committed staging, the old fileset is restored
+    os.rename(wh, f"{wh}__old_cafe0002")
+    assert _recover_swap(wh) is True
+    rows = {r["id"]: r["price"] for r in read_warehouse(spark, wh).collect()}
+    assert rows == {"a": 9.0, "b": 2.0}

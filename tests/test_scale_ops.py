@@ -488,3 +488,19 @@ def test_bucketed_apply_recovers_from_crashed_swap(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__staged")
+
+
+def test_near_dup_clusters_converging_in_final_interval(spark):
+    """A graph whose fixed point lands inside the last checkpoint
+    interval must converge (via the final certification round), not
+    raise — parity with the old per-round convergence check."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(
+            pairs, max_iterations=2, checkpoint_interval=3
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
