@@ -128,8 +128,23 @@ def vacuum_tombstones(
     with Delta's ``VACUUM`` retention or a Cassandra ``gc_grace``.
     Returns the number of tombstones dropped. Same swap protocol as
     compaction (readers see old or new fileset, never a mix).
+
+    With ``partition_by`` the rewrite is PARTITION-PRUNED: only the
+    partitions actually holding dead tombstones are read again and
+    rewritten (dynamic partition overwrite through the same
+    escape-aware dir resolution as the apply merge), so GC cost is
+    O(partitions with deletes), not O(table) — at 100 TB a full-table
+    rewrite to drop a few thousand tombstone rows is the difference
+    between a maintenance tick and a compaction-sized job. Partitions
+    whose every row was a dead tombstone are removed outright (dynamic
+    overwrite never writes an empty partition). Falls back to the full
+    rewrite for partition value types the dir resolver refuses.
     """
-    from .apply import DELETED_COL, _recover_swap
+    from .apply import (
+        DELETED_COL,
+        _recover_swap,
+        _touched_partition_dirs,
+    )
 
     _recover_swap(path)  # adopt a swap a previous crash left undone
     df = spark.read.option("mergeSchema", "true").parquet(path)
@@ -139,6 +154,52 @@ def vacuum_tombstones(
     n = df.filter(is_dead).count()
     if n == 0:
         return 0
+    if partition_by:
+        touched = [
+            tuple(r)
+            for r in df.filter(is_dead)
+            .select(*partition_by)
+            .distinct()
+            .collect()
+        ]
+        dirs = _touched_partition_dirs(path, partition_by, touched, False)
+        if dirs:
+            from pyspark.sql import functions as F
+
+            sub = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", path)
+                .parquet(*dirs)
+            )
+            survivors = sub.filter(~is_dead)
+            # collected BEFORE the write: the plan reads the files the
+            # write is about to replace
+            remaining = {
+                tuple(r)
+                for r in survivors.select(
+                    *[F.col(c) for c in partition_by]
+                )
+                .distinct()
+                .collect()
+            }
+            (
+                survivors.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+            for vals in touched:
+                if tuple(vals) in remaining:
+                    continue
+                for sub_dir in (
+                    _touched_partition_dirs(path, partition_by, [tuple(vals)], False)
+                    or []
+                ):
+                    if os.path.exists(sub_dir):
+                        import shutil
+
+                        shutil.rmtree(sub_dir)
+            return n
     _swap_into(spark, df.filter(~is_dead), path, partition_by=partition_by)
     return n
 

@@ -450,3 +450,34 @@ def test_vacuum_retains_null_seq_tombstones(spark, tmp_path):
     assert raw.count() == 3
     kept = {r["name"] for r in raw.collect()}
     assert kept == {"live", "dead_null_seq", "dead_new"}
+
+
+def test_vacuum_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """The partitioned vacuum must be partition-pruned: a partition with
+    no dead tombstones keeps its exact files (at 100 TB, GC cost must
+    be O(partitions with deletes), not O(table))."""
+    import glob
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_tombstones,
+    )
+
+    wh = str(tmp_path / "wh_pruned_vac")
+    spark.createDataFrame(
+        [
+            ("a", "eu", "1", False),
+            ("b", "eu", "2", True),    # dead tombstone -> eu rewritten
+            ("c", "us", "3", False),   # us untouched
+            ("d", "apac", "4", True),  # dead, only row -> apac removed
+        ],
+        "id string, region string, _seq string, _deleted boolean",
+    ).write.partitionBy("region").parquet(wh)
+    us_files = sorted(glob.glob(f"{wh}/region=us/*"))
+    assert vacuum_tombstones(
+        spark, wh, before_seq=10, partition_by=["region"]
+    ) == 2
+    assert sorted(glob.glob(f"{wh}/region=us/*")) == us_files  # untouched
+    assert not os.path.isdir(f"{wh}/region=apac")  # dead-only dir removed
+    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    assert {r["id"] for r in raw.collect()} == {"a", "c"}
