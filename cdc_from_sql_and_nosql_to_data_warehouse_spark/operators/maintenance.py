@@ -16,6 +16,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+from pyspark.sql.functions import col as F_col
 
 from .apply import _swap_into
 
@@ -51,16 +52,19 @@ def compact_parquet(
     files. No-op when the table is already compact. Row-order-free
     (parquet tables here carry no implicit order contract).
 
-    ``partition_by`` preserves a hive-partitioned layout: rows are
-    clustered on the partition columns before the write so each
-    partition directory is rewritten into ~1 file, and the swap keeps
-    the directory structure (a flat rewrite would silently destroy
-    partition pruning for every later merge).
+    ``partition_by`` preserves a hive-partitioned layout AND scopes the
+    work: only FRAGMENTED partition directories (more files than their
+    bytes need) are re-read and rewritten, via dynamic partition
+    overwrite — compaction cost is O(fragmented partitions), not
+    O(table). A streaming append hop fragments only the partitions it
+    recently wrote, so at 100 TB each maintenance tick touches the hot
+    partitions and leaves the cold ones byte-identical. Each rewritten
+    partition clusters to ~1 file (same output shape the previous
+    full-rewrite produced).
 
     At cluster scale the repartition is one narrow-ish shuffle of the
-    table; run it off the hot path (the reference's 5-minute cadence
-    leaves 99% idle headroom) or per-partition for date-partitioned
-    tables.
+    fragmented slice; run it off the hot path (the reference's
+    5-minute cadence leaves 99% idle headroom).
     """
     from .apply import _recover_swap
 
@@ -68,15 +72,48 @@ def compact_parquet(
     before = table_stats(spark, path)
     if before.n_files < min_files_to_compact:
         return before
+
+    if partition_by:
+        # per-partition-dir file stats: a dir is fragmented when it
+        # holds more files than ceil(bytes/target)
+        frag_dirs: list[str] = []
+        depth = len(partition_by)
+        base_depth = path.rstrip("/").count("/")
+        for dp, dns, fs in os.walk(path):
+            if dp.rstrip("/").count("/") - base_depth != depth:
+                continue
+            dns[:] = []  # leaf partition dir: don't descend further
+            data = [
+                os.path.join(dp, f)
+                for f in fs
+                if f.endswith(".parquet") or f.startswith("part-")
+            ]
+            if not data:
+                continue
+            need = max(1, math.ceil(sum(map(os.path.getsize, data)) / target_file_bytes))
+            if len(data) > need and len(data) >= min_files_to_compact:
+                frag_dirs.append(dp)
+        if not frag_dirs:
+            return before
+        sub = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(*frag_dirs)
+            .repartition(*[F_col(c) for c in partition_by])
+        )
+        (
+            sub.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+        return table_stats(spark, path)
+
     n_out = max(1, math.ceil(before.total_bytes / target_file_bytes))
     if n_out >= before.n_files:
         return before
-    df = spark.read.option("mergeSchema", "true").parquet(path)
-    if partition_by:
-        df = df.repartition(max(n_out, 1), *partition_by)
-    else:
-        df = df.repartition(n_out)
-    _swap_into(spark, df, path, partition_by=partition_by)
+    df = spark.read.option("mergeSchema", "true").parquet(path).repartition(n_out)
+    _swap_into(spark, df, path, partition_by=None)
     return table_stats(spark, path)
 
 

@@ -504,3 +504,33 @@ def test_near_dup_clusters_converging_in_final_interval(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_partitioned_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """Partitioned compaction must be partition-scoped: a partition
+    already at its target file count keeps its exact files; only the
+    fragmented partitions are rewritten (O(fragmented), not O(table))."""
+    import glob
+
+    path = str(tmp_path / "pc")
+    # partition eu: 6 tiny fragments; partition us: 1 compact file
+    base = spark.range(600).select(
+        F.lit("eu").alias("region"), F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    for i in range(6):
+        base.filter(F.col("id") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("region").parquet(path)
+    spark.range(100).select(
+        F.lit("us").alias("region"), F.col("id"), (F.col("id") * 3).alias("v")
+    ).coalesce(1).write.mode("append").partitionBy("region").parquet(path)
+
+    us_files = sorted(glob.glob(f"{path}/region=us/*"))
+    rows_before = _sorted_rows(spark.read.parquet(path))
+    after = compact_parquet(
+        spark, path, target_file_bytes=1 << 30, partition_by=["region"]
+    )
+    assert len(glob.glob(f"{path}/region=eu/*.parquet")) == 1  # compacted
+    assert sorted(glob.glob(f"{path}/region=us/*")) == us_files  # untouched
+    assert _sorted_rows(spark.read.parquet(path)) == rows_before
+    assert after.n_rows == 700
