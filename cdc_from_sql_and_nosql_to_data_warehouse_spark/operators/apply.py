@@ -507,54 +507,18 @@ def apply_changes(
     result = _stored_form(merged, key, propagate_deletes)
 
     if partition_by and exists:
-        # a winning REMOVE can empty a partition entirely; dynamic
-        # overwrite never writes an empty partition, so such partitions
-        # are dropped by hand after the write. The surviving-partition
-        # set is collected BEFORE the write (the plan reads the files the
-        # write is about to replace). Candidates: the touched set, or
+        # Candidates for emptied-partition cleanup: the touched set, or
         # every prior partition when the batch fell back to an unpruned
-        # merge (REMOVE without partition values).
-        candidates = touched if touched is not None else prior
-        remaining: set[tuple] = set()
-        if propagate_deletes and candidates:
-            remaining = {
-                tuple(r)
-                for r in result.select(
-                    *[F.col(c) for c in partition_by]
-                ).distinct().collect()
-            }
-        # dynamic partition overwrite: only partitions present in
-        # `result` (= the touched set) are replaced; all others untouched
-        (
-            result.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_by)
-            .parquet(target_path)
+        # merge (REMOVE without partition values). Only delete-
+        # propagating merges can empty a partition.
+        candidates = (
+            (touched if touched is not None else prior)
+            if propagate_deletes
+            else None
         )
-        if propagate_deletes and candidates:
-            for vals in candidates:
-                if tuple(vals) in remaining:
-                    continue
-                # resolve through the same escape-aware walk as the
-                # pruned read: Spark %-escapes special chars in dir
-                # names, so a naive f"{c}={v}" path misses them and the
-                # stale partition's old files would read as live rows —
-                # resurrecting the deleted keys
-                subs = _touched_partition_dirs(
-                    target_path, partition_by, [tuple(vals)], False
-                )
-                if subs is None:
-                    # value types the dir mapper refuses: best-effort
-                    # raw path (matches dirs Spark wrote unescaped)
-                    subs = [
-                        os.path.join(
-                            target_path,
-                            *[f"{c}={v}" for c, v in zip(partition_by, vals)],
-                        )
-                    ]
-                for sub in subs:
-                    if os.path.exists(sub):
-                        shutil.rmtree(sub)
+        overwrite_partitions_dropping_emptied(
+            spark, result, target_path, partition_by, candidates
+        )
         return
     if partition_by:
         result.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
@@ -562,6 +526,64 @@ def apply_changes(
     # cache-free swap: the merged plan reads the old files, the swap
     # happens only after the new files are fully written
     _swap_into(spark, result, target_path)
+
+
+def overwrite_partitions_dropping_emptied(
+    spark: SparkSession,
+    df: DataFrame,
+    target_path: str,
+    partition_by: list[str],
+    candidates: list[tuple] | None,
+) -> None:
+    """Dynamic-partition-overwrite ``df`` into ``target_path``, then
+    remove any ``candidates`` partition the write emptied entirely —
+    dynamic overwrite never writes an empty partition, so a partition
+    whose every row disappeared would otherwise keep its stale files
+    and read its dropped rows back as live. Shared by the partitioned
+    merge (``apply_changes``) and the partitioned tombstone vacuum so
+    the surviving-set / stale-dir semantics cannot drift.
+
+    The surviving-partition set is collected BEFORE the write (the plan
+    reads the files the write is about to replace). Stale dirs are
+    resolved through the escape-aware walk in ONE pass; value types the
+    dir mapper refuses fall back to the raw path Spark wrote unescaped.
+
+    Commit semantics are dynamic overwrite's own: matched partitions
+    are replaced per-partition at job commit, not as one atomic
+    table-level swap — the standard exposure of every dynamic-partition
+    MERGE on plain parquet (a lakehouse table format makes it
+    transactional)."""
+    remaining: set[tuple] = set()
+    if candidates:
+        remaining = {
+            tuple(r)
+            for r in df.select(*[F.col(c) for c in partition_by])
+            .distinct()
+            .collect()
+        }
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(target_path)
+    )
+    if not candidates:
+        return
+    stale = [tuple(v) for v in candidates if tuple(v) not in remaining]
+    if not stale:
+        return
+    subs = _touched_partition_dirs(target_path, partition_by, stale, False)
+    if subs is None:
+        subs = [
+            os.path.join(
+                target_path,
+                *[f"{c}={v}" for c, v in zip(partition_by, vals)],
+            )
+            for vals in stale
+        ]
+    for sub in subs:
+        if os.path.exists(sub):
+            shutil.rmtree(sub)
 
 
 def apply_changes_bucketed(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -30,15 +31,74 @@ class TableStats:
 
 def table_stats(spark: SparkSession, path: str) -> TableStats:
     """File-level stats driving the compaction decision (driver-side
-    listing — the same information a catalog/manifest would hold)."""
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet") or f.startswith("part-")
-    ]
+    listing — the same information a catalog/manifest would hold).
+    Hidden path segments ('.'/'_' prefixes: staging dirs, markers) are
+    invisible, mirroring Spark's own listing rules. The row count is a
+    parquet count-star — footer metadata, no column data read."""
+    files = []
+    for dp, dns, fs in os.walk(path):
+        dns[:] = [d for d in dns if not d.startswith((".", "_"))]
+        files.extend(
+            os.path.join(dp, f)
+            for f in fs
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
     total = sum(os.path.getsize(f) for f in files)
     return TableStats(len(files), total, spark.read.parquet(path).count())
+
+
+def _leaf_partition_stats(
+    path: str, depth: int
+) -> tuple[list[tuple[str, int, int]], int, int]:
+    """ONE hidden-dir-skipping walk of a hive tree -> per-leaf-dir
+    (dir, n_files, n_bytes) plus table totals. Mirrors Spark's listing
+    rules: segments starting with '.' or '_' are invisible (a crashed
+    dynamic overwrite's ``.spark-staging-*`` must never be mistaken for
+    a partition), and only ``col=value`` segments descend."""
+    leaves: list[tuple[str, int, int]] = []
+    total_files = 0
+    total_bytes = 0
+    base_depth = path.rstrip("/").count("/")
+    for dp, dns, fs in os.walk(path):
+        dns[:] = [
+            d for d in dns if not d.startswith((".", "_")) and "=" in d
+        ]
+        if dp.rstrip("/").count("/") - base_depth != depth:
+            continue
+        dns[:] = []  # leaf partition dir: don't descend further
+        data = [
+            os.path.join(dp, f)
+            for f in fs
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+        if not data:
+            continue
+        b = sum(map(os.path.getsize, data))
+        leaves.append((dp, len(data), b))
+        total_files += len(data)
+        total_bytes += b
+    return leaves, total_files, total_bytes
+
+
+@contextmanager
+def _no_partition_type_inference(spark: SparkSession):
+    """Partition values as verbatim strings for internal maintenance
+    reads/writes. A SUBSET read of partition dirs can infer a DIFFERENT
+    partition-column type than the full-table read (dirs month=01..12
+    infer int over some subsets), and re-rendering a re-typed value on
+    write lands in a NEW directory (month=1) while the old one survives
+    — duplicating every row; cross-read tuple comparisons mismatch the
+    same way. With inference off the parsed dir value IS the written
+    dir value, so maintenance round-trips directory names exactly.
+    Partition values live only in dir names, never in data files, so
+    the table's reader-visible schema is untouched."""
+    k = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(k, prev)
 
 
 def compact_parquet(
@@ -64,51 +124,51 @@ def compact_parquet(
 
     At cluster scale the repartition is one narrow-ish shuffle of the
     fragmented slice; run it off the hot path (the reference's
-    5-minute cadence leaves 99% idle headroom).
+    5-minute cadence leaves 99% idle headroom). Rewrites commit via
+    dynamic partition overwrite (partitioned) or the staging-dir swap
+    (flat) — per-partition replace vs whole-table rename; neither is a
+    cross-partition atomic transaction on plain parquet.
     """
     from .apply import _recover_swap
 
     _recover_swap(path)  # adopt a swap a previous crash left undone
+
+    if partition_by:
+        # ONE walk yields both the compaction gate and the per-dir
+        # fragmentation decision: a dir is fragmented when it holds
+        # more files than ceil(bytes/target). No full-table row count
+        # on the decision path.
+        leaves, n_files, total_bytes = _leaf_partition_stats(
+            path, len(partition_by)
+        )
+        frag_dirs = [
+            dp
+            for dp, nf, b in leaves
+            if nf >= min_files_to_compact
+            and nf > max(1, math.ceil(b / target_file_bytes))
+        ]
+        if n_files < min_files_to_compact or not frag_dirs:
+            return TableStats(
+                n_files, total_bytes, spark.read.parquet(path).count()
+            )
+        with _no_partition_type_inference(spark):
+            sub = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", path)
+                .parquet(*frag_dirs)
+                .repartition(*[F_col(c) for c in partition_by])
+            )
+            (
+                sub.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+        return table_stats(spark, path)
+
     before = table_stats(spark, path)
     if before.n_files < min_files_to_compact:
         return before
-
-    if partition_by:
-        # per-partition-dir file stats: a dir is fragmented when it
-        # holds more files than ceil(bytes/target)
-        frag_dirs: list[str] = []
-        depth = len(partition_by)
-        base_depth = path.rstrip("/").count("/")
-        for dp, dns, fs in os.walk(path):
-            if dp.rstrip("/").count("/") - base_depth != depth:
-                continue
-            dns[:] = []  # leaf partition dir: don't descend further
-            data = [
-                os.path.join(dp, f)
-                for f in fs
-                if f.endswith(".parquet") or f.startswith("part-")
-            ]
-            if not data:
-                continue
-            need = max(1, math.ceil(sum(map(os.path.getsize, data)) / target_file_bytes))
-            if len(data) > need and len(data) >= min_files_to_compact:
-                frag_dirs.append(dp)
-        if not frag_dirs:
-            return before
-        sub = (
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", path)
-            .parquet(*frag_dirs)
-            .repartition(*[F_col(c) for c in partition_by])
-        )
-        (
-            sub.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_by)
-            .parquet(path)
-        )
-        return table_stats(spark, path)
-
     n_out = max(1, math.ceil(before.total_bytes / target_file_bytes))
     if n_out >= before.n_files:
         return before
@@ -163,81 +223,72 @@ def vacuum_tombstones(
     Vacuuming EARLIER than the horizon re-opens the resurrection window
     the tombstone closed — the caller owns that invariant, exactly as
     with Delta's ``VACUUM`` retention or a Cassandra ``gc_grace``.
-    Returns the number of tombstones dropped. Same swap protocol as
-    compaction (readers see old or new fileset, never a mix).
+    Returns the number of tombstones dropped.
 
-    With ``partition_by`` the rewrite is PARTITION-PRUNED: only the
-    partitions actually holding dead tombstones are read again and
-    rewritten (dynamic partition overwrite through the same
-    escape-aware dir resolution as the apply merge), so GC cost is
-    O(partitions with deletes), not O(table) — at 100 TB a full-table
-    rewrite to drop a few thousand tombstone rows is the difference
-    between a maintenance tick and a compaction-sized job. Partitions
-    whose every row was a dead tombstone are removed outright (dynamic
-    overwrite never writes an empty partition). Falls back to the full
-    rewrite for partition value types the dir resolver refuses.
+    Flat tables rewrite through the crash-recoverable staging-dir swap
+    (``_swap_into`` / ``_recover_swap``). With ``partition_by`` the
+    rewrite is PARTITION-PRUNED: only partitions actually holding dead
+    tombstones are re-read and rewritten via dynamic partition
+    overwrite — GC cost O(partitions with deletes), not O(table) —
+    with partition-type inference disabled so dir names round-trip
+    exactly (see ``_no_partition_type_inference``); commit semantics
+    are dynamic overwrite's per-partition replace, the same as the
+    partitioned apply merge, not an atomic table-level swap. Partitions
+    whose every row was a dead tombstone are removed outright. Falls
+    back to the full staged rewrite when the escape-aware dir resolver
+    finds nothing to prune against.
     """
+    from pyspark.sql import functions as F
+
     from .apply import (
         DELETED_COL,
         _recover_swap,
         _touched_partition_dirs,
+        overwrite_partitions_dropping_emptied,
     )
 
     _recover_swap(path)  # adopt a swap a previous crash left undone
+    is_dead = _dead_tombstone_pred(before_seq)
+
+    if partition_by:
+        with _no_partition_type_inference(spark):
+            df = spark.read.option("mergeSchema", "true").parquet(path)
+            if DELETED_COL not in df.columns:
+                return 0
+            # one pass yields both the dead count and the touched set
+            dead_groups = (
+                df.filter(is_dead)
+                .groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            n = int(sum(r["_n"] for r in dead_groups))
+            if n == 0:
+                return 0
+            touched = [tuple(r[c] for c in partition_by) for r in dead_groups]
+            dirs = _touched_partition_dirs(path, partition_by, touched, False)
+            if dirs:
+                sub = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", path)
+                    .parquet(*dirs)
+                )
+                overwrite_partitions_dropping_emptied(
+                    spark, sub.filter(~is_dead), path, partition_by, touched
+                )
+                return n
+            _swap_into(
+                spark, df.filter(~is_dead), path, partition_by=partition_by
+            )
+            return n
+
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if DELETED_COL not in df.columns:
         return 0
-    is_dead = _dead_tombstone_pred(before_seq)
     n = df.filter(is_dead).count()
     if n == 0:
         return 0
-    if partition_by:
-        touched = [
-            tuple(r)
-            for r in df.filter(is_dead)
-            .select(*partition_by)
-            .distinct()
-            .collect()
-        ]
-        dirs = _touched_partition_dirs(path, partition_by, touched, False)
-        if dirs:
-            from pyspark.sql import functions as F
-
-            sub = (
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", path)
-                .parquet(*dirs)
-            )
-            survivors = sub.filter(~is_dead)
-            # collected BEFORE the write: the plan reads the files the
-            # write is about to replace
-            remaining = {
-                tuple(r)
-                for r in survivors.select(
-                    *[F.col(c) for c in partition_by]
-                )
-                .distinct()
-                .collect()
-            }
-            (
-                survivors.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*partition_by)
-                .parquet(path)
-            )
-            for vals in touched:
-                if tuple(vals) in remaining:
-                    continue
-                for sub_dir in (
-                    _touched_partition_dirs(path, partition_by, [tuple(vals)], False)
-                    or []
-                ):
-                    if os.path.exists(sub_dir):
-                        import shutil
-
-                        shutil.rmtree(sub_dir)
-            return n
-    _swap_into(spark, df.filter(~is_dead), path, partition_by=partition_by)
+    _swap_into(spark, df.filter(~is_dead), path, partition_by=None)
     return n
 
 

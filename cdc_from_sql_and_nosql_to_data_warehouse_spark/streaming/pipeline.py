@@ -229,10 +229,13 @@ def run_envelope_apply(
     cadence — until someone runs maintenance by hand. Compaction is
     keyed off the checkpointed epoch id, so the cadence survives
     restarts; it preserves data byte-for-byte, so a crash between
-    apply and compact changes nothing on replay, and a crash INSIDE
-    the compaction's directory swap is repaired by
+    apply and compact changes nothing on replay. A crash INSIDE a
+    flat-table compaction's staging swap is repaired by
     ``operators.apply._recover_swap`` (invoked at the start of every
-    apply/compact/read) before the replayed batch merges."""
+    apply/compact/read) before the replayed batch merges; partitioned
+    compaction instead commits per-partition via dynamic overwrite —
+    the same (non-table-atomic) semantics as the partitioned merge
+    itself."""
     key = key or cfg.document_key
     feed = read_envelope_feed(
         spark,

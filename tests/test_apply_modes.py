@@ -481,3 +481,77 @@ def test_vacuum_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert not os.path.isdir(f"{wh}/region=apac")  # dead-only dir removed
     raw = spark.read.option("mergeSchema", "true").parquet(wh)
     assert {r["id"] for r in raw.collect()} == {"a", "c"}
+
+
+def test_vacuum_numeric_string_partitions_round_trip(spark, tmp_path):
+    """Zero-padded numeric string partition values (month=01) are the
+    canonical hive-inference trap: a subset read infers int and
+    re-renders month=1. The vacuum must keep live rows in the touched
+    partition, drop the tombstone, and never create a re-typed dir."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_tombstones,
+    )
+
+    wh = str(tmp_path / "wh_numpart")
+    spark.createDataFrame(
+        [
+            ("a", "01", "1", False),   # live, same partition as the dead row
+            ("b", "01", "2", True),    # dead tombstone
+            ("c", "10", "3", False),   # live, other partition
+        ],
+        "id string, month string, _seq string, _deleted boolean",
+    ).write.partitionBy("month").parquet(wh)
+    assert vacuum_tombstones(
+        spark, wh, before_seq=10, partition_by=["month"]
+    ) == 1
+    dirs = sorted(d for d in os.listdir(wh) if d.startswith("month="))
+    assert dirs == ["month=01", "month=10"], dirs  # no month=1 re-render
+    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    assert {r["id"] for r in raw.collect()} == {"a", "c"}  # live rows kept
+
+
+def test_partitioned_compaction_numeric_string_partitions(spark, tmp_path):
+    """Compacting a fragmented month=01 partition must rewrite INTO
+    month=01, not into a re-typed month=1 twin (which would duplicate
+    every row), and must ignore hidden staging leftovers."""
+    import glob
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "pc_num")
+    df = spark.createDataFrame(
+        [(i, "01") for i in range(60)] + [(i, "10") for i in range(10)],
+        "id long, month string",
+    )
+    for i in range(6):  # fragment month=01
+        df.filter((F.col("month") == "01") & (F.col("id") % 6 == i)).coalesce(
+            1
+        ).write.mode("append").partitionBy("month").parquet(path)
+    df.filter(F.col("month") == "10").coalesce(1).write.mode(
+        "append"
+    ).partitionBy("month").parquet(path)
+    # hidden staging leftover from a hypothetical crashed write: must be
+    # invisible to the fragmentation walk
+    staged = os.path.join(path, ".spark-staging-test", "month=01")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-zzz.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    rows_before = sorted(
+        (r["id"], r["month"]) for r in spark.read.parquet(path).collect()
+    )
+    compact_parquet(spark, path, target_file_bytes=1 << 30, partition_by=["month"])
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("month=")
+    )
+    assert dirs == ["month=01", "month=10"], dirs
+    assert len(glob.glob(f"{path}/month=01/*.parquet")) == 1
+    rows_after = sorted(
+        (r["id"], r["month"]) for r in spark.read.parquet(path).collect()
+    )
+    assert rows_after == rows_before  # no duplication, no loss
