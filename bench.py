@@ -73,6 +73,7 @@ HEADLINE = [
     "moving_7d_revenue",
     "text_benchmark_contamination",
     "embedding_pq_full_rerank",
+    "dedup_incremental_vs_corpus",
 ]
 
 

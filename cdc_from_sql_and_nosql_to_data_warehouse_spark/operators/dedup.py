@@ -783,3 +783,279 @@ def fuzzy_dedup_survivors(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new arrivals vs a persisted corpus index.
+#
+# The standard production shape at 100 TB: the corpus is tokenized,
+# minhashed, and banded ONCE (build_minhash_index persists the banded
+# bucket membership + hashed shingle sets); each ingest batch then
+# probes that index (incremental_near_dup_pairs) instead of re-running
+# the full self-join funnel. Probe cost is O(|batch| x bands) emitted
+# rows joined against the index — the corpus is never re-tokenized and
+# never paired against itself again.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_geometry(
+    threshold: float, num_hashes: int, bands: int | None
+) -> tuple[int, int, int]:
+    """(rows, bands, max_diff) for the banded funnel + packed prefilter —
+    the same derivation minhash_near_dup_pairs uses (see its docstring
+    for the recall math)."""
+    import math
+
+    if num_hashes % 32 != 0 or num_hashes <= 0:
+        raise ValueError(
+            "num_hashes must be a positive multiple of 32, got "
+            f"{num_hashes}"
+        )
+    if bands is not None:
+        rows = num_hashes // bands
+    else:
+        rows = adaptive_band_rows(threshold, num_hashes)
+        bands = minimal_bands(threshold, rows, num_hashes)
+    p_t = (3.0 * threshold + 1.0) / 4.0
+    margin_s = 5.0 * (4.0 / 3.0) * math.sqrt(p_t * (1.0 - p_t) / num_hashes)
+    max_diff = int(num_hashes * 3.0 * (1.0 - threshold + margin_s) / 4.0)
+    return rows, bands, max_diff
+
+
+def _minhash_projections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    num_hashes: int,
+    seed: int,
+    rows: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, banded) projections shared by the symmetric funnel and
+    the index build/probe: shingles = (id, _sh: array<long>) with the
+    token n-grams hashed to 64-bit longs; banded = (id, _psig, band,
+    bucket) with the packed 2-bit prefilter signature carried on every
+    membership row."""
+    shingled = df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(token_ngrams(text_col, ngram), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
+    )
+    sigs = shingled.select(
+        F.col(id_col),
+        minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        _pack_low2(F.col("_sig"), num_hashes).alias("_psig"),
+        F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bb"),
+    ).select(id_col, "_psig", "bb.band", "bb.bucket")
+    return shingled, banded
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.9,
+    ngram: int = 1,
+    num_hashes: int = 128,
+    bands: int | None = None,
+    seed: int = 42,
+    bucket_cap: int = 8192,
+) -> dict:
+    """Persist the probe-side state of MinHash-LSH dedup for a corpus.
+
+    Layout under ``index_path``:
+
+    - ``banded/``     (id, _psig, band, bucket) — one row per banded
+      bucket membership; fixed-width columns only, never bodies.
+    - ``shingles/``   (id, _sh: array<long>) — hashed token n-gram sets
+      for the exact-verify stage.
+    - ``bigbuckets/`` (band, bucket, _g) — buckets whose member count
+      exceeds ``bucket_cap``, with their salt fan-out g = ceil(m/cap).
+      Computed once at build time so probes pay no size aggregate.
+    - ``meta.json``   geometry + seed, written ATOMICALLY LAST (tmp +
+      rename) — its presence marks a complete index.
+
+    The probe join binds on (band, bucket), so at warehouse scale the
+    ``banded/`` table is the natural candidate for a bucketed
+    (``bucketBy(n, "band", "bucket")``) layout, which removes the
+    corpus-side shuffle from every probe; the parquet layout here keeps
+    the index self-contained (no metastore) and the probe instead
+    relies on the batch side being broadcast-small — see
+    ``incremental_near_dup_pairs``.
+
+    Returns the meta dict.
+    """
+    import json
+    import os
+
+    rows, bands, max_diff = _minhash_geometry(threshold, num_hashes, bands)
+    shingled, banded = _minhash_projections(
+        df, id_col, text_col, ngram, num_hashes, seed, rows, bands
+    )
+    shingled.write.mode("overwrite").parquet(os.path.join(index_path, "shingles"))
+    banded.write.mode("overwrite").parquet(os.path.join(index_path, "banded"))
+    spark = df.sparkSession
+    spark.read.parquet(os.path.join(index_path, "banded")).groupBy(
+        "band", "bucket"
+    ).agg(F.count("*").alias("_m")).filter(F.col("_m") > bucket_cap).select(
+        "band",
+        "bucket",
+        F.greatest(F.lit(1), F.ceil(F.col("_m") / bucket_cap))
+        .cast("int")
+        .alias("_g"),
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "bigbuckets"))
+    meta = {
+        "id_col": id_col,
+        "threshold": threshold,
+        "ngram": ngram,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows": rows,
+        "max_diff": max_diff,
+        "seed": seed,
+        "bucket_cap": bucket_cap,
+    }
+    tmp = os.path.join(index_path, f"meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_path, "meta.json"))
+    return meta
+
+
+def minhash_index_meta(index_path: str) -> dict | None:
+    """Meta of a COMPLETE index at ``index_path`` (None if absent)."""
+    import json
+    import os
+
+    p = os.path.join(index_path, "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def incremental_near_dup_pairs(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Near-duplicate pairs between NEW documents and an indexed corpus:
+    exact Jaccard >= the index's threshold, as (corpus_id, new_id,
+    jaccard).
+
+    Asymmetric three-stage funnel against ``build_minhash_index``'s
+    persisted state (geometry, seed, and prefilter margin come from the
+    index's meta, so probe-side signatures are bucket-compatible by
+    construction and the recall floor of the symmetric funnel carries
+    over unchanged — each pair has one side in the corpus and one in
+    the batch, banded identically):
+
+    1. bucket join — the batch's (id, _psig, band, bucket) rows join
+       the index's ``banded/`` table on (band, bucket). The batch side
+       is ingest-batch-sized, so AQE broadcasts it and the corpus side
+       streams through unshuffled. Buckets listed in ``bigbuckets/``
+       (degenerate at build time) are salted: the corpus member keeps
+       salt hash(id) mod g, the batch member replicates to all g salts
+       — same guarantee as the symmetric salted split, every
+       (corpus, new) pair still meets in exactly one salt per band.
+    2. packed-signature prefilter, evaluated INSIDE the bucket join
+       (meta's ``max_diff``), so implausible pairs never reach the
+       candidate distinct.
+    3. exact verify — hashed shingle sets are attached for survivors
+       only (the corpus side from ``shingles/``, again with the
+       candidate side broadcast-small) and true Jaccard is computed,
+       so the output equals the brute-force batch-vs-corpus answer.
+
+    The corpus is never re-tokenized, re-hashed, or self-joined; probe
+    cost is one scan of ``banded/`` + one semi-join-shaped scan of
+    ``shingles/`` per batch.
+    """
+    import os
+
+    meta = minhash_index_meta(index_path)
+    if meta is None:
+        raise ValueError(f"no complete minhash index at {index_path}")
+    n_longs = meta["num_hashes"] // 32
+    cid = meta["id_col"]  # corpus-side column name, fixed at build time
+    _shingled, banded_new = _minhash_projections(
+        new_df,
+        id_col,
+        text_col,
+        meta["ngram"],
+        meta["num_hashes"],
+        meta["seed"],
+        meta["rows"],
+        meta["bands"],
+    )
+    shingled_new = _shingled.persist()
+    big = F.broadcast(
+        spark.read.parquet(os.path.join(index_path, "bigbuckets"))
+    )
+    corpus = (
+        spark.read.parquet(os.path.join(index_path, "banded"))
+        .join(big, ["band", "bucket"], "left")
+        .select(
+            F.col(cid).alias("_id_c"),
+            F.col("_psig").alias("_psig_c"),
+            "band",
+            "bucket",
+            F.pmod(F.xxhash64(F.col(cid)), F.coalesce(F.col("_g"), F.lit(1)))
+            .cast("int")
+            .alias("_salt"),
+        )
+    )
+    batch = (
+        banded_new.join(big, ["band", "bucket"], "left")
+        .select(
+            F.col(id_col).alias("_id_n"),
+            F.col("_psig").alias("_psig_n"),
+            "band",
+            "bucket",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("_g"), F.lit(1)) - 1)
+            ).alias("_salt"),
+        )
+    )
+    candidates = (
+        corpus.join(
+            batch,
+            ["band", "bucket", "_salt"],
+        )
+        .filter(
+            _lane2_disagreements(n_longs, "_psig_c", "_psig_n")
+            <= meta["max_diff"]
+        )
+        .select("_id_c", "_id_n")
+        .distinct()
+    )
+    corpus_sh = spark.read.parquet(os.path.join(index_path, "shingles")).select(
+        F.col(cid).alias("_id_c"),
+        F.col("_sh").alias("_sh_c"),
+        F.size("_sh").alias("_n_c"),
+    )
+    batch_sh = shingled_new.select(
+        F.col(id_col).alias("_id_n"),
+        F.col("_sh").alias("_sh_n"),
+        F.size("_sh").alias("_n_n"),
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_c"), F.col("_sh_n")))
+    return (
+        candidates.join(corpus_sh, "_id_c")
+        .join(batch_sh, "_id_n")
+        .select(
+            F.col("_id_c").alias("corpus_id"),
+            F.col("_id_n").alias("new_id"),
+            (
+                inter.cast("double") / (F.col("_n_c") + F.col("_n_n") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= meta["threshold"])
+    )

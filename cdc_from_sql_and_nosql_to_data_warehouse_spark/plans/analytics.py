@@ -703,39 +703,11 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q4_orders_with_returns_exists certifies the identical semi-join shape.)
 
 
-# ---------------------------------------------------------------------------
-# Q13-shaped distribution: customers per order-count bucket (left outer
-# join keeps zero-order customers).
-# ---------------------------------------------------------------------------
-@register_query(
-    "customer_order_count_distribution",
-    oracle="""
-    WITH per_cust AS (
-      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
-      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_custkey
-    )
-    SELECT n_orders, count(*) AS n_customers
-    FROM per_cust GROUP BY n_orders
-    ORDER BY n_customers DESC, n_orders DESC
-    """,
-)
-def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # orders pre-aggregates to (custkey, count) before the join, so the
-    # join and second shuffle carry one row per customer, not per order —
-    # the formulation that survives a 100x orders table (same plan policy
-    # as q13_customer_order_distribution).
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("_n"))
-    per_cust = customer.join(
-        counts, customer.c_custkey == counts.o_custkey, "left"
-    ).select(F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_orders"))
-    return (
-        per_cust.groupBy("n_orders")
-        .agg(F.count("*").alias("n_customers"))
-        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
-    )
+# (A Q13-shaped "customer_order_count_distribution" query lived here
+# through round 4; retired in round 5 under the registry size budget —
+# q13_customer_order_distribution certifies the identical pre-aggregated
+# left-join distribution shape, plus a join-predicate filter — when
+# dedup_incremental_vs_corpus was added.)
 
 
 # ---------------------------------------------------------------------------

@@ -1145,3 +1145,55 @@ def text_token_docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new arrivals probed against a PERSISTED corpus
+# index (build-once / probe-many — the production shape for continuous
+# ingestion at 100 TB, where re-running the full self-join funnel per
+# batch would re-pay the whole corpus every 5-minute trigger). The
+# corpus here is documents with doc_id % 20 != 0; the "new batch" is
+# the other 5%. The index (banded buckets + hashed shingles + big-
+# bucket salt plan) is persisted keyed by a content fingerprint of the
+# corpus directory — same staleness-proof scheme as the ANN quantizer
+# cache — so repeated runs measure probe cost, not build cost, which
+# is exactly the operator's claim. Output equals the brute-force
+# batch-vs-corpus answer (the LSH funnel is recall-~1 at the
+# threshold and survivors are exact-verified).
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_incremental_vs_corpus",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sh
+      FROM documents
+    ), c AS (
+      SELECT * FROM t WHERE doc_id % 20 <> 0
+    ), n AS (
+      SELECT * FROM t WHERE doc_id % 20 = 0
+    )
+    SELECT c.doc_id AS corpus_id, n.doc_id AS new_id,
+           len(list_intersect(c.sh, n.sh))::DOUBLE
+             / len(list_distinct(c.sh || n.sh)) AS jaccard
+    FROM c, n
+    WHERE len(list_intersect(c.sh, n.sh))::DOUBLE
+            / len(list_distinct(c.sh || n.sh)) >= 0.9
+    ORDER BY corpus_id, new_id
+    """,
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    new = docs.filter(F.col("doc_id") % 20 == 0)
+    fp = SIM._corpus_fingerprint(f"{sf_dir}::minhash_inc")
+    index_path = os.path.join(SIM._index_cache_dir(), f"minhash_{fp}")
+    if DD.minhash_index_meta(index_path) is None:
+        DD.build_minhash_index(
+            corpus, "doc_id", "text", index_path, threshold=0.9, ngram=1
+        )
+    return DD.incremental_near_dup_pairs(
+        spark, index_path, new, "doc_id", "text"
+    ).orderBy("corpus_id", "new_id")
