@@ -153,6 +153,41 @@ def test_near_dup_clusters_checkpoint_interval_invariant(spark):
         assert got == expected
 
 
+def test_near_dup_clusters_contraction_equivalence(spark):
+    """The star-contraction pre-pass (contract=True, the default) must
+    give identical clusters to plain propagation on random graphs —
+    including the bridge shape where naive min-neighbor edge KEEPING
+    (as opposed to contraction) would split a component."""
+    import random
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import near_dup_clusters
+
+    cases = [
+        # bridge (5,6) between {1,5} and {2,6}: min-neighbor edge
+        # selection drops the bridge; contraction must not.
+        [(1, 5), (2, 6), (5, 6)],
+    ]
+    rng = random.Random(13)
+    for _ in range(4):
+        n = rng.randint(3, 30)
+        edges = set()
+        for _ in range(rng.randint(2, 50)):
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        cases.append(sorted(edges))
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        with_c = {
+            (r["doc_id"], r["cluster_id"])
+            for r in near_dup_clusters(pairs, contract=True).collect()
+        }
+        without_c = {
+            (r["doc_id"], r["cluster_id"])
+            for r in near_dup_clusters(pairs, contract=False).collect()
+        }
+        assert with_c == without_c, edges
+
+
 def test_fuzzy_dedup_survivors(spark):
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import fuzzy_dedup_survivors
 
