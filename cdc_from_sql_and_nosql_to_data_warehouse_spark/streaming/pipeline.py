@@ -349,3 +349,172 @@ def run_envelope_apply_bucketed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    doc_schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    ngram: int = 1,
+    num_hashes: int = 128,
+    max_files_per_trigger: int = 16,
+    rebuild_bigbuckets_every_n_batches: int | None = None,
+):
+    """Continuous corpus curation: NDJSON document files -> per-batch
+    dedup -> survivors appended to both the kept corpus and the minhash
+    index, so every later batch dedups against everything accepted so
+    far.
+
+    Per micro-batch: (a) within-batch fuzzy dedup keeps the min-id
+    representative per near-dup cluster (``fuzzy_dedup_survivors``);
+    (b) the representatives are probed against the persisted index
+    (``incremental_near_dup_pairs``) and any doc near-duplicating an
+    already-accepted one is dropped — arrival order wins, the standard
+    policy for a growing training corpus. Survivors land in
+    ``survivors_path`` and their banded/shingle projections are
+    appended to the index, all under ``batch={epoch_id}`` directories:
+    a replayed micro-batch (crash before the checkpoint commit)
+    OVERWRITES its own epoch directories instead of appending
+    duplicates, so the pipeline converges under at-least-once replay
+    exactly like the CDC apply hops. The index is bootstrapped from the
+    first batch (meta written atomically last, same contract as
+    ``build_minhash_index``).
+
+    ``bigbuckets`` staleness is safe by construction — an oversized
+    bucket that grew after build simply probes unsalted (g defaults to
+    1), a skew/performance matter, not correctness;
+    ``rebuild_bigbuckets_every_n_batches`` recomputes the salt plan
+    from the full banded table on that cadence.
+
+    At 100 TB: each batch pays one broadcast probe against the banded
+    index scan; the accepted corpus is never re-tokenized, and index
+    growth is one epoch directory of fixed-width rows per trigger —
+    the same small-file profile as the staged CDC feeds, compactable
+    with ``maintenance.compact_parquet`` on the index directories.
+    """
+    import json
+    import os
+
+    from ..operators.dedup import (
+        _minhash_geometry,
+        _minhash_projections,
+        fuzzy_dedup_survivors,
+        incremental_near_dup_pairs,
+        minhash_index_meta,
+    )
+
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(f"{source_dir}/*.json")
+    )
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        kept = fuzzy_dedup_survivors(
+            batch, id_col, text_col, threshold=threshold, ngram=ngram
+        )
+        meta = minhash_index_meta(index_path)
+        if meta is not None:
+            dup_ids = incremental_near_dup_pairs(
+                spark, index_path, kept, id_col, text_col
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            kept = kept.join(dup_ids, id_col, "left_anti")
+            rows, bands, max_diff = (
+                meta["rows"],
+                meta["bands"],
+                meta["max_diff"],
+            )
+            seed, nh, ng = meta["seed"], meta["num_hashes"], meta["ngram"]
+        else:
+            rows, bands, max_diff = _minhash_geometry(
+                threshold, num_hashes, None
+            )
+            seed, nh, ng = 42, num_hashes, ngram
+        # epoch-keyed, overwrite-on-replay writes: survivors first (the
+        # user-visible output), then the index projections the NEXT
+        # batch dedups against. kept is evaluated up to 3x; it is
+        # batch-sized, so localCheckpoint pins it without a lineage
+        # that re-probes the index per action.
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch={epoch_id}")
+        )
+        shingled, banded = _minhash_projections(
+            kept, id_col, text_col, ng, nh, seed, rows, bands
+        )
+        banded.write.mode("overwrite").parquet(
+            os.path.join(index_path, "banded", f"batch={epoch_id}")
+        )
+        shingled.write.mode("overwrite").parquet(
+            os.path.join(index_path, "shingles", f"batch={epoch_id}")
+        )
+        if meta is None:
+            # first batch bootstraps the salt plan (usually empty) and
+            # the meta, atomically last — a crash before this point
+            # leaves no meta, and the replay re-bootstraps.
+            bucket_cap = 8192
+            spark.read.parquet(os.path.join(index_path, "banded")).groupBy(
+                "band", "bucket"
+            ).agg(F.count("*").alias("_m")).filter(
+                F.col("_m") > bucket_cap
+            ).select(
+                "band",
+                "bucket",
+                F.greatest(F.lit(1), F.ceil(F.col("_m") / bucket_cap))
+                .cast("int")
+                .alias("_g"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_path, "bigbuckets")
+            )
+            meta = {
+                "id_col": id_col,
+                "threshold": threshold,
+                "ngram": ng,
+                "num_hashes": nh,
+                "bands": bands,
+                "rows": rows,
+                "max_diff": max_diff,
+                "seed": seed,
+                "bucket_cap": bucket_cap,
+            }
+            tmp = os.path.join(index_path, f"meta.json.tmp.{os.getpid()}")
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, os.path.join(index_path, "meta.json"))
+        elif (
+            rebuild_bigbuckets_every_n_batches
+            and (epoch_id + 1) % rebuild_bigbuckets_every_n_batches == 0
+        ):
+            cap = meta["bucket_cap"]
+            plan = (
+                spark.read.parquet(os.path.join(index_path, "banded"))
+                .groupBy("band", "bucket")
+                .agg(F.count("*").alias("_m"))
+                .filter(F.col("_m") > cap)
+                .select(
+                    "band",
+                    "bucket",
+                    F.greatest(F.lit(1), F.ceil(F.col("_m") / cap))
+                    .cast("int")
+                    .alias("_g"),
+                )
+                .localCheckpoint(eager=True)  # read fully before overwrite
+            )
+            plan.write.mode("overwrite").parquet(
+                os.path.join(index_path, "bigbuckets")
+            )
+
+    return (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
