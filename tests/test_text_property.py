@@ -265,3 +265,40 @@ def test_minhash_pairs_lazy_equals_eager(spark):
         }
 
     assert pairs(False) == pairs(True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(words, min_size=2, max_size=8))
+def test_incremental_pairs_match_bruteforce(spark, texts):
+    """The asymmetric batch-vs-indexed-corpus funnel equals brute-force
+    cross Jaccard on arbitrary small corpora — the recall-1 + exact-
+    verify property of the symmetric funnel must carry over to the
+    persisted-index probe path."""
+    import tempfile
+
+    half = max(1, len(texts) // 2)
+    corpus, new = texts[:half], texts[half:] or [texts[0]]
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["i", "t"]
+    )
+    ndf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(new)], ["i", "t"]
+    )
+    idx = tempfile.mkdtemp(prefix="hyp_inc_idx_")
+    DD.build_minhash_index(cdf, "i", "t", idx, threshold=0.6)
+    got = {
+        (r["corpus_id"], r["new_id"])
+        for r in DD.incremental_near_dup_pairs(spark, idx, ndf, "i", "t").collect()
+    }
+
+    def jacc(a: str, b: str) -> float:
+        sa, sb = set(_py_tokens_split(a)), set(_py_tokens_split(b))
+        return len(sa & sb) / len(sa | sb) if sa | sb else math.nan
+
+    want = {
+        (ci, 1000 + ni)
+        for ci in range(len(corpus))
+        for ni in range(len(new))
+        if jacc(corpus[ci], new[ni]) >= 0.6
+    }
+    assert got == want, (corpus, new, got, want)
