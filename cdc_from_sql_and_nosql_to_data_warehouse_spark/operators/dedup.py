@@ -659,6 +659,7 @@ def near_dup_clusters(
     max_iterations: int = 20,
     checkpoint_interval: int = 3,
     contract: bool = True,
+    driver_finish_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph -> (doc_id,
     cluster_id), cluster_id = min doc_id reachable. The step LLM
@@ -698,6 +699,18 @@ def near_dup_clusters(
     min is always its own representative: it has no smaller neighbor,
     so m(min) = min). Identical output with the flag off; the pre-pass
     is two aggregates + a relabel join over the edge list, all linear.
+
+    When the (post-contraction) edge list fits
+    ``driver_finish_max_edges``, the components are finished exactly
+    with a driver-side union-find instead of iterated Spark rounds —
+    the two-level design standard for distributed CC (contract until
+    small, finish centrally): a propagation round over a tiny residual
+    graph costs fixed scheduler overhead per shuffle stage, several
+    times the actual work. The gate is a size check on an
+    already-materialized checkpoint (16 bytes/edge collected; the
+    default admits ~16 MB), so at 100 TB a still-large residual keeps
+    the fully distributed loop. ``driver_finish_max_edges=0`` disables
+    the central finish.
 
     Deterministic output; isolated docs (no pairs) are absent — union
     the corpus back with cluster_id = doc_id for a full assignment.
@@ -739,6 +752,58 @@ def near_dup_clusters(
         )
     else:
         edges = sym.distinct().localCheckpoint(eager=True)
+
+    def _finish(labels: DataFrame) -> DataFrame:
+        if contraction is None:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        # v's component label = residual label of its representative
+        # m(v); a representative whose whole cluster collapsed has no
+        # residual edges (absent from labels) and IS the cluster min.
+        return contraction.join(
+            labels, contraction._m == labels.node, "left"
+        ).select(
+            F.col("src").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("_m")).alias("cluster_id"),
+        )
+
+    if (
+        driver_finish_max_edges
+        and edges.count() <= driver_finish_max_edges
+    ):
+        # central finish on the (small, already-checkpointed) residual
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["src"], r["dst"])}
+        from pyspark.sql import types as T
+
+        id_type = edges.schema["src"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("node", id_type, False),
+                T.StructField("label", id_type, False),
+            ]
+        )
+        labels = pairs.sparkSession.createDataFrame(
+            [(v, find(v)) for v in sorted(nodes)], out_schema
+        )
+        return _finish(labels)
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -807,20 +872,7 @@ def near_dup_clusters(
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iterations} iterations"
         )
-    if contraction is not None:
-        # v's component label = residual label of its representative
-        # m(v); a representative whose whole cluster collapsed has no
-        # residual edges (absent from labels) and IS the cluster min.
-        return (
-            contraction.join(
-                labels, contraction._m == labels.node, "left"
-            )
-            .select(
-                F.col("src").alias("doc_id"),
-                F.coalesce(F.col("label"), F.col("_m")).alias("cluster_id"),
-            )
-        )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return _finish(labels)
 
 
 def fuzzy_dedup_survivors(

@@ -177,15 +177,19 @@ def test_near_dup_clusters_contraction_equivalence(spark):
         cases.append(sorted(edges))
     for edges in cases:
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
-        with_c = {
-            (r["doc_id"], r["cluster_id"])
-            for r in near_dup_clusters(pairs, contract=True).collect()
-        }
-        without_c = {
-            (r["doc_id"], r["cluster_id"])
-            for r in near_dup_clusters(pairs, contract=False).collect()
-        }
-        assert with_c == without_c, edges
+        results = [
+            {
+                (r["doc_id"], r["cluster_id"])
+                for r in near_dup_clusters(
+                    pairs, contract=c, driver_finish_max_edges=d
+                ).collect()
+            }
+            # all four paths: ± star contraction x ± central union-find
+            # finish (d=0 forces the distributed propagation loop)
+            for c in (True, False)
+            for d in (1_000_000, 0)
+        ]
+        assert results[0] == results[1] == results[2] == results[3], edges
 
 
 def test_fuzzy_dedup_survivors(spark):
