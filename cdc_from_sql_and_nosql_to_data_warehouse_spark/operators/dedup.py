@@ -939,18 +939,24 @@ def _minhash_projections(
     seed: int,
     rows: int,
     bands: int,
+    shingled: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(shingles, banded) projections shared by the symmetric funnel and
     the index build/probe: shingles = (id, _sh: array<long>) with the
     token n-grams hashed to 64-bit longs; banded = (id, _psig, band,
     bucket) with the packed 2-bit prefilter signature carried on every
-    membership row."""
-    shingled = df.select(
-        F.col(id_col),
-        F.array_sort(
-            F.transform(token_ngrams(text_col, ngram), lambda s: F.xxhash64(s))
-        ).alias("_sh"),
-    )
+    membership row. Pass a prepared ``shingled`` (checkpointed or read
+    back from disk) to derive the banding from it instead of
+    re-tokenizing ``df``."""
+    if shingled is None:
+        shingled = df.select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(
+                    token_ngrams(text_col, ngram), lambda s: F.xxhash64(s)
+                )
+            ).alias("_sh"),
+        )
     sigs = shingled.select(
         F.col(id_col),
         minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
@@ -1003,12 +1009,25 @@ def build_minhash_index(
     import os
 
     rows, bands, max_diff = _minhash_geometry(threshold, num_hashes, bands)
-    shingled, banded = _minhash_projections(
+    shingled, _ = _minhash_projections(
         df, id_col, text_col, ngram, num_hashes, seed, rows, bands
     )
     shingled.write.mode("overwrite").parquet(os.path.join(index_path, "shingles"))
-    banded.write.mode("overwrite").parquet(os.path.join(index_path, "banded"))
     spark = df.sparkSession
+    # banding reads the WRITTEN shingles back, so the corpus is
+    # tokenized exactly once across the whole build
+    _, banded = _minhash_projections(
+        df,
+        id_col,
+        text_col,
+        ngram,
+        num_hashes,
+        seed,
+        rows,
+        bands,
+        shingled=spark.read.parquet(os.path.join(index_path, "shingles")),
+    )
+    banded.write.mode("overwrite").parquet(os.path.join(index_path, "banded"))
     spark.read.parquet(os.path.join(index_path, "banded")).groupBy(
         "band", "bucket"
     ).agg(F.count("*").alias("_m")).filter(F.col("_m") > bucket_cap).select(
@@ -1093,17 +1112,24 @@ def incremental_near_dup_pairs(
         raise ValueError(f"no complete minhash index at {index_path}")
     n_longs = meta["num_hashes"] // 32
     cid = meta["id_col"]  # corpus-side column name, fixed at build time
-    _shingled, banded_new = _minhash_projections(
-        new_df,
-        id_col,
-        text_col,
+    geo = (
         meta["ngram"],
         meta["num_hashes"],
         meta["seed"],
         meta["rows"],
         meta["bands"],
     )
-    shingled_new = _shingled.persist()
+    _shingled, _ = _minhash_projections(new_df, id_col, text_col, *geo)
+    # eager checkpoint, not persist: the batch projections feed both
+    # the banding and the verify stage, and inside a long-running
+    # streaming hop a per-batch persist would accumulate cache blocks
+    # until the ContextCleaner happens to run; the checkpoint is
+    # batch-sized, tokenizes the batch exactly once, and is released
+    # with the DataFrame.
+    shingled_new = _shingled.localCheckpoint(eager=True)
+    _, banded_new = _minhash_projections(
+        new_df, id_col, text_col, *geo, shingled=shingled_new
+    )
     big = F.broadcast(
         spark.read.parquet(os.path.join(index_path, "bigbuckets"))
     )

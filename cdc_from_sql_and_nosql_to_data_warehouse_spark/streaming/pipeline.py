@@ -447,14 +447,25 @@ def run_streaming_dedup(
         kept.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch={epoch_id}")
         )
-        shingled, banded = _minhash_projections(
+        shingled, _ = _minhash_projections(
             kept, id_col, text_col, ng, nh, seed, rows, bands
+        )
+        sh_dir = os.path.join(index_path, "shingles", f"batch={epoch_id}")
+        shingled.write.mode("overwrite").parquet(sh_dir)
+        # banding reads the written shingles back: one tokenize per batch
+        _, banded = _minhash_projections(
+            kept,
+            id_col,
+            text_col,
+            ng,
+            nh,
+            seed,
+            rows,
+            bands,
+            shingled=spark.read.parquet(sh_dir),
         )
         banded.write.mode("overwrite").parquet(
             os.path.join(index_path, "banded", f"batch={epoch_id}")
-        )
-        shingled.write.mode("overwrite").parquet(
-            os.path.join(index_path, "shingles", f"batch={epoch_id}")
         )
         if meta is None:
             # first batch bootstraps the salt plan (usually empty) and
