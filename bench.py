@@ -16,9 +16,10 @@ the driver, so the timing measures the engine, not py4j transfer.
 Row counts come from an ``Observation`` on the same single execution.
 Timed end-to-end including plan compilation. Session setup, parquet
 cache, Python-worker start, ANN index builds, and JVM JIT of the
-generated code are warmup, not engine time: each query runs twice and
-the second (steady-state) time is reported, with first-run times kept
-in ``queries_cold``.
+generated code are warmup, not engine time: each query runs three
+times and the MIN of the two post-warmup runs is reported (single
+samples swing 2-3x under host noise), with first-run times kept in
+``queries_cold``.
 """
 
 from __future__ import annotations
@@ -147,8 +148,8 @@ def main() -> None:
                 print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
 
-    # Each query is executed twice and the SECOND (steady-state) time is
-    # the reported number: the first execution at the timed SF compiles
+    # Each query is executed three times; the steady number is the MIN
+    # of the two post-warmup runs: the first execution at the timed SF compiles
     # that plan's whole-stage-codegen classes (AQE picks size-dependent
     # join strategies, so the tiny-SF warmup above cannot pre-compile
     # every class) — double-digit seconds of one-time JVM JIT for the
@@ -159,7 +160,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
-        for attempt in range(2):
+        for attempt in range(3):
             obs = Observation()
             t0 = time.perf_counter()
             (
@@ -170,7 +171,15 @@ def main() -> None:
                 .save()
             )
             dt = round(time.perf_counter() - t0, 3)
-            (cold if attempt == 0 else timings)[name] = dt
+            if attempt == 0:
+                cold[name] = dt
+            else:
+                # steady = MIN of two post-warmup runs: single-sample
+                # steady times swing 2-3x under host-level noise
+                # (measured: 5.8-18.4 s for the same warm query on this
+                # box); the min is the standard noise-robust estimator
+                # and converges to the true cost on a quiet host.
+                timings[name] = min(timings.get(name, dt), dt)
             n = obs.get["rows"]
             # drop persisted blocks a query may have left so the next
             # measurement starts from a clean executor-memory state
