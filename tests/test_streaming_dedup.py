@@ -123,3 +123,20 @@ def test_bigbuckets_rebuild_cadence(spark, tmp_path):
     # rebuilt at epoch 1 (and bootstrap at epoch 0); no oversized
     # buckets on this corpus, so the plan is empty but readable
     assert spark.read.parquet(bb).count() == 0
+
+
+def test_all_dup_batch_writes_empty_epoch(spark, tmp_path):
+    """A later batch whose every doc near-duplicates the corpus keeps
+    nothing: the epoch dirs are written empty (schema-only parquet) and
+    downstream reads must still work."""
+    src = str(tmp_path / "src")
+    _write_docs(src, "b1.json", [(1, BASE), (2, "pack my box with jugs")])
+    _write_docs(src, "b2.json", [(10, BASE), (11, BASE + " truly")])
+    _run(spark, tmp_path)
+    assert _kept_ids(spark, tmp_path) == {1, 2}
+    sh = spark.read.parquet(os.path.join(str(tmp_path / "idx"), "shingles"))
+    assert {r["doc_id"] for r in sh.collect()} == {1, 2}
+    # a third, post-empty-epoch batch still dedups correctly
+    _write_docs(src, "b3.json", [(20, "sphinx of black quartz"), (21, BASE)])
+    _run(spark, tmp_path)
+    assert _kept_ids(spark, tmp_path) == {1, 2, 20}
