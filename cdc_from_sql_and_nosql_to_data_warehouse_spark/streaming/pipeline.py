@@ -395,8 +395,11 @@ def run_streaming_dedup(
     At 100 TB: each batch pays one broadcast probe against the banded
     index scan; the accepted corpus is never re-tokenized, and index
     growth is one epoch directory of fixed-width rows per trigger —
-    the same small-file profile as the staged CDC feeds, compactable
-    with ``maintenance.compact_parquet`` on the index directories.
+    the same small-file profile as the staged CDC feeds. Compact the
+    index directories with ``maintenance.compact_parquet`` only while
+    the stream is STOPPED: the epoch directory is the unit of replay
+    idempotence, so merging epochs out from under a live query would
+    let a replayed micro-batch re-append rows the merge already holds.
     """
     import json
     import os
