@@ -881,11 +881,14 @@ def fuzzy_dedup_survivors(
     text_col: str,
     threshold: float = 0.9,
     ngram: int = 1,
+    num_hashes: int = 128,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: pairs -> clusters -> min-id survivor per
     cluster, plus every unpaired document. The output is the kept
     corpus."""
-    pairs = minhash_near_dup_pairs(df, id_col, text_col, threshold, ngram)
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, threshold, ngram, num_hashes=num_hashes
+    )
     clusters = near_dup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)

@@ -421,10 +421,15 @@ def run_streaming_dedup(
     def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.limit(1).count() == 0:
             return
-        kept = fuzzy_dedup_survivors(
-            batch, id_col, text_col, threshold=threshold, ngram=ngram
-        )
         meta = minhash_index_meta(index_path)
+        kept = fuzzy_dedup_survivors(
+            batch,
+            id_col,
+            text_col,
+            threshold=threshold,
+            ngram=ngram,
+            num_hashes=meta["num_hashes"] if meta else num_hashes,
+        )
         if meta is not None:
             dup_ids = incremental_near_dup_pairs(
                 spark, index_path, kept, id_col, text_col
