@@ -855,3 +855,116 @@ def ivf_pq_topk(
     return rescored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_incremental_near_dups(
+    accepted: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_batch_vectors: int = 100_000,
+) -> DataFrame:
+    """Semantic-dedup probe for continuous ingestion: pairs
+    (accepted_id, new_id, cos_sim) with cosine >= threshold between an
+    accepted corpus and a NEW ingest batch — the embedding twin of
+    ``dedup.incremental_near_dup_pairs``.
+
+    Design for the asymmetric case: the batch is ingest-batch-sized, so
+    its normalized vectors are collected and broadcast to every
+    partition of the accepted corpus, which streams through ONE blocked
+    GEMM per partition (``mapInPandas``) — the corpus never shuffles
+    and no index build is needed. Candidates kept at a float-rounding
+    margin are exact-verified with the sequential-fold ``cosine``
+    expression, so the output is bit-identical to the brute-force
+    answer (same verify contract as every other similarity operator
+    here).
+
+    ``max_batch_vectors`` guards the driver collect: an oversized
+    "batch" (this is a probe, not a self-join) raises rather than
+    silently materializing a corpus on the driver — use
+    ``embedding_near_dup_pairs`` on the union for corpus-vs-corpus
+    jobs.
+    """
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    rows = (
+        batch.select(
+            F.col(id_col).alias("_bid"), as_double_array(vec_col).alias("_bv")
+        )
+        .limit(max_batch_vectors + 1)
+        .collect()
+    )
+    if len(rows) > max_batch_vectors:
+        raise ValueError(
+            f"batch exceeds max_batch_vectors={max_batch_vectors}; "
+            "use embedding_near_dup_pairs on the union for "
+            "corpus-vs-corpus near-dup jobs"
+        )
+    from pyspark.sql.types import DoubleType
+
+    id_type = accepted.schema[id_col].dataType
+    if not rows:
+        out_schema = StructType(
+            [
+                StructField("accepted_id", id_type),
+                StructField("new_id", id_type),
+                StructField("cos_sim", DoubleType()),
+            ]
+        )
+        return accepted.sparkSession.createDataFrame([], out_schema)
+    bids = np.asarray([r["_bid"] for r in rows])
+    bmat = np.asarray([r["_bv"] for r in rows], dtype=np.float64)
+    bnorm = np.linalg.norm(bmat, axis=1)
+    bnorm[bnorm == 0.0] = 1.0
+    bmat = bmat / bnorm[:, None]
+    thr = float(threshold)
+    margin = 1e-9  # covers fold-vs-GEMM double rounding in the prefilter
+    sc = accepted.sparkSession.sparkContext
+    b_bids = sc.broadcast(bids)
+    b_bmat = sc.broadcast(bmat)
+
+    acc = accepted.select(
+        F.col(id_col).alias("_aid"), as_double_array(vec_col).alias("_av")
+    )
+
+    def _probe(it):
+        import pandas as pd
+
+        bm = b_bmat.value
+        bi = b_bids.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            amat = np.asarray(list(pdf["_av"]), dtype=np.float64)
+            anorm = np.linalg.norm(amat, axis=1)
+            anorm[anorm == 0.0] = 1.0
+            g = (amat / anorm[:, None]) @ bm.T
+            ii, jj = np.nonzero(g >= thr - margin)
+            if len(ii) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "_aid": pdf["_aid"].to_numpy()[ii],
+                    "_bid": bi[jj],
+                }
+            )
+
+    cand_schema = StructType(
+        [StructField("_aid", id_type), StructField("_bid", id_type)]
+    )
+    cands = acc.mapInPandas(_probe, cand_schema)
+    bexact = batch.select(
+        F.col(id_col).alias("_bid"), as_double_array(vec_col).alias("_bv")
+    )
+    return (
+        cands.join(acc, "_aid")
+        .join(F.broadcast(bexact), "_bid")
+        .select(
+            F.col("_aid").alias("accepted_id"),
+            F.col("_bid").alias("new_id"),
+            cosine(F.col("_av"), F.col("_bv")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

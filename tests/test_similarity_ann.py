@@ -171,3 +171,55 @@ def test_pq_encode_shape(spark, emb):
     for r in codes:
         assert len(r["codes"]) == 8
         assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_embedding_incremental_probe_matches_bruteforce(spark, emb):
+    """The asymmetric accepted-vs-batch probe (broadcast batch, one GEMM
+    per accepted partition, exact verify) equals brute-force cross
+    cosine pairs."""
+    import numpy as np
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
+        embedding_incremental_near_dups,
+    )
+
+    sample = emb.limit(300)
+    accepted = sample.filter(F.col("vec_id") % 5 != 0)
+    batch = sample.filter(F.col("vec_id") % 5 == 0)
+    thr = 0.2  # low threshold so the output is non-trivial
+    got = {
+        (r["accepted_id"], r["new_id"])
+        for r in embedding_incremental_near_dups(
+            accepted, batch, threshold=thr
+        ).collect()
+    }
+    a = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in accepted.collect()}
+    b = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in batch.collect()}
+    want = {
+        (ai, bi)
+        for ai, av in a.items()
+        for bi, bv in b.items()
+        if float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv))) >= thr
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_embedding_incremental_probe_guards_and_empty(spark, emb):
+    import pytest as _pytest
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
+        embedding_incremental_near_dups,
+    )
+
+    accepted = emb.limit(50)
+    with _pytest.raises(ValueError, match="max_batch_vectors"):
+        embedding_incremental_near_dups(
+            accepted, emb.limit(20), max_batch_vectors=10
+        )
+    empty = emb.filter(F.col("vec_id") < 0)
+    out = embedding_incremental_near_dups(accepted, empty)
+    assert out.count() == 0
+    assert out.columns == ["accepted_id", "new_id", "cos_sim"]
