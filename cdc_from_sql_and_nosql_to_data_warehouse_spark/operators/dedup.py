@@ -1076,6 +1076,7 @@ def incremental_near_dup_pairs(
     new_df: DataFrame,
     id_col: str,
     text_col: str,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between NEW documents and an indexed corpus:
     exact Jaccard >= the index's threshold, as (corpus_id, new_id,
@@ -1107,12 +1108,31 @@ def incremental_near_dup_pairs(
     The corpus is never re-tokenized, re-hashed, or self-joined; probe
     cost is one scan of ``banded/`` + one semi-join-shaped scan of
     ``shingles/`` per batch.
+
+    ``exclude_epoch`` (streaming-hop indexes whose ``banded/`` and
+    ``shingles/`` are partitioned by ``batch=N``) drops that epoch's
+    rows from the probe via partition pruning. A replayed micro-batch
+    MUST exclude its own epoch: its crashed attempt may have written
+    the epoch's index rows, and probing against them would make every
+    replayed doc a self-duplicate — silently emptying the epoch on
+    replay instead of converging.
     """
     import os
 
     meta = minhash_index_meta(index_path)
     if meta is None:
         raise ValueError(f"no complete minhash index at {index_path}")
+
+    def _read_side(sub: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(index_path, sub))
+        if exclude_epoch is not None:
+            if "batch" not in df.columns:
+                raise ValueError(
+                    "exclude_epoch requires a batch=N-partitioned index "
+                    f"(no 'batch' column under {sub}/)"
+                )
+            df = df.filter(F.col("batch") != exclude_epoch)
+        return df
     n_longs = meta["num_hashes"] // 32
     cid = meta["id_col"]  # corpus-side column name, fixed at build time
     geo = (
@@ -1137,7 +1157,7 @@ def incremental_near_dup_pairs(
         spark.read.parquet(os.path.join(index_path, "bigbuckets"))
     )
     corpus = (
-        spark.read.parquet(os.path.join(index_path, "banded"))
+        _read_side("banded")
         .join(big, ["band", "bucket"], "left")
         .select(
             F.col(cid).alias("_id_c"),
@@ -1173,7 +1193,7 @@ def incremental_near_dup_pairs(
         .select("_id_c", "_id_n")
         .distinct()
     )
-    corpus_sh = spark.read.parquet(os.path.join(index_path, "shingles")).select(
+    corpus_sh = _read_side("shingles").select(
         F.col(cid).alias("_id_c"),
         F.col("_sh").alias("_sh_c"),
         F.size("_sh").alias("_n_c"),

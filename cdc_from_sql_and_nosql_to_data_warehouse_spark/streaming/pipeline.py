@@ -431,8 +431,16 @@ def run_streaming_dedup(
             num_hashes=meta["num_hashes"] if meta else num_hashes,
         )
         if meta is not None:
+            # exclude_epoch: a replayed micro-batch must not probe
+            # against its own crashed attempt's index rows — every doc
+            # would self-match and the epoch would be emptied on replay
             dup_ids = incremental_near_dup_pairs(
-                spark, index_path, kept, id_col, text_col
+                spark,
+                index_path,
+                kept,
+                id_col,
+                text_col,
+                exclude_epoch=epoch_id,
             ).select(F.col("new_id").alias(id_col)).distinct()
             kept = kept.join(dup_ids, id_col, "left_anti")
             rows, bands, max_diff = (
@@ -533,6 +541,97 @@ def run_streaming_dedup(
 
     return (
         docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_streaming_embedding_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    vec_schema: T.StructType,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_files_per_trigger: int = 16,
+):
+    """Continuous SEMANTIC curation — the embedding twin of
+    ``run_streaming_dedup``: NDJSON vector files -> per-batch cosine
+    dedup -> survivors appended to the accepted corpus, which doubles
+    as the probe target for every later batch (embeddings need no
+    tokenize/index step, so one table serves both roles).
+
+    Per micro-batch: (a) within-batch near-dup groups (cosine >=
+    ``threshold``) keep their min-id representative — pairs from the
+    batch-vs-itself probe, components from ``near_dup_clusters`` (the
+    batch-sized graph takes its driver union-find path); (b) the
+    representatives are probed against the accepted corpus with
+    ``embedding_incremental_near_dups`` (broadcast batch, one GEMM per
+    corpus partition, corpus never shuffles) and any vector
+    near-duplicating an accepted one is dropped — arrival order wins.
+    Survivors land under ``batch={epoch_id}`` directories with the same
+    overwrite-on-replay idempotence contract as the text hop.
+    """
+    from ..operators.dedup import near_dup_clusters
+    from ..operators.similarity import embedding_incremental_near_dups
+
+    import glob
+    import os
+
+    vecs = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(f"{source_dir}/*.json")
+    )
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        pairs_within = (
+            embedding_incremental_near_dups(
+                batch, batch, id_col, vec_col, threshold
+            )
+            .filter(F.col("accepted_id") < F.col("new_id"))
+            .select(
+                F.col("accepted_id").alias("id_a"), F.col("new_id").alias("id_b")
+            )
+        )
+        losers = (
+            near_dup_clusters(pairs_within)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        kept = batch.join(losers, id_col, "left_anti")
+        # probe against everything accepted by PRIOR epochs (this
+        # epoch's own directory may exist from a crashed attempt — it
+        # is about to be overwritten and must not suppress its own
+        # rows on replay)
+        prior = [
+            d
+            for d in glob.glob(os.path.join(accepted_path, "batch=*"))
+            if d != os.path.join(accepted_path, f"batch={epoch_id}")
+        ]
+        if prior:
+            accepted = spark.read.option(
+                "basePath", accepted_path
+            ).parquet(*prior)
+            dups = (
+                embedding_incremental_near_dups(
+                    accepted, kept, id_col, vec_col, threshold
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            kept = kept.join(dups, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(accepted_path, f"batch={epoch_id}")
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(dedup_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -140,3 +140,46 @@ def test_all_dup_batch_writes_empty_epoch(spark, tmp_path):
     _write_docs(src, "b3.json", [(20, "sphinx of black quartz"), (21, BASE)])
     _run(spark, tmp_path)
     assert _kept_ids(spark, tmp_path) == {1, 2, 20}
+
+
+def test_crash_replay_with_existing_epoch_index_rows(spark, tmp_path):
+    """The REAL crash window: an epoch's survivor and index directories
+    were written but its checkpoint commit was not. When the
+    micro-batch replays, its own crashed-attempt rows are already in
+    the index — the probe must exclude its own epoch, or every doc
+    self-matches at Jaccard 1 and the epoch is silently emptied."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.dedup import (
+        _minhash_projections,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    _write_docs(src, "b1.json", [(1, BASE), (2, "unrelated words entirely")])
+    _run(spark, tmp_path)  # epoch 0 commits; index bootstrapped
+    assert _kept_ids(spark, tmp_path) == {1, 2}
+    # hand-write epoch 1's outputs exactly as a crashed attempt would
+    # have left them: survivors {5} (6 is a corpus dup), index rows {5}
+    meta = minhash_index_meta(idx)
+    crashed = spark.createDataFrame(
+        [(5, "sphinx of black quartz judge")], ["doc_id", "text"]
+    )
+    crashed.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "kept"), "batch=1")
+    )
+    shingled, banded = _minhash_projections(
+        crashed, "doc_id", "text", meta["ngram"], meta["num_hashes"],
+        meta["seed"], meta["rows"], meta["bands"],
+    )
+    shingled.write.mode("overwrite").parquet(
+        os.path.join(idx, "shingles", "batch=1")
+    )
+    banded.write.mode("overwrite").parquet(
+        os.path.join(idx, "banded", "batch=1")
+    )
+    # now the stream first sees b2.json — it runs as epoch 1, replaying
+    # over its own crashed-attempt directories
+    _write_docs(src, "b2.json", [(5, "sphinx of black quartz judge"), (6, BASE)])
+    _run(spark, tmp_path)
+    assert _kept_ids(spark, tmp_path) == {1, 2, 5}
+    sh = spark.read.parquet(os.path.join(idx, "shingles"))
+    assert sh.groupBy("doc_id").count().filter("count > 1").count() == 0
