@@ -578,9 +578,6 @@ def run_streaming_embedding_dedup(
     from ..operators.dedup import near_dup_clusters
     from ..operators.similarity import embedding_incremental_near_dups
 
-    import glob
-    import os
-
     vecs = (
         spark.readStream.schema(vec_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
