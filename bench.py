@@ -75,6 +75,7 @@ HEADLINE = [
     "text_benchmark_contamination",
     "embedding_pq_full_rerank",
     "dedup_incremental_vs_corpus",
+    "embedding_incremental_pairs",
 ]
 
 

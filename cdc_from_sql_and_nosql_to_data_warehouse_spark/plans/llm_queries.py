@@ -1197,3 +1197,34 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.incremental_near_dup_pairs(
         spark, index_path, new, "doc_id", "text"
     ).orderBy("corpus_id", "new_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup probe: new embedding vectors vs the
+# accepted corpus — the asymmetric mapInPandas-GEMM path (batch
+# broadcast, corpus streamed unshuffled) that the streaming curation
+# hop runs per micro-batch. Distinct plan shape from the symmetric
+# embedding_near_dup_pairs (k-means cell blocking + cell-pair groups);
+# the exact-fold verify makes the output bit-identical to DuckDB's
+# list_cosine_similarity cross join.
+# ---------------------------------------------------------------------------
+@register_query(
+    "embedding_incremental_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+    n AS (SELECT * FROM e WHERE vec_id % 5 = 0)
+    SELECT c.vec_id AS accepted_id, n.vec_id AS new_id,
+           list_cosine_similarity(c.v, n.v) AS cos_sim
+    FROM c, n
+    WHERE list_cosine_similarity(c.v, n.v) >= 0.4
+    ORDER BY accepted_id, new_id
+    """,
+)
+def embedding_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    accepted = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    return SIM.embedding_incremental_near_dups(
+        accepted, batch, threshold=0.4
+    ).orderBy("accepted_id", "new_id")
