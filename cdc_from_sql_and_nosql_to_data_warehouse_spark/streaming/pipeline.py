@@ -574,6 +574,11 @@ def run_streaming_embedding_dedup(
     near-duplicating an accepted one is dropped — arrival order wins.
     Survivors land under ``batch={epoch_id}`` directories with the same
     overwrite-on-replay idempotence contract as the text hop.
+
+    Size ``max_files_per_trigger`` so a micro-batch stays under the
+    probe's ``max_batch_vectors`` driver-collect guard (default 100k
+    vectors) — an oversized batch raises and terminates the query
+    rather than silently materializing a corpus on the driver.
     """
     from ..operators.dedup import near_dup_clusters
     from ..operators.similarity import embedding_incremental_near_dups
@@ -606,15 +611,21 @@ def run_streaming_embedding_dedup(
         # epoch's own directory may exist from a crashed attempt — it
         # is about to be overwritten and must not suppress its own
         # rows on replay)
-        prior = [
-            d
-            for d in glob.glob(os.path.join(accepted_path, "batch=*"))
-            if d != os.path.join(accepted_path, f"batch={epoch_id}")
-        ]
-        if prior:
-            accepted = spark.read.option(
-                "basePath", accepted_path
-            ).parquet(*prior)
+        # probe against PRIOR epochs only, through Spark's filesystem
+        # layer (works on object stores, unlike a driver-local glob)
+        # with the epoch filter partition-pruned. The replaying epoch's
+        # own directory may exist from a crashed attempt — it is about
+        # to be overwritten and must not suppress its own rows.
+        from pyspark.errors import AnalysisException
+
+        try:
+            accepted = spark.read.parquet(accepted_path).filter(
+                F.col("batch") != epoch_id
+            )
+            has_prior = accepted.limit(1).count() > 0
+        except AnalysisException:
+            has_prior = False  # first epoch: nothing accepted yet
+        if has_prior:
             dups = (
                 embedding_incremental_near_dups(
                     accepted, kept, id_col, vec_col, threshold
