@@ -1181,9 +1181,15 @@ def incremental_near_dup_pairs(
             ).alias("_salt"),
         )
     )
+    # EXPLICIT broadcast of the batch side: the checkpointed batch
+    # projections surface as ExistingRDD scans with unknown stats, so
+    # AQE cannot prove them small and would fall back to a sort-merge
+    # join that SHUFFLES the corpus banded table — the exact cost this
+    # operator exists to avoid. The hint keeps the corpus streaming
+    # through unshuffled regardless of stats.
     candidates = (
         corpus.join(
-            batch,
+            F.broadcast(batch),
             ["band", "bucket", "_salt"],
         )
         .filter(
@@ -1206,7 +1212,7 @@ def incremental_near_dup_pairs(
     inter = F.size(F.array_intersect(F.col("_sh_c"), F.col("_sh_n")))
     return (
         candidates.join(corpus_sh, "_id_c")
-        .join(batch_sh, "_id_n")
+        .join(F.broadcast(batch_sh), "_id_n")
         .select(
             F.col("_id_c").alias("corpus_id"),
             F.col("_id_n").alias("new_id"),

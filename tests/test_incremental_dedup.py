@@ -143,3 +143,21 @@ def test_probe_id_column_may_differ_from_corpus(spark, tmp_path):
         spark, idx, ndf, "batch_id", "text"
     ).collect()
     assert [(r["corpus_id"], r["new_id"]) for r in got] == [(1, 7)]
+
+
+def test_probe_bucket_join_broadcasts_batch_side(spark, tmp_path):
+    """Scale property: the candidate bucket join must broadcast the
+    (checkpointed, stats-less) batch side — without the explicit hint
+    AQE falls back to a sort-merge join that shuffles the corpus
+    banded table, the exact cost the probe exists to avoid."""
+    cdf, ndf = _dfs(spark, CORPUS, NEW)
+    idx = str(tmp_path / "idx")
+    DD.build_minhash_index(cdf, "doc_id", "text", idx, threshold=0.8)
+    plan = DD.incremental_near_dup_pairs(spark, idx, ndf, "doc_id", "text")
+    plan.collect()
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in s, s
+    assert any(
+        "BroadcastHashJoin [band" in line and "_salt" in line
+        for line in s.splitlines()
+    ), s
