@@ -384,7 +384,9 @@ def run_streaming_dedup(
     duplicates, so the pipeline converges under at-least-once replay
     exactly like the CDC apply hops. The index is bootstrapped from the
     first batch (meta written atomically last, same contract as
-    ``build_minhash_index``).
+    ``build_minhash_index``). Readers of ``survivors_path`` see an
+    extra ``batch`` partition column (the epoch lineage) alongside the
+    document columns.
 
     ``bigbuckets`` staleness is safe by construction — an oversized
     bucket that grew after build simply probes unsalted (g defaults to
