@@ -1222,3 +1222,109 @@ def incremental_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= meta["threshold"])
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup signal: per document, how much of it sits
+    inside a ``window``-token span that appears VERBATIM in at least
+    one other document. The span-level complement to n-gram Jaccard
+    (which scores whole-document set overlap): it catches long shared
+    boilerplate/quotations between otherwise-different documents, the
+    signal used to strip verbatim-duplicated training text.
+
+    Mechanics, all built-in expressions:
+
+    1. every document emits one 64-bit hash per ``window``-token
+       sliding window (position, hash) — the shuffle carries
+       (hash, doc, position) longs, never text;
+    2. hashes seen in >= 2 DISTINCT documents mark their windows
+       duplicated (a hash repeating only within one document does not
+       count — self-repetition is `text_repetition_ratios`' job);
+    3. per document, duplicated window STARTS are merged into covered
+       token intervals with a lag window (a start covers
+       min(window, gap-to-previous-start) new tokens), giving the
+       covered-token count without materializing intervals.
+
+    Returns (id_col, n_tokens, dup_windows, covered_tokens,
+    dup_fraction), one row per document (docs shorter than ``window``
+    tokens have zero windows and fraction 0.0).
+
+    64-bit window-hash collisions can only OVER-mark (~n_windows²/2⁶⁴
+    across the corpus) — same accepted class as content-hash exact
+    dedup.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_win = F.size(toks) - F.lit(window - 1)
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    # (same pitfall token_ngrams guards), and slice rejects start 0
+    win_structs = F.when(
+        n_win < 1, F.expr("array()").cast("array<struct<pos:int,h:bigint>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(
+                    F.concat_ws("\x1f", F.slice(toks, i, window))
+                ).alias("h"),
+            ),
+        )
+    )
+    wins = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n_tokens"),
+        F.explode(win_structs).alias("w"),
+    ).select(id_col, "_n_tokens", "w.pos", "w.h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    from pyspark.sql import Window as W
+
+    marked = wins.join(dup_h, "h", "left_semi")
+    lagw = W.partitionBy(id_col).orderBy("pos")
+    covered = (
+        marked.withColumn("_prev", F.lag("pos").over(lagw))
+        .select(
+            F.col(id_col),
+            F.col("_n_tokens"),
+            F.when(
+                F.col("_prev").isNull(), F.lit(window)
+            ).otherwise(
+                F.least(F.lit(window), F.col("pos") - F.col("_prev"))
+            ).alias("_cov"),
+        )
+        .groupBy(id_col, "_n_tokens")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.sum("_cov").alias("covered_tokens"),
+        )
+    )
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    return base.join(
+        covered.withColumnRenamed("_n_tokens", "n_tokens"),
+        [id_col, "n_tokens"],
+        "left",
+    ).select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("dup_windows"), F.lit(0).cast("long")).alias(
+            "dup_windows"
+        ),
+        F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long")).alias(
+            "covered_tokens"
+        ),
+        (
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("dup_fraction"),
+    )

@@ -126,31 +126,11 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# ---------------------------------------------------------------------------
-# Document fingerprinting: md5 + a rolling-style structural signature
-# (first/last token + token count) — all built-in expressions.
-# ---------------------------------------------------------------------------
-@register_query(
-    "text_fingerprints",
-    oracle=r"""
-    SELECT
-      doc_id,
-      md5(text) AS content_md5,
-      regexp_split_to_array(trim(text), '\s+')[1] AS first_token,
-      regexp_split_to_array(trim(text), '\s+')[-1] AS last_token
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return docs.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("content_md5"),
-        F.element_at(toks, 1).alias("first_token"),
-        F.element_at(toks, -1).alias("last_token"),
-    ).orderBy("doc_id")
+# (A "text_fingerprints" query (md5 + first/last token) lived here
+# through round 5; retired under the registry size budget when
+# dedup_span_stats was added — its md5 content fingerprint is the
+# exact grouping key dedup_exact_groups already certifies, and
+# text_rolling_fingerprint certifies the non-trivial fingerprint op.)
 
 
 # ---------------------------------------------------------------------------
@@ -1228,3 +1208,53 @@ def embedding_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_incremental_near_dups(
         accepted, batch, threshold=0.4
     ).orderBy("accepted_id", "new_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) dedup: per-document fraction of tokens
+# inside a 20-token window that appears verbatim in >= 2 distinct
+# documents — the long-boilerplate signal n-gram set-Jaccard cannot
+# see. The Spark side joins on 64-bit window hashes (ids + longs only
+# in the shuffle); the oracle joins on the window text itself, so a
+# hash collision would show up as a hash mismatch.
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_span_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents
+    ), w AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(tk[i.i:i.i+19], chr(31)) AS wtext
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) i
+      WHERE i.i <= len(tk) - 19
+    ), d AS (
+      SELECT wtext FROM w GROUP BY wtext
+      HAVING count(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT w.doc_id, w.pos,
+             lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS prev
+      FROM w JOIN d USING (wtext)
+    ), cov AS (
+      SELECT doc_id, count(*) AS dup_windows,
+             CAST(sum(CASE WHEN prev IS NULL THEN 20
+                           ELSE least(20, pos - prev) END) AS BIGINT)
+               AS covered_tokens
+      FROM m GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.tk) AS n_tokens,
+           coalesce(cov.dup_windows, 0) AS dup_windows,
+           coalesce(cov.covered_tokens, 0) AS covered_tokens,
+           coalesce(cov.covered_tokens, 0)::DOUBLE
+             / greatest(len(t.tk), 1) AS dup_fraction
+    FROM t LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return DD.duplicated_span_stats(docs, "doc_id", "text", window=20).orderBy(
+        "doc_id"
+    )

@@ -161,3 +161,80 @@ def test_probe_bucket_join_broadcasts_batch_side(spark, tmp_path):
         "BroadcastHashJoin [band" in line and "_salt" in line
         for line in s.splitlines()
     ), s
+
+
+def _py_span_stats(texts: dict, window: int):
+    """Python reference for duplicated_span_stats."""
+    toks = {i: t.strip().split() for i, t in texts.items()}
+    wins = {
+        i: [tuple(tk[p : p + window]) for p in range(len(tk) - window + 1)]
+        for i, tk in toks.items()
+    }
+    owners: dict = {}
+    for i, ws in wins.items():
+        for w in ws:
+            owners.setdefault(w, set()).add(i)
+    out = {}
+    for i, tk in toks.items():
+        starts = [p for p, w in enumerate(wins[i]) if len(owners[w]) >= 2]
+        covered = 0
+        prev = None
+        for p in starts:
+            covered += window if prev is None else min(window, p - prev)
+            prev = p
+        n = len(tk)
+        out[i] = (n, len(starts), covered, covered / max(n, 1))
+    return out
+
+
+def test_duplicated_span_stats_matches_python(spark):
+    texts = {
+        1: "a b c d e f g h",          # shares c d e f with doc 2
+        2: "x y c d e f z",            # shares c d e f with doc 1
+        3: "p q r s t u v w",          # nothing shared
+        4: "m m m m m m",              # self-repetition only: no dups
+        5: "a b",                      # shorter than the window
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_windows"],
+            r["covered_tokens"],
+            r["dup_fraction"],
+        )
+        for r in DD.duplicated_span_stats(df, "doc_id", "text", window=4).collect()
+    }
+    want = _py_span_stats(texts, 4)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][:3] == want[i][:3], (i, got[i], want[i])
+        assert got[i][3] == pytest.approx(want[i][3]), i
+
+
+def test_duplicated_span_stats_random_corpora(spark):
+    """Randomized agreement with the Python reference, including long
+    shared runs that exercise the interval merge."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{k}" for k in range(12)]
+    for trial in range(4):
+        texts = {}
+        shared = " ".join(rng.choices(vocab, k=rng.randint(4, 8)))
+        for i in range(6):
+            body = " ".join(rng.choices(vocab, k=rng.randint(0, 14)))
+            if rng.random() < 0.6:
+                body = f"{body} {shared}" if body else shared
+            texts[i] = body if body else "solo"
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_windows"], r["covered_tokens"])
+            for r in DD.duplicated_span_stats(
+                df, "doc_id", "text", window=3
+            ).collect()
+        }
+        want = {
+            i: v[:3] for i, v in _py_span_stats(texts, 3).items()
+        }
+        assert got == want, (trial, texts)
