@@ -76,6 +76,7 @@ HEADLINE = [
     "embedding_pq_full_rerank",
     "dedup_incremental_vs_corpus",
     "embedding_incremental_pairs",
+    "dedup_span_stats",
 ]
 
 
