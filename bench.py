@@ -16,9 +16,11 @@ the driver, so the timing measures the engine, not py4j transfer.
 Row counts come from an ``Observation`` on the same single execution.
 Timed end-to-end including plan compilation. Session setup, parquet
 cache, Python-worker start, ANN index builds, and JVM JIT of the
-generated code are warmup, not engine time: each query runs three
-times and the MIN of the two post-warmup runs is reported (single
-samples swing 2-3x under host noise), with first-run times kept in
+generated code are warmup, not engine time: each query runs once cold
+then 2-4 steady times and the MIN of the steady runs is reported
+(single samples swing 2-3x under host noise; extra samples are taken
+only while the evidence says noise — best steady slower than cold, or
+the two best samples >25% apart), with first-run times kept in
 ``queries_cold``.
 """
 
@@ -162,7 +164,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
-        for attempt in range(3):
+
+        def _run_once() -> tuple[float, int]:
             obs = Observation()
             t0 = time.perf_counter()
             (
@@ -173,22 +176,43 @@ def main() -> None:
                 .save()
             )
             dt = round(time.perf_counter() - t0, 3)
-            if attempt == 0:
-                cold[name] = dt
-            else:
-                # steady = MIN of two post-warmup runs: single-sample
-                # steady times swing 2-3x under host-level noise
-                # (measured: 5.8-18.4 s for the same warm query on this
-                # box); the min is the standard noise-robust estimator
-                # and converges to the true cost on a quiet host.
-                timings[name] = min(timings.get(name, dt), dt)
             n = obs.get["rows"]
             # drop persisted blocks a query may have left so the next
             # measurement starts from a clean executor-memory state
             spark.catalog.clearCache()
+            return dt, n
+
+        cold[name], n = _run_once()
+        # steady = MIN of the post-warmup runs: single warm samples
+        # swing 2-3x under host-level noise (measured: 5.8-18.4 s for
+        # the same warm query on this box); the min is the standard
+        # noise-robust estimator and converges to the true cost on a
+        # quiet host. Two samples normally suffice, but noise can hit
+        # both consecutively (measured: a 22.9 s "steady" vs 15.1 s
+        # cold for a query whose quiet-host steady is ~8 s), so retry
+        # up to twice while the evidence says noise: the best steady
+        # sample slower than the cold run (structurally impossible —
+        # cold includes JIT — so noise hit every steady sample), or the
+        # two best samples disagreeing by >25% (best not reproduced).
+        samples: list[float] = []
+        for _ in range(2):
+            samples.append(_run_once()[0])
+        while len(samples) < 4:
+            ordered = sorted(samples)
+            if ordered[0] < 0.5:
+                # sub-half-second runs: spread is scheduler/timer
+                # jitter, not host noise worth extra samples
+                break
+            noisy = ordered[0] > cold[name] * 1.05 or (
+                ordered[1] > ordered[0] * 1.25
+            )
+            if not noisy:
+                break
+            samples.append(_run_once()[0])
+        timings[name] = min(samples)
         print(
             f"# {name}: {timings[name]:.3f}s steady / {cold[name]:.3f}s cold"
-            f" ({n} rows)",
+            f" ({n} rows, {len(samples)} steady samples)",
             file=sys.stderr,
         )
 
