@@ -22,6 +22,8 @@ per-key sequence.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -419,3 +421,64 @@ def cdc_partitioned_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out.orderBy("user_id")
+
+
+@register_query(
+    "async_templated_statement",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def async_templated_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 + O2 certificate: a templated statement (identifier/literal
+    placeholders rendered by ``render_sql`` — the reference's
+    ``str.format`` DDL/INSERT/COPY mechanism, made injection-safe) runs
+    through the async statement protocol (``AsyncSqlExecutor`` — the
+    redshift-data submit/poll state machine of
+    ``load_s3_files...handler.py:24-45``) and returns the FINISHED
+    result. Decimal-exact aggregate per the registry policy; the
+    result set is 4 grouped rows, well inside the protocol's
+    driver-sized result contract.
+    """
+    from ..functions.sql_templates import render_sql
+    from ..operators.async_sql import AsyncSqlExecutor
+
+    view = "async_templated_statement_lineitem"
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    sql = render_sql(
+        """
+        SELECT
+          {rf} AS l_returnflag,
+          {ls} AS l_linestatus,
+          CAST(SUM(CAST({qty} AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_rows
+        FROM {tbl}
+        WHERE {shipdate} <= {cutoff}
+        GROUP BY {rf}, {ls}
+        ORDER BY {rf}, {ls}
+        """,
+        identifiers={
+            "tbl": view,
+            "rf": "l_returnflag",
+            "ls": "l_linestatus",
+            "qty": "l_quantity",
+            "shipdate": "l_shipdate",
+        },
+        literals={"cutoff": _dt.date(1998, 9, 2)},
+    )
+    ex = AsyncSqlExecutor(spark, max_concurrency=1)
+    try:
+        sid = ex.execute_statement(sql)
+        desc = ex.wait_for_statement(sid, timeout=300.0)
+        assert desc["Status"] == "FINISHED"
+        return ex.get_statement_result(sid)
+    finally:
+        ex.shutdown()
