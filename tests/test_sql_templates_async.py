@@ -243,3 +243,60 @@ def test_async_result_size_guard(spark):
         assert "max_result_rows" in (ex.describe_statement(sid)["Error"] or "")
     finally:
         ex.shutdown()
+
+
+# ------------------------------------------------------- T6 properties
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_NO_CTRL = lambda s: not any(c < " " or c == "\x7f" for c in s)  # noqa: E731
+
+_literals = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(width=64),  # incl. nan/inf: rendered via typed CAST
+    st.text(max_size=30),
+    st.binary(max_size=20),
+    st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2100, 1, 1)),
+    st.datetimes(
+        min_value=dt.datetime(1900, 1, 1), max_value=dt.datetime(2100, 1, 1)
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(value=_literals)
+def test_quote_literal_roundtrips_through_spark(spark, value):
+    """The escaping contract, certified end-to-end: any supported value
+    renders to a literal that Spark's parser reads back as exactly that
+    value (UTC session zone pinned so timestamp literals are gap-free)."""
+    import math
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got = spark.sql(f"SELECT {T.quote_literal(value)} AS v").collect()[0]["v"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    if isinstance(value, float) and math.isnan(value):
+        assert isinstance(got, float) and math.isnan(got)
+    elif isinstance(value, (bytes, bytearray)):
+        assert bytes(got) == bytes(value)
+    elif isinstance(value, bool):
+        assert got is value
+    else:
+        assert got == value
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    name=st.text(min_size=1, max_size=20).filter(_NO_CTRL),
+)
+def test_quote_ident_roundtrips_through_spark(spark, name):
+    """Any control-char-free name (backticks, quotes, spaces, unicode)
+    survives as a column alias verbatim."""
+    df = spark.sql(f"SELECT 1 AS {T.quote_ident(name)}")
+    assert df.schema.fieldNames() == [name]
