@@ -171,3 +171,16 @@ def test_no_cartesian_product_across_registry(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_span_stats_shuffles_carry_no_text(spark):
+    """duplicated_span_stats' scale claim: the window-hash funnel
+    shuffles (hash, doc, position) longs only — document text must
+    never cross a hash/range Exchange. (The round-robin `_spread`
+    repartition of the tiny-SF doc scan is exempt: it is file-count
+    gated and disappears at scale.)"""
+    plan = _plan(spark, "dedup_span_stats")
+    for section in re.findall(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", plan):
+        if "RoundRobinPartitioning" in section:
+            continue
+        assert "text#" not in section, f"text crossed a shuffle:\n{section}"
