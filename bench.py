@@ -113,9 +113,18 @@ def main() -> None:
         load_table,
     )
 
+    t_phase = time.perf_counter()
+
+    def _phase(label: str) -> None:
+        nonlocal t_phase
+        now = time.perf_counter()
+        print(f"# phase {label}: {now - t_phase:.1f}s", file=sys.stderr)
+        t_phase = now
+
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
     QUERIES["cdc_count_reconciliation"](spark, sf_dir).collect()
+    _phase("table-warmup")
     # ... and spin up the Arrow/Python worker pool (numpy+pandas import in
     # every worker) so the one-time Python-runtime start is not attributed
     # to whichever pandas-UDF query happens to run first. The ANN index
@@ -133,6 +142,7 @@ def main() -> None:
     # persisted under the corpus fingerprint — build-time, not query time)
     similarity.train_ivf_centroids(emb, n_cells=8, cache_key=sf_dir)
     similarity.train_pq_codebooks(emb, m=8, n_codes=64, cache_key=sf_dir)
+    _phase("index-builds")
 
     # ... and execute every headline plan once at the TINY scale factor:
     # the wide generated whole-stage-codegen of the dedup/ANN funnels
@@ -151,6 +161,7 @@ def main() -> None:
             except Exception as exc:  # a tiny-SF edge case must not kill bench
                 print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
+        _phase("tiny-sf-jit-warmup")
 
     # Each query is executed three times; the steady number is the MIN
     # of the two post-warmup runs: the first execution at the timed SF compiles
@@ -216,6 +227,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    _phase("timed-loop")
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
