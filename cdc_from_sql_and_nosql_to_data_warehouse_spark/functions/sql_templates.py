@@ -75,7 +75,10 @@ def quote_literal(value: object) -> str:
             return "CAST('NaN' AS DOUBLE)"
         if math.isinf(value):
             return f"CAST('{'-' if value < 0 else ''}Infinity' AS DOUBLE)"
-        return repr(value)  # repr round-trips doubles exactly
+        # repr round-trips doubles exactly; the D suffix is load-bearing:
+        # a bare decimal literal parses as DECIMAL, silently rounding
+        # any fraction that needs more than 38 significant digits
+        return repr(value) + "D"
     if isinstance(value, _dt.datetime):
         return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
     if isinstance(value, _dt.date):

@@ -50,7 +50,7 @@ def test_quote_literal_types():
     assert T.quote_literal(None) == "NULL"
     assert T.quote_literal(True) == "TRUE"
     assert T.quote_literal(42) == "42"
-    assert T.quote_literal(2.5) == "2.5"
+    assert T.quote_literal(2.5) == "2.5D"  # D keeps floats DOUBLE, not DECIMAL
     assert T.quote_literal(dt.date(2017, 6, 29)) == "DATE '2017-06-29'"
     assert T.quote_literal(b"\x01\xff") == "X'01ff'"
     assert T.quote_literal("it's") == r"'it\'s'"
