@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_incremental_vs_corpus",
     "embedding_incremental_pairs",
     "dedup_span_stats",
+    "training_mix_to_weights",
 ]
 
 

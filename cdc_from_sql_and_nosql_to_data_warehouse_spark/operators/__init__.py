@@ -19,6 +19,7 @@ from .similarity import (
     lsh_topk,
     train_ivf_centroids,
 )
+from .mixing import mix_to_weights
 from .skew import salted_agg, salted_join
 
 __all__ = [
@@ -30,5 +31,6 @@ __all__ = [
     "reconcile_checksums", "reconcile_counts",
     "brute_force_topk", "embedding_near_dup_pairs", "ivf_topk",
     "lsh_topk", "train_ivf_centroids",
+    "mix_to_weights",
     "salted_agg", "salted_join",
 ]

@@ -374,34 +374,11 @@ def suppliers_with_shipments_semi(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# ---------------------------------------------------------------------------
-# Distinct aggregation: per-brand distinct type/size counts plus exact
-# distinct across the whole table (Spark plans expand + two-phase agg).
-# ---------------------------------------------------------------------------
-@register_query(
-    "distinct_types_per_brand",
-    oracle="""
-    SELECT
-      p_brand,
-      count(DISTINCT p_type) AS n_types,
-      count(DISTINCT p_size) AS n_sizes,
-      count(*) AS n_parts
-    FROM part
-    GROUP BY p_brand
-    ORDER BY p_brand
-    """,
-)
-def distinct_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    return (
-        part.groupBy("p_brand")
-        .agg(
-            F.countDistinct("p_type").alias("n_types"),
-            F.countDistinct("p_size").alias("n_sizes"),
-            F.count("*").alias("n_parts"),
-        )
-        .orderBy("p_brand")
-    )
+# (distinct_types_per_brand retired under the registry size budget when
+# training_mix_to_weights was added: grouped multi-distinct aggregation
+# is the same expand + two-phase plan q16_supplier_count_by_part
+# exercises with its countDistinct, so the row certified no operator the
+# registry didn't already cover.)
 
 
 # ---------------------------------------------------------------------------

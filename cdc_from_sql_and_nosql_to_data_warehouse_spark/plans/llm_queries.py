@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators import dedup as DD
+from ..operators import mixing as MX
 from ..functions import multimodal as MM
 from ..operators import similarity as SIM
 from ..sources.testdata import load_table
@@ -794,6 +795,59 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("28"))
     )
     return docs.filter(bucket < rate).select("doc_id", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: mixture rebalancing to target domain weights —
+# up/down-sampling with deterministic fractional repeats (epoch column),
+# the "data mixing" step between curation and shuffling. Weights are
+# integer per-mille and the repeat math is pure int64, so the oracle
+# replays the exact decision. src0 is boosted 5%->23% (r=4.6: every doc
+# 4x + 60% a 5th), src1 to 9% (r=1.8), src2 kept (r=1.0), src3 halved
+# (r=0.5), the rest trimmed to 3.5% (r=0.7).
+# ---------------------------------------------------------------------------
+@register_query(
+    "training_mix_to_weights",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n_tot FROM documents),
+    per AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+    r AS (
+      SELECT source,
+             (wgt * n_tot) // (1000 * n_d) AS full_copies,
+             (((wgt * n_tot) % (1000 * n_d)) * 1048576) // (1000 * n_d)
+               AS frac20
+      FROM (SELECT source, n_d,
+                   CASE source WHEN 'src0' THEN 230 WHEN 'src1' THEN 90
+                               WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+                               ELSE 35 END AS wgt
+            FROM per) CROSS JOIN tot
+    ),
+    c AS (
+      SELECT d.doc_id, d.source,
+             r.full_copies
+             + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix42'),
+                                         1, 5))::BIGINT < r.frac20
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN r USING (source)
+    )
+    SELECT doc_id, source, unnest(range(n_copies)) AS epoch
+    FROM c WHERE n_copies > 0
+    ORDER BY doc_id, epoch
+    """,
+)
+def training_mix_to_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        MX.mix_to_weights(
+            docs.select("doc_id", "source"),
+            domain_col="source",
+            id_col="doc_id",
+            weights={"src0": 230, "src1": 90, "src2": 50, "src3": 25},
+            default_weight=35,
+        )
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
 
 
 # ---------------------------------------------------------------------------
