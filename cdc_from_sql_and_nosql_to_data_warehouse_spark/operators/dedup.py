@@ -455,12 +455,15 @@ def minhash_near_dup_pairs(
        the true Jaccard is computed, so the output equals the
        brute-force answer (what the DuckDB oracle computes).
 
-    NOTE: with ``eager=True`` (default) the candidate stage
-    materializes at plan-BUILD time — calling this function runs Spark
-    jobs (size gate + localCheckpoint — see ``_bucket_join_pairs``),
-    which is the fast execution path. Callers that compose plans
-    without executing pass ``eager=False`` for a fully lazy plan
-    (identical output; unconditional salted path, lineage uncut).
+    NOTE: with ``eager=True`` (default) the WHOLE funnel materializes
+    at plan-BUILD time — calling this function runs Spark jobs (size
+    gate + candidate checkpoint, see ``_bucket_join_pairs``, then the
+    verified-pairs checkpoint) and the returned plan is a scan of the
+    checkpointed (id_a, id_b, jaccard) rows, so downstream sorts,
+    unions and repeated reads never re-run the funnel. Callers that
+    compose plans without executing pass ``eager=False`` for a fully
+    lazy plan (identical output; unconditional salted path, lineage
+    uncut).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -471,9 +474,10 @@ def minhash_near_dup_pairs(
     # exactly up to a 64-bit collision inside one pair's union
     # (~C(200,2)/2^64 ≈ 1e-15 per pair — the same collision class
     # content-hash exact dedup already accepts). The hashed projection
-    # persists so tokenization runs once per doc (released by Spark's
-    # ContextCleaner once the returned plan is dropped); the signature
-    # projection needs no pin — it is consumed exactly once, inside the
+    # persists so tokenization runs once per doc (unpersisted in the
+    # eager path once the verified checkpoint lands; left to Spark's
+    # ContextCleaner under eager=False); the signature projection needs
+    # no pin — it is consumed exactly once, inside the
     # eagerly-checkpointed candidate stage.
     from pyspark import StorageLevel
 
@@ -543,7 +547,7 @@ def minhash_near_dup_pairs(
     # |a ∪ b| = |a| + |b| - |a ∩ b|: one array_intersect per pair
     # instead of intersect + union — the sizes are precomputed ints
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
-    return (
+    verified = (
         plausible.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -555,6 +559,21 @@ def minhash_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if not eager:
+        return verified
+    # Checkpoint the VERIFIED pairs too, not just the candidates: the
+    # verify join (pairs x persisted shingle arrays) is the funnel's
+    # most expensive stage, and any downstream operator that executes
+    # the plan twice — a global orderBy's range-partitioner sampling
+    # pass, a self-union, a reused subplan — would otherwise pay it
+    # per execution. Output is (long, long, double): ~20 bytes/pair of
+    # checkpoint storage buys every re-read for free, and the shingle
+    # persist can be released deterministically instead of waiting on
+    # the ContextCleaner.
+    try:
+        return verified.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
