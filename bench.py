@@ -230,18 +230,28 @@ def main() -> None:
 
     _phase("timed-loop")
     total = round(sum(timings.values()), 3)
+    # The driver records only the last ~2,000 chars of stdout, so the
+    # result must be the FINAL line and must fit: cold (first-run)
+    # timings go to stderr, and the result line is compact-separated.
+    # (BENCH_r05 lost 9 steady values to tail truncation when cold
+    # timings shared the stdout line.)
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "sf": sf,
-            }
-        )
+        json.dumps({"queries_cold": cold}, separators=(",", ":")),
+        file=sys.stderr,
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:  # pragma: no cover - defensive; ~1,300 today
+        print(f"# result line {len(line)} chars > 1800", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

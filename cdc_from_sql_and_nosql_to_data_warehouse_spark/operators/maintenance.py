@@ -343,6 +343,97 @@ def vacuum_tombstones_table(
     return n
 
 
+@dataclass(frozen=True)
+class AnalyzedTable:
+    """Catalog statistics recorded for one table by ``analyze_tables``."""
+
+    size_bytes: int
+    row_count: int | None
+    column_ndv: dict[str, int]
+
+
+def analyze_tables(
+    spark: SparkSession,
+    tables: dict[str, str],
+    columns: dict[str, list[str]] | None = None,
+) -> dict[str, AnalyzedTable]:
+    """Table/column statistics for the cost-based optimizer — the
+    warehouse's ``ANALYZE`` maintenance tick.
+
+    AQE's runtime sizes fix the broadcast/build-side decision, but join
+    ORDER across a 5-way star join is chosen at plan time from
+    estimates: without catalog statistics Spark knows only file sizes
+    (no row counts, no NDVs), so CBO (``spark.sql.cbo.enabled`` +
+    ``joinReorder.enabled``) cannot rank join trees. At 100 TB a wrong
+    join order multiplies the dominant shuffle by the selectivity the
+    optimizer failed to see; a periodic ANALYZE after load/compaction
+    is how every warehouse keeps those estimates honest (the
+    reference's Redshift target gets the same from its own ANALYZE).
+
+    ``tables`` maps catalog table names to parquet paths; each is
+    registered as an external table (no data copied or moved) and gets
+    ``ANALYZE TABLE .. COMPUTE STATISTICS`` (rowCount + sizeInBytes),
+    plus ``FOR COLUMNS`` on any listed in ``columns`` (min/max/NDV/
+    null-count histograms for selectivity estimates — list the join
+    keys and common filter columns). The scan is distributed; only the
+    aggregated statistics land in the catalog. Returns the recorded
+    stats read back from the catalog so callers (and tests) can assert
+    CBO sees them.
+    """
+    from ..functions.sql_templates import quote_ident, quote_literal
+
+    out: dict[str, AnalyzedTable] = {}
+    for name, path in tables.items():
+        qname = quote_ident(name)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {qname} USING parquet "
+            f"LOCATION {quote_literal(os.path.abspath(path))}"
+        )
+        spark.sql(f"ANALYZE TABLE {qname} COMPUTE STATISTICS")
+        cols = (columns or {}).get(name) or []
+        if cols:
+            collist = ", ".join(quote_ident(c) for c in cols)
+            spark.sql(
+                f"ANALYZE TABLE {qname} COMPUTE STATISTICS "
+                f"FOR COLUMNS {collist}"
+            )
+        # read the recorded stats back through the catalog relation the
+        # optimizer itself consults (not DESCRIBE text parsing)
+        rel = (
+            spark.sparkContext._jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                name
+            )
+        )
+        cat = spark._jsparkSession.sessionState().catalog().getTableMetadata(rel)
+        st = cat.stats()
+        size = 0
+        rows: int | None = None
+        ndv: dict[str, int] = {}
+
+        def _jint(v) -> int:
+            # scala BigInt surfaces as a py4j object or a plain int
+            # depending on the bridge's conversion path
+            try:
+                return int(v.toString())
+            except AttributeError:
+                return int(v)
+
+        if st.isDefined():
+            s = st.get()
+            size = _jint(s.sizeInBytes())
+            if s.rowCount().isDefined():
+                rows = _jint(s.rowCount().get())
+            cstats = s.colStats()
+            it = cstats.iterator()
+            while it.hasNext():
+                kv = it.next()
+                cs = kv._2()
+                if cs.distinctCount().isDefined():
+                    ndv[str(kv._1())] = _jint(cs.distinctCount().get())
+        out[name] = AnalyzedTable(size, rows, ndv)
+    return out
+
+
 def write_bucketed(
     df,
     table_name: str,

@@ -878,7 +878,12 @@ def embedding_incremental_near_dups(
     margin are exact-verified with the sequential-fold ``cosine``
     expression, so the output is bit-identical to the brute-force
     answer (same verify contract as every other similarity operator
-    here).
+    here). The verify stage re-reads no corpus data: each candidate
+    carries its accepted vector out of the GEMM emit, so the only join
+    in the whole plan is candidates ⋈ broadcast(batch) — pinned by
+    tests/test_similarity_ann.py::test_incremental_probe_never_shuffles_corpus
+    (a cands⋈corpus re-fetch would sort-merge, i.e. shuffle the corpus,
+    once candidate volume outgrew the AQE broadcast threshold).
 
     ``max_batch_vectors`` guards the driver collect: an oversized
     "batch" (this is a probe, not a self-join) raises rather than
@@ -887,7 +892,12 @@ def embedding_incremental_near_dups(
     jobs.
     """
     import numpy as np
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
 
     rows = (
         batch.select(
@@ -902,8 +912,6 @@ def embedding_incremental_near_dups(
             "use embedding_near_dup_pairs on the union for "
             "corpus-vs-corpus near-dup jobs"
         )
-    from pyspark.sql.types import DoubleType
-
     id_type = accepted.schema[id_col].dataType
     if not rows:
         out_schema = StructType(
@@ -944,23 +952,34 @@ def embedding_incremental_near_dups(
             ii, jj = np.nonzero(g >= thr - margin)
             if len(ii) == 0:
                 continue
+            # carry the raw accepted vector with each candidate so the
+            # exact-verify stage needs no join back to the corpus — a
+            # cands⋈acc re-fetch would sort-merge (shuffling the corpus)
+            # whenever the candidate volume outgrows the AQE broadcast
+            # threshold. Candidates are batch-bounded per corpus row, so
+            # the duplication is at most |batch| vectors per row.
+            av = pdf["_av"].to_numpy()
             yield pd.DataFrame(
                 {
                     "_aid": pdf["_aid"].to_numpy()[ii],
                     "_bid": bi[jj],
+                    "_av": av[ii],
                 }
             )
 
     cand_schema = StructType(
-        [StructField("_aid", id_type), StructField("_bid", id_type)]
+        [
+            StructField("_aid", id_type),
+            StructField("_bid", id_type),
+            StructField("_av", ArrayType(DoubleType())),
+        ]
     )
     cands = acc.mapInPandas(_probe, cand_schema)
     bexact = batch.select(
         F.col(id_col).alias("_bid"), as_double_array(vec_col).alias("_bv")
     )
     return (
-        cands.join(acc, "_aid")
-        .join(F.broadcast(bexact), "_bid")
+        cands.join(F.broadcast(bexact), "_bid")
         .select(
             F.col("_aid").alias("accepted_id"),
             F.col("_bid").alias("new_id"),

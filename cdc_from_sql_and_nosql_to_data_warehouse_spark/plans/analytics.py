@@ -1285,55 +1285,13 @@ def sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# The reusable as-of join operator on the driver-checked surface:
-# per purchase, attach the single latest strictly-prior click
-# (operators/joins.py:asof_join, backward+strict).
-# ---------------------------------------------------------------------------
-@register_query(
-    "asof_join_operator",
-    oracle="""
-    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
-    FROM (
-      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-             c.event_id AS click_id, c.ts AS click_ts,
-             row_number() OVER (
-               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id
-             ) AS rn
-      FROM events p
-      LEFT JOIN events c
-        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
-      WHERE p.event_type = 'purchase'
-    ) t
-    WHERE rn = 1
-    ORDER BY purchase_id
-    """,
-)
-def asof_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.joins import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    return asof_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_ts="purchase_ts",
-        right_ts="click_ts",
-        direction="backward",
-        strict=True,
-        suffix="",
-        tiebreak=["click_id"],
-    ).orderBy("purchase_id")
+# (asof_join_operator retired in round 6 under the registry size
+# budget: it and asof_last_click_before_purchase certified the same
+# backward+strict merge_asof shape over the same event stream. The
+# reusable operator (operators/joins.py:asof_join) keeps its local
+# certificate — tests/test_asof_join.py checks every direction/strict
+# combination against pandas.merge_asof — and the window-union plan
+# stays driver-checked via asof_last_click_before_purchase.)
 
 
 # ---------------------------------------------------------------------------

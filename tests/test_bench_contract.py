@@ -36,3 +36,7 @@ def test_bench_emits_one_json_line():
     assert rec["metric"] == "headline_queries_total"
     assert rec["unit"] == "sec" and rec["value"] > 0
     assert rec["queries"] and all(v >= 0 for v in rec["queries"].values())
+    # the driver captures only the tail of stdout: the result must be
+    # the final line and short enough to survive a 2,000-char capture
+    assert out.stdout.rstrip().splitlines()[-1] == json_lines[0]
+    assert len(json_lines[0]) < 1800, len(json_lines[0])

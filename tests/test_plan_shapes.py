@@ -48,9 +48,51 @@ def test_q5_dims_broadcast_no_cartesian(spark):
 
 def test_asof_queries_plan_no_join(spark):
     """The as-of shapes are union+window — a hot key must cost its row
-    count, not its row count squared, so no join node may appear."""
-    for name in ("asof_last_click_before_purchase", "asof_join_operator"):
-        plan = _plan(spark, name)
+    count, not its row count squared, so no join node may appear.
+    (asof_join_operator was retired from the registry in round 6; the
+    reusable operator's plan stays pinned here directly.)"""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.joins import (
+        asof_join,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    operator_df = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        direction="backward",
+        strict=True,
+        suffix="",
+        tiebreak=["click_id"],
+    )
+    plans = {
+        "asof_last_click_before_purchase": _plan(
+            spark, "asof_last_click_before_purchase"
+        ),
+        "asof_join(operator)": operator_df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ),
+    }
+    for name, plan in plans.items():
         assert "Join" not in plan, f"{name} planned a join:\n{plan}"
         assert "Window" in plan
 
@@ -153,8 +195,7 @@ def test_no_cartesian_product_across_registry(spark):
     not CartesianProduct — those pass the sweep anyway)."""
     allow = {
         "embedding_cosine_topk",      # deliberate brute-force baseline
-        "embedding_ivf_full_probe",   # nprobe=all exact twin (bounded query set)
-        "embedding_pq_full_rerank",   # same, PQ path
+        "embedding_pq_full_rerank",   # nprobe=all exact twin (bounded query set)
         "cdc_count_reconciliation",   # 1x1 scalar crossJoin
         "cdc_checksum_reconciliation",
         "daily_orders_vs_events_full_outer",  # full outer of two tiny day series

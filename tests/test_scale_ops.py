@@ -573,3 +573,57 @@ def test_partitioned_compaction_rewrites_only_fragmented_partitions(spark, tmp_p
     assert sorted(glob.glob(f"{path}/region=us/*")) == us_files  # untouched
     assert _sorted_rows(spark.read.parquet(path)) == rows_before
     assert after.n_rows == 700
+
+
+def test_analyze_tables_records_stats_cbo_reads_them(spark, tmp_path):
+    """analyze_tables must land rowCount + column NDV in the catalog and
+    the optimizer must see them: before ANALYZE a parquet relation has
+    only sizeInBytes (rowCount undefined), after ANALYZE the optimized
+    plan carries the exact row count — the estimate CBO join reorder
+    ranks join trees with."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        analyze_tables,
+    )
+
+    big = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    spark.range(50_000).withColumn("k", F.col("id") % 100).write.parquet(big)
+    spark.range(100).withColumnRenamed("id", "k").withColumn(
+        "name", F.concat(F.lit("d"), F.col("k"))
+    ).write.parquet(dim)
+
+    def _row_count(df):
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if not rc.isDefined():
+            return None
+        v = rc.get()
+        return int(v) if isinstance(v, int) else int(v.toString())
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        stats = analyze_tables(
+            spark,
+            {"ana_fact": big, "ana_dim": dim},
+            columns={"ana_fact": ["k"], "ana_dim": ["k"]},
+        )
+        assert stats["ana_fact"].row_count == 50_000
+        assert stats["ana_dim"].row_count == 100
+        assert stats["ana_fact"].size_bytes > 0
+        # NDV within HyperLogLog error of the true distinct counts
+        assert 90 <= stats["ana_fact"].column_ndv["k"] <= 110
+        assert 90 <= stats["ana_dim"].column_ndv["k"] <= 110
+        # the optimizer reads the recorded stats off the catalog relation
+        assert _row_count(spark.table("ana_fact")) == 50_000
+        assert _row_count(spark.table("ana_dim")) == 100
+        # ... and propagates them through a join estimate (CBO active)
+        joined = spark.table("ana_fact").join(spark.table("ana_dim"), "k")
+        assert _row_count(joined) is not None
+        # re-analyze is idempotent
+        again = analyze_tables(spark, {"ana_dim": dim})
+        assert again["ana_dim"].row_count == 100
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS ana_fact")
+        spark.sql("DROP TABLE IF EXISTS ana_dim")

@@ -207,6 +207,36 @@ def test_embedding_incremental_probe_matches_bruteforce(spark, emb):
     assert len(got) > 0
 
 
+def test_incremental_probe_never_shuffles_corpus(spark, emb):
+    """The accepted corpus must stream GEMM-probe → verify with no
+    shuffle: candidates carry their accepted vector out of the GEMM
+    emit, so the plan's only join is candidates ⋈ broadcast(batch) and
+    the only Exchange is that broadcast. A cands⋈corpus re-fetch would
+    sort-merge — shuffling the corpus — whenever candidate volume
+    outgrows the AQE broadcast threshold (the adversarial case: a batch
+    near-duplicating a large fraction of the corpus)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.similarity import (
+        embedding_incremental_near_dups,
+    )
+
+    accepted = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    df = embedding_incremental_near_dups(accepted, batch, threshold=0.2)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # no shuffle exchange anywhere: the only Exchange is the batch
+    # broadcast (formatted plans spell shuffles "Exchange
+    # hashpartitioning/rangepartitioning/SinglePartition")
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
 def test_embedding_incremental_probe_guards_and_empty(spark, emb):
     import pytest as _pytest
 
