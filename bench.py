@@ -80,6 +80,9 @@ HEADLINE = [
     "embedding_incremental_pairs",
     "dedup_span_stats",
     "training_mix_to_weights",
+    # round-6 operators
+    "cdc_time_travel_read",
+    "text_unigram_logprob",
 ]
 
 

@@ -146,6 +146,85 @@ def trigram_hits(col, lang: str) -> Column:
     return F.size(F.array_intersect(char_trigrams(col), prof))
 
 
+def unigram_logprob_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+):
+    """Corpus-trained unigram LM quality scorer (the CCNet/Dolma-style
+    "how probable is this document under the corpus itself" signal —
+    the one trained scorer real pretraining pipelines run that the
+    heuristic ``quality_score`` does not cover).
+
+    Two passes: (1) ONE aggregate over the exploded tokens builds the
+    unigram model — token -> occurrence count, thresholded at
+    ``min_count`` (the broadcast-ability lever: at 100 TB the
+    long-tail-of-typos vocabulary is unbounded but the >=k vocabulary
+    is Zipf-bounded and broadcast-sized); (2) tokens LEFT-join the
+    broadcast model and re-aggregate per doc. The shuffle after the
+    join carries only ``(doc_id, count)`` longs — document bodies are
+    projected away before the explode and never cross an Exchange.
+
+    Returns one row per doc:
+    ``n_tokens``/``n_oov``/``sum_token_count``/``min_token_count``/
+    ``max_token_count`` (exact integers, cross-engine-certifiable) and
+    ``avg_logprob`` = mean over in-vocab tokens of ln(count/total) —
+    float, so its oracle certificate is the tolerance-twin bounds flag
+    (the mean of logs must lie between the logs of the doc's own
+    min/max counts), with the float value itself property-tested
+    against a numpy recomputation in tests/test_text_property.py.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (documentation aid)
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    )
+    model = (
+        tok.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= int(min_count))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("_total"))
+    per_doc = (
+        tok.join(F.broadcast(model), "_tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("_cnt")).alias("n_oov"),
+            F.coalesce(F.sum("_cnt"), F.lit(0).cast("long")).alias(
+                "sum_token_count"
+            ),
+            F.min("_cnt").alias("min_token_count"),
+            F.max("_cnt").alias("max_token_count"),
+            # log/avg skip the NULLs of OOV tokens: in-vocab mean only
+            F.avg(F.log("_cnt")).alias("_avg_log_cnt"),
+        )
+        # 1x1 scalar attachment of the corpus token total (broadcast)
+        .crossJoin(F.broadcast(total))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        "sum_token_count",
+        "min_token_count",
+        "max_token_count",
+        (F.col("_avg_log_cnt") - F.log(F.col("_total"))).alias(
+            "avg_logprob"
+        ),
+        # mean-of-logs sanity bound from the exact per-doc count range;
+        # 1e-9 absorbs float associativity at the all-same-token edge
+        F.when(F.col("_avg_log_cnt").isNull(), F.lit(True))
+        .otherwise(
+            (F.col("_avg_log_cnt") >= F.log("min_token_count") - 1e-9)
+            & (F.col("_avg_log_cnt") <= F.log("max_token_count") + 1e-9)
+        )
+        .alias("logprob_in_bounds"),
+    )
+
+
 def lang_id_trigram(col) -> Column:
     """Argmax language by trigram-profile hits; ties break by language
     code; zero hits everywhere -> 'und'."""

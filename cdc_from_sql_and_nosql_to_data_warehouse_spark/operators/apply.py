@@ -49,6 +49,13 @@ SEQ_COL = "_seq"
 # replay horizon has passed — compaction may drop them then (the
 # standard tombstone-GC caveat of every log-structured merge store).
 DELETED_COL = "_deleted"
+# History-mode key column: ``mode="history"`` tables retain EVERY
+# version row (merge-on-read), so the reader must know which column
+# arbitrates latest-wins; storing the envelope key alongside the
+# after-image makes the table self-describing and enables time travel
+# (``read_warehouse(as_of_seq=...)``). Latest-wins tables never carry
+# this column, which is how the reader tells the layouts apart.
+KEY_COL = "_key"
 
 
 def _hive_partition_value_str(v):
@@ -389,6 +396,30 @@ def apply_changes(
         writer.parquet(target_path)
         return
 
+    if mode == "history":
+        # Merge-on-read layout: EVERY version row is retained — the
+        # write path is a blind partition-routed append (O(batch), no
+        # stored-table read, no merge shuffle: the write-optimized dual
+        # of the upsert path's copy-on-write merge), and latest-wins
+        # arbitration moves to read time (``read_warehouse``), which is
+        # also what makes time travel (``as_of_seq``) possible: the
+        # history IS the table. REMOVEs append as seq-bearing tombstone
+        # versions; the stored ``_key`` column makes the table
+        # self-describing for the reader's per-key window. Standard MOR
+        # trade (Hudi MOR / Paimon changelog): read amplification grows
+        # with versions per key until a compaction folds the history.
+        rows = changes.select(
+            "after.*",
+            F.col("key").cast("string").alias(KEY_COL),
+            _canonical_seq(F.col("seq")).alias(SEQ_COL),
+            (F.col("op") == "REMOVE").alias(DELETED_COL),
+        )
+        writer = rows.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
+        return
+
     if mode != "upsert":
         raise ValueError(f"unknown apply mode: {mode!r}")
 
@@ -698,7 +729,31 @@ def _reader_view(df: DataFrame, with_seq: bool) -> DataFrame:
     return df if with_seq else df.drop(SEQ_COL)
 
 
-def read_warehouse(spark: SparkSession, target_path: str, with_seq: bool = False):
+def read_warehouse(
+    spark: SparkSession,
+    target_path: str,
+    with_seq: bool = False,
+    as_of_seq: int | str | None = None,
+):
+    """Reader view of a warehouse table; ``as_of_seq`` time-travels.
+
+    Latest-wins (upsert/append) tables read as stored. History-mode
+    tables (``apply_changes(mode="history")``) reconstruct latest-wins
+    at read time: per-key max-seq over the retained version rows, then
+    the tombstone filter — and ``as_of_seq=N`` simply bounds that
+    window to versions with seq <= N, reproducing the exact table state
+    after the apply of sequence N (the lakehouse time-travel read,
+    expressed over the seq arbitration that already defines "latest").
+    The as-of cut is well-defined because seq is the total per-key
+    order every merge arbitrates by; a key whose latest version at N
+    was a REMOVE stays deleted, a key first inserted after N is absent.
+    Requesting ``as_of_seq`` on a latest-wins table raises — overwritten
+    versions are gone, so the reconstruction would be silently wrong.
+
+    Scale: the reconstruction is ONE shuffle on the stored key (the
+    same window the upsert merge runs per batch, moved to read time);
+    partition filters still prune file listing before it.
+    """
     # mergeSchema: a schema-evolving upsert on a PARTITIONED table
     # rewrites only the touched partitions (dynamic partition
     # overwrite), so untouched partitions keep the pre-evolution column
@@ -708,6 +763,24 @@ def read_warehouse(spark: SparkSession, target_path: str, with_seq: bool = False
     # merge path inside apply_changes.
     _recover_swap(target_path)
     df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    if KEY_COL in df.columns:
+        if as_of_seq is not None:
+            df = df.filter(
+                _canonical_seq(F.col(SEQ_COL))
+                <= _canonical_seq(F.lit(as_of_seq))
+            )
+        latest = latest_per_key(
+            df.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL))),
+            KEY_COL,
+            SEQ_COL,
+        ).drop(KEY_COL)
+        return _reader_view(latest, with_seq)
+    if as_of_seq is not None:
+        raise ValueError(
+            "as_of_seq requires a history-mode table "
+            '(apply_changes(mode="history")); latest-wins tables do not '
+            "retain superseded versions to reconstruct from"
+        )
     return _reader_view(df, with_seq)
 
 

@@ -1157,6 +1157,19 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join order applies the only selective predicate (region = ASIA)
+    # to the ORDERS side before the fact-fact join: customer x nation x
+    # region reduces to ASIA customer keys, orders shrink ~5x against
+    # them, and only then does lineitem join. Written fact-first (the
+    # naive order), the 10x scale probe measured 5.85x wall (1.70x per
+    # doubling): the unreduced orders side outgrows the broadcast
+    # threshold, so BOTH full facts shuffle for a sort-merge join.
+    # Reduced first, the orders side stays broadcast-sized ~5x longer,
+    # and when it finally does flip, the shuffle carries 1/5 the rows —
+    # the reorder CBO would pick with stats, hard-coded because it is
+    # correct at every scale. Probe after the fix: 3.3s at 10x (was
+    # 5.4s), ~1.35x per doubling — at the cost of ~+0.3s at the 1x leg
+    # for the extra reduction stage, the right trade at every real SF.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1173,11 +1186,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     china = F.when(F.col("supp_nation") == "CHINA", volume).otherwise(
         F.lit(0).cast("decimal(15,4)")
     )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+    cust_asia = (
+        cust.join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    ord_asia = orders.join(
+        cust_asia, orders.o_custkey == cust_asia.c_custkey
+    ).select("o_orderkey", "o_orderdate")
+    # supplier joins as the RAW file relation (n2 attached after): a
+    # pre-joined supplier x nation subtree has no planning-time size
+    # stat, so Catalyst's no-stats join estimate balloons and plans a
+    # sort-merge join that shuffles the whole fact fan on l_suppkey
+    # (measured: 2.0s vs 0.9s at the 1x leg)
+    return (
+        li.join(ord_asia, li.l_orderkey == ord_asia.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))

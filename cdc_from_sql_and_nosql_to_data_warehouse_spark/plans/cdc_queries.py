@@ -423,6 +423,93 @@ def cdc_partitioned_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+# ---------------------------------------------------------------------------
+# Warehouse time travel through the REAL history-mode apply machinery:
+# the events feed becomes envelope batches applied with
+# apply_changes(mode="history") — the merge-on-read layout that retains
+# every version row — in scrambled order, then
+# read_warehouse(as_of_seq=N) reconstructs the table state as of a
+# mid-feed sequence. The oracle replays the envelope feed to the same
+# cut in SQL, so the certificate covers the blind-append write path,
+# the read-time latest-wins window, the as-of bound, and tombstone
+# arbitration at the cut (a user whose latest pre-cut change is a
+# REMOVE must be absent; their post-cut changes must not leak in).
+# ---------------------------------------------------------------------------
+@register_query(
+    "cdc_time_travel_read",
+    oracle=f"""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+    ) t
+    WHERE rn = 1 AND {_OP_SQL} <> 'REMOVE'
+    ORDER BY user_id
+    """,
+)
+def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-standard as-of read over the history (merge-on-read)
+    apply mode. The as-of cut is the seq encoding of the oracle's
+    ``ts < '2024-01-21'`` predicate: seq is wall-time digits || event_id
+    (the same DST-safe encoding cdc_partitioned_apply_replay uses), so
+    every event strictly before the cut compares <= the cut seq and
+    every event at/after it compares greater."""
+    import shutil
+    import tempfile
+
+    from ..operators.apply import apply_changes, read_warehouse
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        _op_col().alias("op"),
+        F.struct(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ).alias("after"),
+        F.concat(
+            F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+        (F.col("event_id") % 3).alias("_batch"),
+    )
+    # the cut: midnight 2024-01-21, event_id 0 — no real event collides
+    # with it (event_ids start at 1), so seq <= cut == ts < midnight
+    as_of = "20240121000000000000" + "0" * 12
+    wh = tempfile.mkdtemp(prefix="cdc_timetravel_")
+    try:
+        for b in (2, 0, 1):  # scrambled on purpose
+            apply_changes(
+                spark,
+                env.filter(F.col("_batch") == b).drop("_batch"),
+                wh,
+                "user_id",
+                mode="history",
+            )
+        out = (
+            read_warehouse(spark, wh, as_of_seq=as_of)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
 @register_query(
     "async_templated_statement",
     oracle="""

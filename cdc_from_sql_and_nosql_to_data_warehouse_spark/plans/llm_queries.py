@@ -52,31 +52,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact dedup: hash-groupBy on normalized text. At 100 TB this is the
 # cheap first pass — group on a 128-bit fingerprint, not the raw text, so
 # the shuffle carries 16 bytes per doc instead of the document body.
+#
+# (A "dedup_exact_groups" twin (per-fingerprint counts + HAVING > 1)
+# lived here through round 5; retired in round 6 under the registry
+# size budget when cdc_time_travel_read was added — the md5-fingerprint
+# grouping it certified is the same 16-byte-key partition
+# dedup_exact_survivors' window runs on, over the same table.)
 # ---------------------------------------------------------------------------
-@register_query(
-    "dedup_exact_groups",
-    oracle="""
-    SELECT
-      md5(text) AS fingerprint,
-      min(doc_id) AS keep_doc_id,
-      count(*) AS n_copies
-    FROM documents
-    GROUP BY md5(text)
-    HAVING count(*) > 1
-    ORDER BY fingerprint
-    """,
-)
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select(F.md5(F.col("text")).alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
-        .orderBy("fingerprint")
-    )
-
-
 @register_query(
     "dedup_exact_survivors",
     oracle="""
@@ -102,29 +84,13 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Token counting: whitespace tokenization, fully JVM-side (no UDF).
-# ---------------------------------------------------------------------------
-@register_query(
-    "text_token_counts",
-    oracle=r"""
-    SELECT
-      doc_id,
-      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-      length(text) AS n_chars_measured,
-      n_chars AS n_chars_declared
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
-        F.length("text").alias("n_chars_measured"),
-        F.col("n_chars").alias("n_chars_declared"),
-    ).orderBy("doc_id")
+# (A "text_token_counts" query (whitespace token counts per doc) lived
+# here through round 5; retired in round 6 under the registry size
+# budget when text_unigram_logprob was added — it was a second example
+# of the per-doc JVM-expression projection text_bpe_token_counts
+# certifies with the strictly harder tokenizer, and the whitespace
+# tokenizer itself stays pinned by tests/test_text_property.py and by
+# every minhash/ngram oracle that splits on \s+.)
 
 
 # (A "text_fingerprints" query (md5 + first/last token) lived here
@@ -1152,6 +1118,50 @@ def text_token_docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("doc_freq").cast("double") / F.count("*")
             ).alias("mean_doc_freq"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained unigram-LM quality scorer (CCNet/Dolma-style): one
+# aggregate pass trains the unigram model (token -> count, thresholded
+# at min_count=2 so OOV exists in the fixture corpus and the
+# vocabulary stays broadcast-sized at any corpus scale), a broadcast
+# join + per-doc re-aggregate scores every document. The exact integer
+# columns (token/oov counts, corpus-count sum and per-doc min/max) are
+# hash-certified cross-engine; the float mean-log-probability rides the
+# tolerance-twin flag (registry float policy — a mean of ln() terms is
+# order-dependent in the last ulp, so the certificate pins it inside
+# the exact [ln(min_count_in_doc), ln(max_count_in_doc)] envelope and
+# tests/test_text_property.py pins the value against numpy).
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents
+    ), model AS (
+      SELECT t, count(*) AS cnt FROM tok GROUP BY t HAVING count(*) >= 2
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           count(*) - count(model.cnt) AS n_oov,
+           CAST(coalesce(sum(model.cnt), 0) AS BIGINT) AS sum_token_count,
+           min(model.cnt) AS min_token_count,
+           max(model.cnt) AS max_token_count,
+           TRUE AS logprob_in_bounds
+    FROM tok LEFT JOIN model USING (t)
+    GROUP BY tok.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        TX.unigram_logprob_scores(docs, min_count=2)
+        .drop("avg_logprob")
         .orderBy("doc_id")
     )
 

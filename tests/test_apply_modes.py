@@ -555,3 +555,74 @@ def test_partitioned_compaction_numeric_string_partitions(spark, tmp_path):
         (r["id"], r["month"]) for r in spark.read.parquet(path).collect()
     )
     assert rows_after == rows_before  # no duplication, no loss
+
+
+def test_history_mode_time_travel(spark, tmp_path):
+    """mode="history" retains every version (merge-on-read append);
+    read_warehouse reconstructs latest-wins at read time and as_of_seq
+    bounds the reconstruction to the table state after any past seq —
+    across scrambled batch order and through a REMOVE."""
+    t0, t1 = make_trade(0), make_trade(1)
+    t0b = dict(t0, price=50.0)
+    t1b = dict(t1, price=222.0)
+    target = str(tmp_path / "wh_hist")
+    b2 = _feed(
+        spark, tmp_path,
+        [("MODIFY", t1b, 4), ("REMOVE", {"id": t0["id"]}, 5)], "h2",
+    )
+    b1 = _feed(
+        spark, tmp_path,
+        [("INSERT", t0, 1), ("INSERT", t1, 2), ("MODIFY", t0b, 3)], "h1",
+    )
+    apply_changes(spark, b2, target, "id", mode="history")  # late batch first
+    apply_changes(spark, b1, target, "id", mode="history")
+
+    # current state: t0 deleted at seq 5, t1 at its seq-4 image
+    cur = read_warehouse(spark, target)
+    assert [(r["id"], r["price"]) for r in cur.collect()] == [
+        (t1["id"], 222.0)
+    ]
+    # as-of 1: only t0's original insert exists
+    asof1 = read_warehouse(spark, target, as_of_seq=1).collect()
+    assert [(r["id"], r["price"]) for r in asof1] == [(t0["id"], t0["price"])]
+    # as-of 3: t0 modified, t1 at original price
+    asof3 = {
+        r["id"]: r["price"]
+        for r in read_warehouse(spark, target, as_of_seq=3).collect()
+    }
+    assert asof3 == {t0["id"]: 50.0, t1["id"]: t1["price"]}
+    # as-of 4: t0 still alive (its REMOVE is seq 5), t1 updated
+    asof4 = {
+        r["id"]: r["price"]
+        for r in read_warehouse(spark, target, as_of_seq=4).collect()
+    }
+    assert asof4 == {t0["id"]: 50.0, t1["id"]: 222.0}
+    # with_seq surfaces the arbitration column on request
+    assert "_seq" in read_warehouse(spark, target, with_seq=True).columns
+
+
+def test_history_mode_replay_converges(spark, tmp_path):
+    """An at-least-once replay appends duplicate version rows; the
+    read-time reconstruction still yields the same state."""
+    t0 = make_trade(0)
+    target = str(tmp_path / "wh_hist_replay")
+    b1 = _feed(spark, tmp_path, [("INSERT", t0, 1)], "hr1")
+    b2 = _feed(
+        spark, tmp_path, [("MODIFY", dict(t0, price=9.0), 2)], "hr2"
+    )
+    apply_changes(spark, b1, target, "id", mode="history")
+    apply_changes(spark, b2, target, "id", mode="history")
+    apply_changes(spark, b1, target, "id", mode="history")  # replay
+    out = read_warehouse(spark, target).collect()
+    assert len(out) == 1 and out[0]["price"] == 9.0
+
+
+def test_as_of_requires_history_table(spark, tmp_path):
+    target = str(tmp_path / "wh_lw")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", make_trade(0), 1)], "lw"),
+        target, "id", mode="upsert",
+    )
+    with pytest.raises(ValueError, match="history-mode"):
+        read_warehouse(spark, target, as_of_seq=1)

@@ -302,3 +302,45 @@ def test_incremental_pairs_match_bruteforce(spark, texts):
         if jacc(corpus[ci], new[ni]) >= 0.6
     }
     assert got == want, (corpus, new, got, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=st.lists(words, min_size=1, max_size=12))
+def test_unigram_logprob_matches_python(spark, texts):
+    """avg_logprob (the float the oracle certifies only via the bounds
+    flag) must equal a pure-Python unigram-LM recomputation; the exact
+    integer columns must match exactly."""
+    from collections import Counter
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+
+    min_count = 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_logprob_scores(docs, min_count=min_count).collect()
+    }
+
+    corpus = [_py_tokens_split(t) for t in texts]
+    counts = Counter(tok for toks in corpus for tok in toks)
+    model = {t: c for t, c in counts.items() if c >= min_count}
+    total = sum(counts.values())
+    assert set(got) == set(range(len(texts)))
+    for i, toks in enumerate(corpus):
+        r = got[i]
+        in_vocab = [model[t] for t in toks if t in model]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_oov"] == len(toks) - len(in_vocab)
+        assert r["sum_token_count"] == sum(in_vocab)
+        assert r["min_token_count"] == (min(in_vocab) if in_vocab else None)
+        assert r["max_token_count"] == (max(in_vocab) if in_vocab else None)
+        if in_vocab:
+            want = sum(math.log(c / total) for c in in_vocab) / len(in_vocab)
+            assert r["avg_logprob"] == pytest.approx(want, rel=1e-12)
+        else:
+            assert r["avg_logprob"] is None
+        assert r["logprob_in_bounds"] is True
