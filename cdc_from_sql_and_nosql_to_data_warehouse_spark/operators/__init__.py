@@ -10,7 +10,13 @@ from .dedup import (
     simhash_signatures,
 )
 from .joins import asof_join
-from .maintenance import compact_parquet, expire_files, table_stats
+from .maintenance import (
+    analyze_tables,
+    compact_history,
+    compact_parquet,
+    expire_files,
+    table_stats,
+)
 from .reconcile import reconcile_checksums, reconcile_counts
 from .similarity import (
     brute_force_topk,
@@ -27,7 +33,8 @@ __all__ = [
     "exact_dedup", "fuzzy_dedup_survivors", "minhash_near_dup_pairs",
     "near_dup_clusters", "simhash_near_dup_pairs", "simhash_signatures",
     "asof_join",
-    "compact_parquet", "expire_files", "table_stats",
+    "analyze_tables", "compact_history", "compact_parquet",
+    "expire_files", "table_stats",
     "reconcile_checksums", "reconcile_counts",
     "brute_force_topk", "embedding_near_dup_pairs", "ivf_topk",
     "lsh_topk", "train_ivf_centroids",

@@ -12,6 +12,11 @@ explicit mode switch:
   (DynamoDB ``put_item`` overwrite semantics, K2); ``propagate_deletes``
   optionally lets a winning REMOVE delete the key — the "clean" mode the
   reference README wishes it had.
+- ``history``: merge-on-read — every version row is retained (blind
+  O(batch) appends), latest-wins moves to read time, and
+  ``read_warehouse(as_of_seq=N)`` time-travels to any past sequence;
+  ``maintenance.compact_history`` folds old versions to bound the read
+  amplification.
 
 Ordering correctness under at-least-once, possibly reordered delivery
 (R4/R8): every merge is keyed by ``(key, seq)`` and resolved by max-seq,
@@ -56,6 +61,9 @@ DELETED_COL = "_deleted"
 # (``read_warehouse(as_of_seq=...)``). Latest-wins tables never carry
 # this column, which is how the reader tells the layouts apart.
 KEY_COL = "_key"
+# Sidecar marker files every table swap carries over (see _swap_into):
+# underscore-prefixed so Spark's listing never sees them as data.
+_SIDECAR_MARKERS = ("_history_horizon",)
 
 
 def _hive_partition_value_str(v):
@@ -165,6 +173,11 @@ def _canonical_seq(seq) -> F.Column:
     return F.lpad(seq.cast("string"), 40, "0")
 
 
+def _canonical_seq_py(seq) -> str:
+    """Driver-side twin of ``_canonical_seq`` (40-char zero-pad)."""
+    return str(seq).rjust(40, "0")
+
+
 def latest_per_key(df: DataFrame, key: str, seq_col: str = "seq") -> DataFrame:
     """K2/R8 core: max-seq row per key (deterministic latest-wins)."""
     w = W.partitionBy(key).orderBy(F.desc(seq_col))
@@ -178,6 +191,7 @@ def _swap_into(
     df: DataFrame,
     target_path: str,
     partition_by: list[str] | None = None,
+    extra_files: dict[str, str] | None = None,
 ) -> None:
     """Materialize df then replace target_path by rename (parquet has no
     MERGE; a lakehouse table format would do this transactionally).
@@ -196,6 +210,20 @@ def _swap_into(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    # underscore-prefixed sidecar files (markers a table carries along,
+    # e.g. the history-compaction horizon) land in the staging dir
+    # BEFORE the rename so a crash in the swap window cannot separate
+    # the data from its marker; markers already on the table survive
+    # any swap (a file-size compaction must not erase the horizon)
+    carried = dict(extra_files or {})
+    for fname in _SIDECAR_MARKERS:
+        src = os.path.join(target_path, fname)
+        if fname not in carried and os.path.exists(src):
+            with open(src) as fh:
+                carried[fname] = fh.read()
+    for fname, content in carried.items():
+        with open(os.path.join(tmp, fname), "w") as fh:
+            fh.write(content)
     old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
     if os.path.exists(target_path):
         os.rename(target_path, old)
@@ -765,6 +793,18 @@ def read_warehouse(
     df = spark.read.option("mergeSchema", "true").parquet(target_path)
     if KEY_COL in df.columns:
         if as_of_seq is not None:
+            from .maintenance import read_history_horizon
+
+            horizon = read_history_horizon(target_path)
+            if horizon is not None and (
+                _canonical_seq_py(as_of_seq) < horizon
+            ):
+                raise ValueError(
+                    f"as_of_seq {as_of_seq!r} is below the compaction "
+                    f"horizon {horizon.lstrip('0') or '0'}: versions "
+                    "before it were folded by compact_history and the "
+                    "state at that seq can no longer be reconstructed"
+                )
             df = df.filter(
                 _canonical_seq(F.col(SEQ_COL))
                 <= _canonical_seq(F.lit(as_of_seq))

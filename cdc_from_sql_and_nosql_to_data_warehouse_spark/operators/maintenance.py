@@ -343,6 +343,107 @@ def vacuum_tombstones_table(
     return n
 
 
+def compact_history(
+    spark: SparkSession,
+    path: str,
+    before_seq: int | str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Fold a history-mode (merge-on-read) table's version rows older
+    than ``before_seq`` into one latest-wins snapshot row per key — the
+    compaction that bounds the read amplification
+    ``apply_changes(mode="history")`` trades for its O(batch) writes
+    (Hudi's MOR compaction / Delta's log checkpointing, on plain
+    parquet).
+
+    Reads at ``as_of_seq >= before_seq`` (and the current-state read)
+    are bit-identical before and after: the fold keeps each key's
+    newest sub-horizon version — tombstones included — under its
+    ORIGINAL seq, so every later cut still arbitrates over the same
+    winners. Time travel BELOW the horizon is gone (the superseded
+    versions no longer exist), so the horizon is persisted in a
+    ``_history_horizon`` marker (underscore-prefixed: invisible to
+    Spark's listing) and ``read_warehouse`` rejects as-of reads beneath
+    it instead of silently returning a too-new state. Re-compaction
+    only ever raises the horizon. As with ``vacuum_tombstones``, the
+    caller owns the replay-horizon invariant: folding away superseded
+    versions older than ``before_seq`` is safe once no source can
+    replay a seq below it. Returns the number of version rows removed.
+
+    Scale: one latest-per-key window over the sub-horizon slice plus a
+    rewrite — the same single-shuffle shape as the copy-on-write merge,
+    run at maintenance cadence instead of per batch.
+    """
+    from pyspark.sql import functions as F
+
+    from .apply import (
+        KEY_COL,
+        SEQ_COL,
+        _canonical_seq,
+        _recover_swap,
+        _swap_into,
+        latest_per_key,
+    )
+
+    _recover_swap(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if KEY_COL not in df.columns:
+        raise ValueError(
+            "compact_history requires a history-mode table "
+            '(apply_changes(mode="history"))'
+        )
+    cut = _canonical_seq(F.lit(before_seq))
+    canon = df.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
+    old = canon.filter(F.col(SEQ_COL) < cut)
+    recent = canon.filter(F.col(SEQ_COL) >= cut)
+    n_old = old.count()
+    folded = latest_per_key(old, KEY_COL, SEQ_COL)
+    n_folded = folded.count()
+    if n_old == n_folded:
+        _write_history_horizon(path, before_seq)
+        return 0
+    result = folded.unionByName(recent, allowMissingColumns=True)
+    horizon = max(
+        _canonical_seq_str(before_seq), read_history_horizon(path) or ""
+    )
+    _swap_into(
+        spark,
+        result,
+        path,
+        partition_by=partition_by,
+        extra_files={HISTORY_HORIZON_MARKER: horizon},
+    )
+    return n_old - n_folded
+
+
+HISTORY_HORIZON_MARKER = "_history_horizon"
+
+
+def _write_history_horizon(path: str, before_seq: int | str) -> None:
+    """Persist the compaction horizon (canonical form, monotone)."""
+    new = _canonical_seq_str(before_seq)
+    cur = read_history_horizon(path)
+    if cur is None or new > cur:
+        with open(os.path.join(path, HISTORY_HORIZON_MARKER), "w") as f:
+            f.write(new)
+
+
+def read_history_horizon(path: str) -> str | None:
+    """Canonical horizon seq below which time travel is unavailable."""
+    p = os.path.join(path, HISTORY_HORIZON_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
+
+
+def _canonical_seq_str(seq: int | str) -> str:
+    """Driver-side canonical seq (40-char zero-pad, see apply)."""
+    from .apply import _canonical_seq_py
+
+    return _canonical_seq_py(seq)
+
+
 @dataclass(frozen=True)
 class AnalyzedTable:
     """Catalog statistics recorded for one table by ``analyze_tables``."""

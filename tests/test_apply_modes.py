@@ -626,3 +626,57 @@ def test_as_of_requires_history_table(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="history-mode"):
         read_warehouse(spark, target, as_of_seq=1)
+
+
+def test_compact_history_folds_below_horizon(spark, tmp_path):
+    """compact_history folds sub-horizon versions to one latest-wins row
+    per key (tombstones included, original seqs kept): reads at or above
+    the horizon are identical before and after, physical rows shrink,
+    and as-of reads below the horizon are rejected via the persisted
+    marker — which must also survive a later file-size compaction."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+        compact_parquet,
+        read_history_horizon,
+    )
+
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+    target = str(tmp_path / "wh_hist_compact")
+    batches = [
+        [("INSERT", t0, 1), ("INSERT", t1, 2)],
+        [("MODIFY", dict(t0, price=30.0), 3), ("REMOVE", {"id": t1["id"]}, 4)],
+        [("INSERT", t2, 5), ("MODIFY", dict(t0, price=60.0), 6)],
+    ]
+    for i, ev in enumerate(batches):
+        apply_changes(
+            spark, _feed(spark, tmp_path, ev, f"hc{i}"), target, "id",
+            mode="history",
+        )
+
+    def snap(as_of=None):
+        return sorted(
+            (r["id"], r["price"])
+            for r in read_warehouse(spark, target, as_of_seq=as_of).collect()
+        )
+
+    before = {a: snap(a) for a in (None, 5, 6)}
+    assert before[None] == sorted([(t0["id"], 60.0), (t2["id"], t2["price"])])
+    assert before[5] == sorted([(t0["id"], 30.0), (t2["id"], t2["price"])])
+
+    n_rows_before = spark.read.parquet(target).count()
+    removed = compact_history(spark, target, before_seq=5)
+    # {t0@1,t0@3} fold to t0@3 and {t1@2,t1@4} to the t1@4 tombstone
+    assert removed == 2
+    assert spark.read.parquet(target).count() == n_rows_before - 2
+    assert {a: snap(a) for a in (None, 5, 6)} == before
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_warehouse(spark, target, as_of_seq=4)
+    # idempotent: nothing left to fold below the horizon
+    assert compact_history(spark, target, before_seq=5) == 0
+    # a later file-size compaction must not lose the horizon marker
+    assert read_history_horizon(target) is not None
+    compact_parquet(spark, target, target_file_bytes=1 << 30)
+    assert read_history_horizon(target) is not None
+    assert {a: snap(a) for a in (None, 5, 6)} == before
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_warehouse(spark, target, as_of_seq=4)
