@@ -42,7 +42,7 @@ class EngineConfig:
 
     # --- apply semantics (SURVEY §7 hard part 3: bug-compatible append
     # vs clean upsert must be a visible switch)
-    apply_mode: str = "append"  # "append" | "upsert"
+    apply_mode: str = "append"  # "append" | "upsert" | "history"
     propagate_deletes: bool = False  # reference drops REMOVE (README.md:30)
     # hive-partition columns of the warehouse table (100 TB layout:
     # partition-pruned merges + dynamic partition overwrite); None = flat

@@ -261,6 +261,31 @@ def run_envelope_apply(
         ):
             from ..operators.maintenance import compact_parquet
 
+            if cfg.apply_mode == "history":
+                # history (merge-on-read) tables accumulate one version
+                # row per change: the maintenance tick folds everything
+                # below the current max seq to one latest-wins row per
+                # key (time travel stays available from the fold point
+                # forward — the Delta-checkpoint-style retention choice;
+                # run compact_history by hand for a lagged horizon)
+                from pyspark.sql import functions as F
+
+                from ..operators.apply import SEQ_COL
+                from ..operators.maintenance import compact_history
+
+                top = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(warehouse_path)
+                    .agg(F.max(SEQ_COL).alias("m"))
+                    .first()["m"]
+                )
+                if top is not None:
+                    compact_history(
+                        spark,
+                        warehouse_path,
+                        before_seq=top,
+                        partition_by=cfg.partition_by,
+                    )
             compact_parquet(
                 spark,
                 warehouse_path,

@@ -357,3 +357,37 @@ def test_bucketed_stream_vacuums_tombstones(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__staged")
+
+
+def test_envelope_apply_history_stream_with_compaction(spark, tmp_path):
+    """Streaming envelope feed into a history (merge-on-read) warehouse:
+    every version row lands, reads reconstruct latest-wins and time
+    travel works mid-stream; the compaction tick folds superseded
+    versions at the checkpointed cadence without changing any read at
+    or above the fold point."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        read_history_horizon,
+    )
+
+    cfg = EngineConfig(apply_mode="history", max_files_per_trigger=1)
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "warehouse")
+    t0, t1 = make_trade(0), make_trade(1)
+    write_envelope_file(feed, "b1.json", [("INSERT", t0, 1), ("INSERT", t1, 2)])
+    write_envelope_file(feed, "b2.json", [("MODIFY", dict(t0, shares=777), 3),
+                                          ("REMOVE", {"id": t1["id"]}, 4)])
+    _await(run_envelope_apply(
+        spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA,
+        compact_every_n_batches=2,
+    ))
+    # current state: t0 at its seq-3 image, t1 deleted
+    out = read_warehouse(spark, wh)
+    assert [(r["id"], r["shares"]) for r in out.collect()] == [(t0["id"], 777)]
+    # the cadence fired and folded versions below the max seq (4):
+    # t0@1 folded away; t0@3 and t1@2 (each key's newest sub-horizon
+    # version) survive alongside the t1@4 tombstone
+    assert read_history_horizon(wh) is not None
+    assert spark.read.parquet(wh).count() == 3
+    # time travel from the fold point forward still works
+    asof = read_warehouse(spark, wh, as_of_seq=4).collect()
+    assert [(r["id"], r["shares"]) for r in asof] == [(t0["id"], 777)]
