@@ -385,34 +385,43 @@ def compact_history(
         latest_per_key,
     )
 
+    from contextlib import nullcontext
+
     _recover_swap(path)
-    df = spark.read.option("mergeSchema", "true").parquet(path)
-    if KEY_COL not in df.columns:
-        raise ValueError(
-            "compact_history requires a history-mode table "
-            '(apply_changes(mode="history"))'
+    # inference off for partitioned rewrites so partition dir names
+    # round-trip exactly (see _no_partition_type_inference: a re-typed
+    # value re-renders into a DIFFERENT directory than later appends)
+    guard = (
+        _no_partition_type_inference(spark) if partition_by else nullcontext()
+    )
+    with guard:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        if KEY_COL not in df.columns:
+            raise ValueError(
+                "compact_history requires a history-mode table "
+                '(apply_changes(mode="history"))'
+            )
+        cut = _canonical_seq(F.lit(before_seq))
+        canon = df.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
+        old = canon.filter(F.col(SEQ_COL) < cut)
+        recent = canon.filter(F.col(SEQ_COL) >= cut)
+        n_old = old.count()
+        folded = latest_per_key(old, KEY_COL, SEQ_COL)
+        n_folded = folded.count()
+        if n_old == n_folded:
+            _write_history_horizon(path, before_seq)
+            return 0
+        result = folded.unionByName(recent, allowMissingColumns=True)
+        horizon = max(
+            _canonical_seq_str(before_seq), read_history_horizon(path) or ""
         )
-    cut = _canonical_seq(F.lit(before_seq))
-    canon = df.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
-    old = canon.filter(F.col(SEQ_COL) < cut)
-    recent = canon.filter(F.col(SEQ_COL) >= cut)
-    n_old = old.count()
-    folded = latest_per_key(old, KEY_COL, SEQ_COL)
-    n_folded = folded.count()
-    if n_old == n_folded:
-        _write_history_horizon(path, before_seq)
-        return 0
-    result = folded.unionByName(recent, allowMissingColumns=True)
-    horizon = max(
-        _canonical_seq_str(before_seq), read_history_horizon(path) or ""
-    )
-    _swap_into(
-        spark,
-        result,
-        path,
-        partition_by=partition_by,
-        extra_files={HISTORY_HORIZON_MARKER: horizon},
-    )
+        _swap_into(
+            spark,
+            result,
+            path,
+            partition_by=partition_by,
+            extra_files={HISTORY_HORIZON_MARKER: horizon},
+        )
     return n_old - n_folded
 
 

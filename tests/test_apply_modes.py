@@ -680,3 +680,49 @@ def test_compact_history_folds_below_horizon(spark, tmp_path):
     assert {a: snap(a) for a in (None, 5, 6)} == before
     with pytest.raises(ValueError, match="compaction horizon"):
         read_warehouse(spark, target, as_of_seq=4)
+
+
+def test_compact_history_partitioned_numeric_string_partitions(spark, tmp_path):
+    """Partitioned history tables compact with partition-type inference
+    OFF: partition values '01' and '1' are distinct strings whose dirs
+    must round-trip exactly through the fold's rewrite (inference would
+    read both as int 1, merging the partitions and re-rendering '01'
+    rows into the wrong directory)."""
+    import glob
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+
+    t0 = dict(make_trade(0), ticker="01")
+    t1 = dict(make_trade(1), ticker="1")
+    target = str(tmp_path / "wh_hist_part")
+    batches = [
+        [("INSERT", t0, 1), ("INSERT", t1, 2)],
+        [("MODIFY", dict(t0, price=30.0), 3), ("MODIFY", dict(t1, price=40.0), 4)],
+        [("MODIFY", dict(t0, price=50.0), 5)],
+    ]
+    for i, ev in enumerate(batches):
+        apply_changes(
+            spark, _feed(spark, tmp_path, ev, f"hp{i}"), target, "id",
+            mode="history", partition_by=["ticker"],
+        )
+    assert sorted(
+        d.rsplit("=", 1)[1] for d in glob.glob(f"{target}/ticker=*")
+    ) == ["01", "1"]
+
+    def snap(as_of=None):
+        return sorted(
+            (r["id"], str(r["ticker"]), r["price"])
+            for r in read_warehouse(spark, target, as_of_seq=as_of).collect()
+        )
+
+    before = {a: snap(a) for a in (None, 4, 5)}
+    removed = compact_history(
+        spark, target, before_seq=4, partition_by=["ticker"]
+    )
+    assert removed == 1  # t0@1,t0@3 -> t0@3; t1@2 alone below the cut
+    assert sorted(
+        d.rsplit("=", 1)[1] for d in glob.glob(f"{target}/ticker=*")
+    ) == ["01", "1"]
+    assert {a: snap(a) for a in (None, 4, 5)} == before
