@@ -60,7 +60,7 @@ HEADLINE = [
     "dedup_simhash_signatures",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
-    "text_lang_id",
+    "text_lang_id_trigram",
     "text_quality_scores",
     "text_bpe_token_counts",
     "json_props_rollup",
@@ -83,6 +83,7 @@ HEADLINE = [
     # round-6 operators
     "cdc_time_travel_read",
     "text_unigram_logprob",
+    "training_dsir_importance",
 ]
 
 

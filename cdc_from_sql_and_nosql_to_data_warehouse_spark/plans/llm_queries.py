@@ -279,44 +279,15 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# ---------------------------------------------------------------------------
-# Language ID: stopword-overlap argmax (ties -> alphabetical language
-# code; no hits -> 'und').
-# ---------------------------------------------------------------------------
-@register_query(
-    "text_lang_id",
-    oracle=r"""
-    WITH h AS (
-      SELECT doc_id,
-        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
-            ['der','die','das','und','von','zu','den','mit','ist','des'])) AS de_hits,
-        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
-            ['the','and','of','to','in','is','that','for','with','as'])) AS en_hits,
-        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
-            ['el','la','de','que','y','en','un','una','los','las'])) AS es_hits,
-        len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
-            ['le','la','de','et','les','des','un','une','du','que'])) AS fr_hits
-      FROM documents
-    )
-    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
-      CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
-           WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
-           WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
-           WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
-           ELSE 'fr' END AS lang_pred
-    FROM h ORDER BY doc_id
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        TX.stopword_hits(F.col("text"), "de").alias("de_hits"),
-        TX.stopword_hits(F.col("text"), "en").alias("en_hits"),
-        TX.stopword_hits(F.col("text"), "es").alias("es_hits"),
-        TX.stopword_hits(F.col("text"), "fr").alias("fr_hits"),
-        TX.lang_id(F.col("text")).alias("lang_pred"),
-    ).orderBy("doc_id")
+# (A "text_lang_id" query (stopword-overlap argmax: per-language
+# distinct-stopword hits + tie-broken argmax) lived here through round
+# 6; retired under the registry size budget when
+# training_dsir_importance was added — text_lang_id_trigram certifies
+# the identical plan shape (per-doc JVM-expression profile hits +
+# argmax over the same fixed language set, strictly harder profile
+# extraction), the stopword-hit expression itself stays driver-pinned
+# inside text_quality_scores' all_stopword_hits ratio, and the
+# stopword argmax remains locally tested by tests/test_text_property.py.)
 
 
 # ---------------------------------------------------------------------------
@@ -1162,6 +1133,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         TX.unigram_logprob_scores(docs, min_count=2)
         .drop("avg_logprob")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (targeted data selection, arXiv:2302.03169):
+# hashed-unigram target/raw models -> per-raw-doc log-likelihood-ratio
+# importance. Target = the src0/src1 slice of the corpus; raw = the
+# rest. Both models are ≤ 4096 bucket rows (broadcast by construction
+# at any corpus size — DSIR's own scaling choice); document bodies are
+# projected away before the explode and never cross an Exchange. The
+# exact integer columns are hash-certified; the float avg_log_ratio
+# rides the tolerance-twin flag (registry float policy) and is pinned
+# against numpy in tests/test_selection.py.
+# ---------------------------------------------------------------------------
+@register_query(
+    "training_dsir_importance",
+    oracle=r"""
+    WITH ttok AS (
+      SELECT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4096 AS b
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents WHERE source IN ('src0', 'src1'))
+    ), tmodel AS (
+      SELECT b, count(*) AS ct FROM ttok GROUP BY b
+    ), rtok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4096 AS b
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents WHERE source NOT IN ('src0', 'src1'))
+    ), rmodel AS (
+      SELECT b, count(*) AS cr FROM rtok GROUP BY b
+    )
+    SELECT rtok.doc_id,
+           count(*) AS n_tokens,
+           CAST(coalesce(sum(tm.ct), 0) AS BIGINT) AS sum_target_count,
+           CAST(sum(rm.cr) AS BIGINT) AS sum_raw_count,
+           CAST(count(*) - count(tm.ct) AS BIGINT) AS n_unseen_target,
+           TRUE AS ratio_in_bounds
+    FROM rtok
+    LEFT JOIN tmodel tm USING (b)
+    JOIN rmodel rm USING (b)
+    GROUP BY rtok.doc_id
+    ORDER BY doc_id
+    """,
+)
+def training_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    in_target = F.col("source").isin("src0", "src1")
+    return (
+        dsir_importance(docs.filter(in_target), docs.filter(~in_target))
+        .drop("avg_log_ratio")
         .orderBy("doc_id")
     )
 

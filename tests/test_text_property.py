@@ -304,6 +304,54 @@ def test_incremental_pairs_match_bruteforce(spark, texts):
     assert got == want, (corpus, new, got, want)
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                # mix of stopwords from several languages + non-stopwords
+                ["the", "and", "de", "la", "und", "der", "que", "en", "xyz", "qq"]
+            ),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_lang_id_argmax_matches_python(spark, texts):
+    """Stopword-overlap argmax (its registry query was retired in round
+    6 under the size budget; the expression stays pinned here): per-lang
+    hits = |distinct tokens ∩ stopwords|, argmax with alphabetical tie
+    break, zero hits everywhere -> 'und'."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import (
+        LANG_STOPWORDS,
+        lang_id,
+        stopword_hits,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["pred"], *[r[f"h_{lg}"] for lg in sorted(LANG_STOPWORDS)])
+        for r in df.select(
+            "doc_id",
+            lang_id(F.col("text")).alias("pred"),
+            *[
+                stopword_hits(F.col("text"), lg).alias(f"h_{lg}")
+                for lg in sorted(LANG_STOPWORDS)
+            ],
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = set(_py_tokens_split(t))
+        hits = {lg: len(toks & set(ws)) for lg, ws in LANG_STOPWORDS.items()}
+        best = max(sorted(hits), key=lambda lg: hits[lg])
+        want = "und" if hits[best] == 0 else best
+        assert got[i] == (want, *[hits[lg] for lg in sorted(hits)]), (t, got[i])
+
+
 @settings(max_examples=25, deadline=None)
 @given(texts=st.lists(words, min_size=1, max_size=12))
 def test_unigram_logprob_matches_python(spark, texts):
