@@ -57,7 +57,7 @@ HEADLINE = [
     "cdc_count_reconciliation",
     "dedup_exact_survivors",
     "dedup_minhash_jaccard_pairs",
-    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
     "text_lang_id_trigram",
@@ -84,6 +84,7 @@ HEADLINE = [
     "cdc_time_travel_read",
     "text_unigram_logprob",
     "training_dsir_importance",
+    "cdc_change_feed_read",
 ]
 
 

@@ -824,6 +824,99 @@ def read_warehouse(
     return _reader_view(df, with_seq)
 
 
+def read_changes(
+    spark: SparkSession,
+    target_path: str,
+    from_seq: int | str | None = None,
+    to_seq: int | str | None = None,
+) -> DataFrame:
+    """Change-data-feed read over a history-mode table: every observable
+    change with seq in ``(from_seq, to_seq]``, tagged ``_change_type`` in
+    ``insert`` / ``update`` / ``delete`` (the lakehouse CDF contract —
+    Delta's ``table_changes`` / Iceberg's changelog scan — expressed over
+    the version log ``apply_changes(mode="history")`` already retains).
+
+    Classification is read-time: a version row is an ``insert`` if the
+    key had no live prior version, an ``update`` if it did, a ``delete``
+    if it is a tombstone superseding a live version. A REMOVE of an
+    absent key (or of an already-deleted key) changes nothing observable
+    and is not emitted. The history write path is a blind append that
+    never reads prior state — exactly why it is O(batch) — so change
+    types cannot be stamped at write time; deriving them at read time
+    from the per-key seq order keeps the write path untouched and the
+    feed correct under replays: duplicate ``(key, seq)`` version rows
+    appended by an at-least-once replay collapse to one emitted change.
+
+    The range bounds filter AFTER classification (the lag needs each
+    key's pre-range history), so the scan cannot prune on seq — the
+    inherent cost of write-time-blind CDF. What bounds it at scale:
+    classification is ONE shuffle on the stored key (the same window
+    ``read_warehouse`` runs), partition filters still prune file listing
+    first, and ``compact_history`` keeps the retained history — and with
+    it this scan — from growing without bound. Reads that start below
+    the compaction horizon raise (the superseded versions that would
+    classify those changes no longer exist); at/above it they are exact,
+    because the fold keeps each key's newest sub-horizon version under
+    its original seq, which is precisely the prior-liveness the first
+    in-range change of that key needs.
+
+    Reference tie: this is the engine-side generalization of the
+    reference's one-way change relay (DynamoDB Stream -> S3 -> Redshift,
+    ``write_dynamodb_stream_to_s3_lambda/handler.py``) — the warehouse
+    itself becomes a change source downstream consumers can tail by seq.
+    """
+    _recover_swap(target_path)
+    df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    if KEY_COL not in df.columns:
+        raise ValueError(
+            "read_changes requires a history-mode table "
+            '(apply_changes(mode="history")); latest-wins tables do not '
+            "retain the version history a change feed is derived from"
+        )
+    from .maintenance import read_history_horizon
+
+    horizon = read_history_horizon(target_path)
+    if horizon is not None and (
+        from_seq is None or _canonical_seq_py(from_seq) < horizon
+    ):
+        raise ValueError(
+            f"change feed from {from_seq!r} starts below the compaction "
+            f"horizon {horizon.lstrip('0') or '0'}: versions before it "
+            "were folded by compact_history, so changes in that range "
+            "can no longer be reconstructed"
+        )
+    df = df.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
+    live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+    w = W.partitionBy(KEY_COL).orderBy(SEQ_COL)
+    prev_seq = F.lag(F.col(SEQ_COL)).over(w)
+    prev_live = F.coalesce(F.lag(live).over(w), F.lit(False))
+    # Replay collapse: equal-seq duplicates sort adjacent, so keeping
+    # only the first row of each (key, seq) run both dedupes the feed
+    # and keeps the lag correct — a duplicate's lag target is either the
+    # previous distinct seq's row or an identical copy of it.
+    first_of_seq = prev_seq.isNull() | (prev_seq != F.col(SEQ_COL))
+    change = (
+        F.when(live & ~prev_live, F.lit("insert"))
+        .when(live & prev_live, F.lit("update"))
+        .when(~live & prev_live, F.lit("delete"))
+    )  # tombstone over no live prior -> NULL -> filtered (no-op delete)
+    out = (
+        df.withColumn("_first_of_seq", first_of_seq)
+        .withColumn("_change_type", change)
+        .filter(F.col("_first_of_seq") & F.col("_change_type").isNotNull())
+        .drop("_first_of_seq", DELETED_COL)
+    )
+    if from_seq is not None:
+        out = out.filter(
+            F.col(SEQ_COL) > _canonical_seq(F.lit(from_seq))
+        )
+    if to_seq is not None:
+        out = out.filter(
+            F.col(SEQ_COL) <= _canonical_seq(F.lit(to_seq))
+        )
+    return out
+
+
 def read_warehouse_table(
     spark: SparkSession, table_name: str, with_seq: bool = False
 ):

@@ -510,6 +510,100 @@ def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+# ---------------------------------------------------------------------------
+# Change-data-feed read through the REAL history-mode machinery: the
+# events feed becomes envelope batches applied with
+# apply_changes(mode="history") in scrambled order — and one batch is
+# applied TWICE (an at-least-once replay, leaving duplicate version
+# rows) — then read_changes(from_seq, to_seq) emits every observable
+# change in a mid-feed seq window tagged insert/update/delete. The
+# oracle replays the envelope feed in SQL with the same lag-based
+# classification, so the certificate covers change typing against each
+# key's full prior history (a key's first in-window change classifies by
+# its PRE-window liveness), no-op delete suppression (REMOVE of an
+# absent or already-deleted key emits nothing), the exclusive/inclusive
+# range bounds, and replay collapse (the duplicated batch must not
+# duplicate or re-type any change).
+# ---------------------------------------------------------------------------
+@register_query(
+    "cdc_change_feed_read",
+    oracle=f"""
+    WITH feed AS (
+      SELECT user_id, event_id, ts, value,
+             {_OP_SQL} AS op,
+             coalesce(lag({_OP_SQL} <> 'REMOVE') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ), false) AS prev_live
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN op <> 'REMOVE' AND NOT prev_live THEN 'insert'
+                WHEN op <> 'REMOVE' THEN 'update'
+                ELSE 'delete' END AS change_type,
+           value
+    FROM feed
+    WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+      AND (op <> 'REMOVE' OR prev_live)
+    ORDER BY user_id, event_id
+    """,
+)
+def cdc_change_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-standard change feed (Delta ``table_changes`` shape)
+    over the history apply mode. Window bounds use the same DST-safe
+    seq encoding as cdc_time_travel_read: seq > from-cut == ts >=
+    2024-01-11, seq <= to-cut == ts < 2024-01-21 (event_ids start at 1,
+    so no event collides with either midnight cut)."""
+    import shutil
+    import tempfile
+
+    from ..operators.apply import apply_changes, read_changes
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        _op_col().alias("op"),
+        F.struct(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("value"),
+        ).alias("after"),
+        F.concat(
+            F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+        (F.col("event_id") % 3).alias("_batch"),
+    )
+    frm = "20240111000000000000" + "0" * 12
+    to = "20240121000000000000" + "0" * 12
+    wh = tempfile.mkdtemp(prefix="cdc_changefeed_")
+    try:
+        # scrambled on purpose; batch 0 applied twice = a replay whose
+        # duplicate version rows the feed must collapse
+        for b in (2, 0, 1, 0):
+            apply_changes(
+                spark,
+                env.filter(F.col("_batch") == b).drop("_batch"),
+                wh,
+                "user_id",
+                mode="history",
+            )
+        out = (
+            read_changes(spark, wh, from_seq=frm, to_seq=to)
+            .select(
+                "user_id",
+                "event_id",
+                F.col("_change_type").alias("change_type"),
+                "value",
+            )
+            .orderBy("user_id", "event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out.orderBy("user_id", "event_id")
+
+
 @register_query(
     "async_templated_statement",
     oracle="""

