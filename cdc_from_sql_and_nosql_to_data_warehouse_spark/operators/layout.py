@@ -1,4 +1,4 @@
-"""Data-layout operators: Z-order clustering for multi-column locality.
+"""Data-layout operators: Z-order clustering and file-level data skipping.
 
 The reference has no layout management (its warehouse load is
 append-only — SURVEY.md §2.2 K5); at 100 TB, file-level clustering is
@@ -12,11 +12,26 @@ dimensions, so either predicate skips most files.
 shuffle) — it rides the scan inside whole-stage codegen.
 ``zorder_repartition`` is the write-side job: one range shuffle on the
 z-value, files sorted within partitions so min/max stats are tight.
+
+``collect_file_stats`` / ``read_skipping`` are the consumer of that
+layout: a per-file min/max index (the stats a Delta transaction log or
+Iceberg manifest carries, persisted as an underscore sidecar on plain
+parquet) and the pruned reader that plans a scan over ONLY the files
+whose range intersects the predicate. Parquet row-group stats already
+prune *inside* an opened file; file-level skipping avoids listing,
+opening, and footer-reading the file at all — on an object store the
+difference between a query planning O(matching files) and O(table
+files) requests.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import datetime
+import decimal
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -67,3 +82,267 @@ def zorder_repartition(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def zorder_scale(c: Column, lo, hi, bits: int = 16) -> Column:
+    """Affinely map a numeric column's [lo, hi] range onto the full
+    [0, 2^bits) grid (clamped), so every interleaved bit position
+    carries signal. Skipping this step quietly cripples the curve: a
+    column spanning only 2^12 values under ``bits=16`` leaves its top
+    four interleave positions constant-zero, letting the OTHER column's
+    high bits dominate file ranges — measured on lineitem sf0.1, a
+    1-month ship-date window kept 33/64 files unscaled vs 7/64 scaled
+    (scripts/probe_data_skipping.py). Pure codegen arithmetic, like
+    ``zorder_value``."""
+    top = (1 << bits) - 1
+    scaled = (
+        (c.cast("double") - F.lit(float(lo)))
+        * F.lit(float(top))
+        / F.lit(float(hi - lo))
+    ).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(top))
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping: per-file min/max stats sidecar + pruned read.
+# ---------------------------------------------------------------------------
+
+FILE_STATS_SIDECAR = "_file_stats.json"
+_STATS_VERSION = 1
+
+
+def _enc_stat(v):
+    """JSON-encode one min/max value, tagging non-native types so the
+    prune-time comparison happens in the value's own domain (an ISO
+    string compare on timestamps would break at fractional-second
+    boundaries; a float() on decimals would round)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    raise TypeError(
+        f"unsupported file-stats value type: {type(v).__name__} "
+        "(stats columns must be numeric, string, date, timestamp, "
+        "or decimal)"
+    )
+
+
+def _dec_stat(e):
+    if isinstance(e, dict):
+        if e["t"] == "ts":
+            return datetime.datetime.fromisoformat(e["v"])
+        if e["t"] == "date":
+            return datetime.date.fromisoformat(e["v"])
+        if e["t"] == "dec":
+            return decimal.Decimal(e["v"])
+        raise ValueError(f"unknown stats type tag: {e['t']!r}")
+    return e
+
+
+def _coerce_bound(v):
+    """Normalize a caller's predicate value into the decoded-stat
+    domain (datetime/date/Decimal pass through; everything else must
+    already be a JSON-native scalar)."""
+    _enc_stat(v)  # raises on unsupported types
+    return v
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, columns: list[str]
+) -> dict:
+    """ONE column-pruned distributed pass over the table: per-file
+    min/max (nulls excluded, as parquet stats define them) for
+    ``columns``, persisted to an underscore-prefixed JSON sidecar at the
+    table root (invisible to Spark's listing, carried through
+    ``_swap_into`` swaps only if registered — stats are advisory, a
+    stale or missing sidecar only costs pruning, never correctness,
+    because ``read_skipping`` includes unknown files conservatively and
+    re-applies the full predicate to every row it reads).
+
+    This is the maintenance-time twin of what a lakehouse writer stamps
+    into its log at commit time; on plain parquet the stats pass reads
+    ONLY the stat columns (column pruning makes it a footer+column
+    scan, not a table scan). File keys are stored relative to the table
+    root so the sidecar survives a directory move.
+
+    Scale: the aggregate is one shuffle keyed by file name — O(files)
+    result rows collected to the driver, the same order of driver state
+    every lakehouse keeps per snapshot.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"stats columns not in table: {missing}")
+    aggs = []
+    for c in columns:
+        aggs.append(F.min(c).alias(f"min__{c}"))
+        aggs.append(F.max(c).alias(f"max__{c}"))
+    rows = (
+        df.select(*columns)
+        .withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+        .collect()
+    )
+    root = os.path.abspath(path)
+    files = {}
+    for r in rows:
+        fpath = r["_file"]
+        if fpath.startswith("file:"):
+            fpath = fpath[len("file:"):]
+        rel = os.path.relpath(os.path.abspath(fpath), root)
+        files[rel] = {
+            c: [_enc_stat(r[f"min__{c}"]), _enc_stat(r[f"max__{c}"])]
+            for c in columns
+        }
+    payload = {
+        "version": _STATS_VERSION,
+        "columns": columns,
+        "schema": df.schema.json(),
+        "files": files,
+    }
+    with open(os.path.join(path, FILE_STATS_SIDECAR), "w") as f:
+        json.dump(payload, f)
+    return payload
+
+
+def _promote(stat, bound):
+    """SQL comparison promotion for the one cross-type pair Python
+    refuses to order: DATE vs TIMESTAMP compares as midnight (the cast
+    Spark inserts for ``date_col >= timestamp_lit`` and vice versa)."""
+    if isinstance(stat, datetime.datetime) and type(bound) is datetime.date:
+        bound = datetime.datetime.combine(bound, datetime.time())
+    elif type(stat) is datetime.date and isinstance(bound, datetime.datetime):
+        stat = datetime.datetime.combine(stat, datetime.time())
+    return stat, bound
+
+
+def _file_matches(stats_for_file: dict, col: str, op: str, *vals) -> bool:
+    """Can any row in a file with these [min, max] satisfy the
+    predicate? min/max exclude nulls and every supported predicate is
+    null-rejecting (SQL comparison semantics), so a file whose column
+    is entirely null (min is None) can never match."""
+    if col not in stats_for_file:
+        return True  # no stats for this column: conservative
+    lo, hi = (_dec_stat(e) for e in stats_for_file[col])
+    if lo is None:
+        return False  # all-null column: a comparison never holds
+    lo, v0 = _promote(lo, vals[0])
+    hi, _ = _promote(hi, vals[0])
+    vals = (v0, *(_promote(lo, v)[1] for v in vals[1:]))
+    if op == "=":
+        return lo <= vals[0] <= hi
+    if op == "<":
+        return lo < vals[0]
+    if op == "<=":
+        return lo <= vals[0]
+    if op == ">":
+        return hi > vals[0]
+    if op == ">=":
+        return hi >= vals[0]
+    if op == "between":
+        return hi >= vals[0] and lo <= vals[1]
+    raise ValueError(f"unsupported skipping predicate op: {op!r}")
+
+
+def _list_data_files(path: str) -> list[str]:
+    """Every .parquet data file under the table root, relative paths."""
+    out = []
+    for cur, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                out.append(
+                    os.path.relpath(os.path.join(cur, n), os.path.abspath(path))
+                )
+    return out
+
+
+def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
+    """Resolve the AND of ``predicates`` — tuples ``(col, op, value)``
+    or ``(col, "between", lo, hi)`` — against the stats sidecar.
+    Returns (files to read, total data files). Files the sidecar has
+    never seen (written after the last stats pass) are always included:
+    skipping must stay an optimization, not a correctness bet."""
+    preds = [
+        (p[0], p[1], *[_coerce_bound(v) for v in p[2:]]) for p in predicates
+    ]
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    all_files = _list_data_files(path)
+    if not os.path.exists(sidecar):
+        return all_files, len(all_files)
+    with open(sidecar) as f:
+        stats = json.load(f)
+    known = stats["files"]
+    keep = [
+        rel
+        for rel in all_files
+        if rel not in known
+        or all(_file_matches(known[rel], *p) for p in preds)
+    ]
+    return keep, len(all_files)
+
+
+def _predicate_column(p: tuple) -> Column:
+    col, op = F.col(p[0]), p[1]
+    if op == "=":
+        return col == F.lit(p[2])
+    if op == "<":
+        return col < F.lit(p[2])
+    if op == "<=":
+        return col <= F.lit(p[2])
+    if op == ">":
+        return col > F.lit(p[2])
+    if op == ">=":
+        return col >= F.lit(p[2])
+    if op == "between":
+        return col.between(F.lit(p[2]), F.lit(p[3]))
+    raise ValueError(f"unsupported skipping predicate op: {op!r}")
+
+
+def read_skipping(
+    spark: SparkSession, path: str, predicates: list[tuple]
+) -> DataFrame:
+    """Predicate-pruned table read: plan the scan over only the files
+    whose min/max range can satisfy every predicate, then re-apply the
+    full predicate row-wise (file pruning is necessary, not sufficient)
+    — so the result ALWAYS equals the unpruned ``read + filter``, stats
+    or no stats. ``basePath`` keeps hive partition columns visible on
+    the file-scoped read. An empty survivor set returns an empty frame
+    on the sidecar's recorded schema without touching the table.
+
+    The sidecar's recorded schema is imposed on the scan instead of
+    ``mergeSchema``: merging unions EVERY selected file's footer in a
+    driver-side job before the scan — at 100 TB exactly the O(files)
+    planning cost skipping exists to avoid. Refresh stats after a
+    schema-evolving write (the conservative-include rule already covers
+    files newer than the sidecar)."""
+    keep, _total = prune_files(path, predicates)
+    cond = None
+    for p in predicates:
+        c = _predicate_column(p)
+        cond = c if cond is None else cond & c
+
+    def _sidecar_schema():
+        sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+        if not os.path.exists(sidecar):
+            return None
+        from pyspark.sql.types import StructType
+
+        with open(sidecar) as f:
+            return StructType.fromJson(json.loads(json.load(f)["schema"]))
+
+    schema = _sidecar_schema()
+    if not keep:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        df = spark.read.parquet(path)
+        return df.filter(F.lit(False)) if cond is None else df.filter(cond)
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*[os.path.join(path, rel) for rel in keep])
+    return df if cond is None else df.filter(cond)

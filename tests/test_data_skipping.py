@@ -1,0 +1,176 @@
+"""File-level data skipping: min/max stats sidecar + pruned reads.
+
+The contract under test: ``read_skipping`` ALWAYS equals the unpruned
+``read + filter`` (pruning is an optimization, never a correctness
+bet), while ``prune_files`` actually skips files when the layout makes
+ranges tight — the measured synergy with ``zorder_repartition``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+    FILE_STATS_SIDECAR,
+    collect_file_stats,
+    prune_files,
+    read_skipping,
+    zorder_repartition,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """A 16-file table range-clustered on ``a`` with an incidental
+    correlated ``b``, nulls in ``c``, plus date and string columns."""
+    path = str(tmp_path_factory.mktemp("skip") / "tbl")
+    df = spark.range(4000).select(
+        F.col("id").alias("a"),
+        (F.col("id") % 997).alias("b"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") * 1.5)
+        .alias("c"),
+        F.date_add(F.lit(datetime.date(2024, 1, 1)), (F.col("id") % 365).cast("int")).alias("d"),
+        F.concat(F.lit("k"), F.lpad((F.col("id") % 50).cast("string"), 4, "0")).alias("s"),
+    )
+    df.repartitionByRange(16, "a").write.parquet(path)
+    collect_file_stats(spark, path, ["a", "b", "c", "d", "s"])
+    return path
+
+
+PREDICATES = [
+    [("a", "between", 100, 180)],
+    [("a", ">=", 3900)],
+    [("a", "<", 12)],
+    [("c", "between", 30.0, 60.0)],
+    [("d", "=", datetime.date(2024, 3, 1))],
+    [("s", "=", "k0007")],
+    [("a", "between", 100, 180), ("b", "<=", 150)],
+    [("a", "=", -5)],  # outside every range: zero files
+]
+
+
+@pytest.mark.parametrize("preds", PREDICATES)
+def test_skipping_read_equals_full_filter(spark, table, preds):
+    full = spark.read.parquet(table)
+    cond = None
+    for p in preds:
+        c = (
+            F.col(p[0]).between(F.lit(p[2]), F.lit(p[3]))
+            if p[1] == "between"
+            else {"=": F.col(p[0]) == F.lit(p[2]),
+                  "<": F.col(p[0]) < F.lit(p[2]),
+                  "<=": F.col(p[0]) <= F.lit(p[2]),
+                  ">": F.col(p[0]) > F.lit(p[2]),
+                  ">=": F.col(p[0]) >= F.lit(p[2])}[p[1]]
+        )
+        cond = c if cond is None else cond & c
+    expected = _rows(full.filter(cond))
+    got = read_skipping(spark, table, preds)
+    assert sorted(got.columns) == sorted(full.columns)
+    assert _rows(got.select(*full.columns)) == expected
+
+
+def test_pruning_actually_skips_on_clustered_column(table):
+    keep, total = prune_files(table, [("a", "between", 100, 180)])
+    assert total == 16
+    assert 0 < len(keep) <= 2  # 4000 rows / 16 files = 250-row ranges
+    keep_all, _ = prune_files(table, [("b", ">=", 0)])
+    assert len(keep_all) == 16  # unclustered column: nothing skips
+
+
+def test_empty_selection_returns_schema_without_scanning(spark, table):
+    keep, _ = prune_files(table, [("a", "=", -5)])
+    assert keep == []
+    out = read_skipping(spark, table, [("a", "=", -5)])
+    assert out.count() == 0
+    assert set(out.columns) == {"a", "b", "c", "d", "s"}
+
+
+def test_files_written_after_stats_are_conservatively_included(spark, table, tmp_path):
+    path = str(tmp_path / "tbl_growing")
+    spark.range(100).select(F.col("id").alias("a")).write.parquet(path)
+    collect_file_stats(spark, path, ["a"])
+    # append out-of-range rows AFTER the stats pass
+    spark.range(1000, 1100).select(F.col("id").alias("a")).write.mode(
+        "append"
+    ).parquet(path)
+    got = read_skipping(spark, path, [("a", ">=", 1000)])
+    assert got.count() == 100  # the unknown files were read
+
+
+def test_all_null_file_skips_range_predicates(spark, tmp_path):
+    path = str(tmp_path / "tbl_nulls")
+    spark.createDataFrame([(None,), (None,)], "v double").coalesce(1).write.parquet(path)
+    spark.createDataFrame([(1.0,), (2.0,)], "v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    collect_file_stats(spark, path, ["v"])
+    keep, total = prune_files(path, [("v", ">=", 0.0)])
+    assert total == 2 and len(keep) == 1  # the all-null file skips
+    assert _rows(read_skipping(spark, path, [("v", ">=", 0.0)])) == [(1.0,), (2.0,)]
+
+
+def test_partition_columns_participate_and_survive(spark, tmp_path):
+    path = str(tmp_path / "tbl_part")
+    df = spark.range(400).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("a")
+    )
+    df.write.partitionBy("p").parquet(path)
+    collect_file_stats(spark, path, ["p", "a"])
+    keep, total = prune_files(path, [("p", "=", 2)])
+    assert len(keep) < total
+    out = read_skipping(spark, path, [("p", "=", 2)])
+    assert "p" in out.columns  # basePath keeps the hive column
+    assert out.count() == 100
+
+
+def test_zorder_layout_multiplies_skipping(spark, tmp_path):
+    """The measured point of z-ordering: after clustering on the Morton
+    key of (x, y), a tight range predicate on EITHER dimension skips
+    most files; a single-column range layout only skips on its leading
+    column."""
+    n, files = 1 << 14, 16
+    base = spark.range(n).select(
+        F.shiftrightunsigned(
+            F.xxhash64(F.col("id")), 50
+        ).alias("x"),  # 14-bit uniform
+        F.shiftrightunsigned(
+            F.xxhash64(F.col("id"), F.lit(1)), 50
+        ).alias("y"),
+    )
+    zpath = str(tmp_path / "tbl_z")
+    zorder_repartition(base, [F.col("x"), F.col("y")], files, bits=14).write.parquet(zpath)
+    collect_file_stats(spark, zpath, ["x", "y"])
+    lpath = str(tmp_path / "tbl_linear")
+    base.repartitionByRange(files, "x").write.parquet(lpath)
+    collect_file_stats(spark, lpath, ["x", "y"])
+
+    window = 1 << 10  # 1/16 of the domain in each dimension
+    for col in ("x", "y"):
+        pred = [(col, "between", 4096, 4096 + window)]
+        z_keep, z_total = prune_files(zpath, pred)
+        l_keep, l_total = prune_files(lpath, pred)
+        assert z_total == l_total == files
+        assert len(z_keep) < files / 2, (col, len(z_keep))
+        if col == "y":  # the dimension the linear layout cannot prune
+            assert len(l_keep) == files
+            assert len(z_keep) < files / 2
+        # correctness on both layouts
+        assert read_skipping(spark, zpath, pred).count() == read_skipping(
+            spark, lpath, pred
+        ).count()
+
+
+def test_stats_sidecar_is_invisible_to_spark(spark, table):
+    assert os.path.exists(os.path.join(table, FILE_STATS_SIDECAR))
+    # plain reads neither fail nor see phantom rows
+    assert spark.read.parquet(table).count() == 4000
