@@ -53,7 +53,7 @@ HEADLINE = [
     "pivot_order_status_by_priority",
     "events_hourly_rollup",
     "asof_last_click_before_purchase",
-    "cdc_upsert_latest_wins",
+    "cdc_schema_evolution_read",
     "cdc_count_reconciliation",
     "dedup_exact_survivors",
     "dedup_minhash_jaccard_pairs",

@@ -67,11 +67,36 @@ def cdc_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (A "cdc_upsert_latest_wins" query (K2/R8 latest-image upsert restated
+# as a batch plan) lived here through round 5; retired in round 6 under
+# the registry size budget when cdc_schema_evolution_read was added —
+# cdc_partitioned_apply_replay certifies the same max-seq/latest-wins
+# semantics THROUGH the real merge machinery (strictly stronger than
+# the batch-plan restatement), and the evolution query below drives the
+# same upsert path again across a schema boundary. Reference parity for
+# K2 — DynamoDB put_item overwrite, load_data_to_dynamodb_lambda/
+# handler.py:12-15 — now cites those two certificates.)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution through the REAL upsert machinery (K6's typed-table
+# counterpart): the envelope feed splits at a mid-feed cut — pre-cut
+# batches carry the original after-image columns, post-cut batches add
+# a NEW column (event_type) — and both are driven through
+# apply_changes(mode="upsert") against one warehouse table, then the
+# PRE-cut batch replays AFTER the table evolved (an old-schema producer
+# still running — the incoming-missing-field alignment path). The
+# oracle replays latest-wins in SQL with the new column NULL for
+# winners from before the cut: old rows must read NULL in the evolved
+# column, new rows must carry it, and the old-schema replay must change
+# nothing.
+# ---------------------------------------------------------------------------
 @register_query(
-    "cdc_upsert_latest_wins",
+    "cdc_schema_evolution_read",
     oracle=f"""
-    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
-           event_type AS last_type, value AS last_value
+    SELECT user_id, event_id AS last_event_id, value AS last_value,
+           CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                THEN event_type END AS last_type
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC
@@ -83,29 +108,63 @@ def cdc_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id
     """,
 )
-def cdc_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2/R8: latest-image upsert — one row per key, max sequence wins.
+def cdc_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K6: typed-table schema evolution inside the upsert merge
+    (operators/apply.py:_merge_latest) — the engine's answer to the
+    reference's all-varchar drift absorption (create_table...
+    handler.py). The cut encodes as a seq bound exactly like
+    cdc_time_travel_read's."""
+    import shutil
+    import tempfile
 
-    This is exactly the merge the engine's ``apply_changes(mode="upsert")``
-    performs inside ``foreachBatch`` (operators/apply.py); here as a batch
-    plan over the whole feed so the oracle can check it.
-    """
+    from ..operators.apply import apply_changes, read_warehouse
+
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("op", _op_col())
-        .filter(F.col("op").isin("INSERT", "MODIFY"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_type"),
-            F.col("value").alias("last_value"),
-        )
-        .orderBy("user_id")
+    seq = F.concat(
+        F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
+    cut = F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    base = ev.withColumn("op", _op_col())
+    env_old = base.filter(~cut).select(
+        F.col("user_id").cast("string").alias("key"),
+        "op",
+        F.struct(F.col("user_id"), F.col("event_id"), F.col("value")).alias(
+            "after"
+        ),
+        seq.alias("seq"),
+    )
+    env_new = base.filter(cut).select(
+        F.col("user_id").cast("string").alias("key"),
+        "op",
+        F.struct(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("value"),
+            F.col("event_type"),  # the column that did not exist before
+        ).alias("after"),
+        seq.alias("seq"),
+    )
+    wh = tempfile.mkdtemp(prefix="cdc_evolve_")
+    try:
+        apply_changes(spark, env_old, wh, "user_id", mode="upsert")
+        apply_changes(spark, env_new, wh, "user_id", mode="upsert")
+        # old-schema replay into the evolved table: must be a no-op
+        apply_changes(spark, env_old, wh, "user_id", mode="upsert")
+        out = (
+            read_warehouse(spark, wh)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+                F.col("event_type").alias("last_type"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out.orderBy("user_id")
 
 
 @register_query(
