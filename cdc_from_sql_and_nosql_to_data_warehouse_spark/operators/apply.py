@@ -63,7 +63,12 @@ DELETED_COL = "_deleted"
 KEY_COL = "_key"
 # Sidecar marker files every table swap carries over (see _swap_into):
 # underscore-prefixed so Spark's listing never sees them as data.
-_SIDECAR_MARKERS = ("_history_horizon",)
+# Carrying _file_stats.json keeps "this table maintains skipping stats"
+# durable across rewrites; the carried copy is STALE (a swap renames
+# every data file, so its entries go conservatively dead — unknown
+# files are always read) until maintenance refreshes it
+# (layout.refresh_file_stats, invoked by the compaction ops).
+_SIDECAR_MARKERS = ("_history_horizon", "_file_stats.json")
 
 
 def _hive_partition_value_str(v):

@@ -346,3 +346,21 @@ def read_skipping(
         reader = reader.schema(schema)
     df = reader.parquet(*[os.path.join(path, rel) for rel in keep])
     return df if cond is None else df.filter(cond)
+
+
+def refresh_file_stats(spark: SparkSession, path: str) -> dict | None:
+    """Re-collect the stats sidecar for its RECORDED columns; no-op on
+    tables without one (a sidecar's presence is the opt-in). Rewrites
+    (compaction, merge swaps) rename every data file, which turns the
+    carried sidecar stale — safe (unknown files always read) but
+    useless — so the compaction ops call this after their swap, the
+    same cadence at which a lakehouse rewrites its stats manifests.
+    Merge/append paths deliberately do NOT refresh per micro-batch:
+    stats are a maintenance-time product, and the conservative-include
+    rule keeps the window between refreshes correct."""
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        cols = json.load(f)["columns"]
+    return collect_file_stats(spark, path, cols)

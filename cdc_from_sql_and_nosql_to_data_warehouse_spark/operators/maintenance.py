@@ -164,6 +164,7 @@ def compact_parquet(
                 .partitionBy(*partition_by)
                 .parquet(path)
             )
+        _refresh_stats_if_kept(spark, path)
         return table_stats(spark, path)
 
     before = table_stats(spark, path)
@@ -174,7 +175,19 @@ def compact_parquet(
         return before
     df = spark.read.option("mergeSchema", "true").parquet(path).repartition(n_out)
     _swap_into(spark, df, path, partition_by=None)
+    _refresh_stats_if_kept(spark, path)
     return table_stats(spark, path)
+
+
+def _refresh_stats_if_kept(spark: SparkSession, path: str) -> None:
+    """Compaction renames every rewritten file, turning a carried
+    skipping-stats sidecar stale (safe — unknown files always read —
+    but useless). Tables that opted into stats get them re-collected at
+    this maintenance cadence, the same point a lakehouse rewrites its
+    stats manifests; tables without a sidecar pay nothing."""
+    from .layout import refresh_file_stats
+
+    refresh_file_stats(spark, path)
 
 
 def expire_files(
@@ -422,6 +435,7 @@ def compact_history(
             partition_by=partition_by,
             extra_files={HISTORY_HORIZON_MARKER: horizon},
         )
+    _refresh_stats_if_kept(spark, path)
     return n_old - n_folded
 
 

@@ -1,0 +1,134 @@
+"""Scale probe for the history-mode readers (COVERAGE.md protocol).
+
+``read_changes`` and ``read_warehouse`` over a history table are both
+one key-window over the retained versions, so their wall should track
+the RETAINED history size linearly (scan + single shuffle) — and
+``compact_history`` is the lever that bounds that size. This probe
+measures both claims: reader wall at 1x/10x/100x retained versions,
+and the same reads after compaction folded 90% of the history.
+
+Feed shape mirrors the CDC probe: K keys x V versions, 10% REMOVEs,
+applied through the real blind-append history path in 8 scrambled
+batches. Timing: cold then min-of-2 steady, count-forced.
+
+Run manually: ``python scripts/probe_change_feed_scale.py``. Results
+summarized in COVERAGE.md; nothing here runs in CI.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+    apply_changes,
+    read_changes,
+    read_warehouse,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+    compact_history,
+)
+
+BASE_ROWS = 100_000  # 1x leg: 10k keys x 10 versions
+BATCHES = 8
+
+
+def _steady(fn, runs: int = 2) -> float:
+    fn()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _build(spark, path: str, rows: int) -> int:
+    keys = rows // 10
+    env = spark.range(rows).select(
+        (F.col("id") % keys).cast("string").alias("key"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) == 0, "REMOVE")
+        .when(F.col("id") < keys, "INSERT")
+        .otherwise("MODIFY")
+        .alias("op"),
+        F.struct(
+            (F.col("id") % keys).alias("k"),
+            (F.col("id") * 17 % 1000).alias("v"),
+        ).alias("after"),
+        (F.floor(F.col("id") / keys) + 1).alias("seq"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(BATCHES)).alias("_b"),
+    )
+    max_seq = rows // keys
+    for b in range(BATCHES):
+        apply_changes(
+            spark,
+            env.filter(F.col("_b") == b).drop("_b"),
+            path,
+            "k",
+            mode="history",
+        )
+    return max_seq
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="cdf_probe_")
+    try:
+        for mult in (1, 10, 100):
+            rows = BASE_ROWS * mult
+            path = os.path.join(work, f"hist_{mult}x")
+            t0 = time.perf_counter()
+            max_seq = _build(spark, path, rows)
+            build = time.perf_counter() - t0
+            feed_all = _steady(
+                lambda: read_changes(spark, path).count()
+            )
+            # a bounded tail window: the last 10% of sequences
+            frm = max_seq - max(1, max_seq // 10)
+            feed_tail = _steady(
+                lambda: read_changes(spark, path, from_seq=frm).count()
+            )
+            state = _steady(lambda: read_warehouse(spark, path).count())
+            print(
+                f"{mult:3d}x rows {rows:>9,} build {build:6.2f}s "
+                f"feed_all {feed_all:6.2f}s feed_tail {feed_tail:6.2f}s "
+                f"state_read {state:6.2f}s"
+            )
+            if mult == 100:
+                # fold 90% of the history, then re-read: the compaction
+                # lever in action
+                horizon = int(max_seq * 0.9)
+                t0 = time.perf_counter()
+                removed = compact_history(spark, path, before_seq=horizon)
+                cwall = time.perf_counter() - t0
+                feed_tail2 = _steady(
+                    lambda: read_changes(spark, path, from_seq=frm).count()
+                )
+                state2 = _steady(lambda: read_warehouse(spark, path).count())
+                print(
+                    f"     after compact(<{horizon}): removed {removed:,} "
+                    f"in {cwall:.2f}s  feed_tail {feed_tail2:6.2f}s "
+                    f"state_read {state2:6.2f}s"
+                )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

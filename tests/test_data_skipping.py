@@ -174,3 +174,34 @@ def test_stats_sidecar_is_invisible_to_spark(spark, table):
     assert os.path.exists(os.path.join(table, FILE_STATS_SIDECAR))
     # plain reads neither fail nor see phantom rows
     assert spark.read.parquet(table).count() == 4000
+
+
+def test_stats_lifecycle_through_swap_and_compaction(spark, tmp_path):
+    """The sidecar rides table swaps (stale but safe: every post-swap
+    file is unknown, so nothing prunes incorrectly) and compaction
+    re-collects it, restoring pruning — the maintenance cadence a
+    lakehouse refreshes stats manifests at."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl_life")
+    df = spark.range(2000).select(F.col("id").alias("a"))
+    # fragmented write: 8 range files so stats prune
+    df.repartitionByRange(8, "a").write.parquet(path)
+    collect_file_stats(spark, path, ["a"])
+    keep, total = prune_files(path, [("a", "<", 100)])
+    assert len(keep) < total
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)  # rewrites to 1 file
+    assert os.path.exists(os.path.join(path, FILE_STATS_SIDECAR))
+    keep2, total2 = prune_files(path, [("a", "<", 100)])
+    assert total2 < total  # the rewrite really compacted
+    assert len(keep2) == total2  # everything kept: 1 file holds all
+    # the refreshed stats are LIVE, not stale: an out-of-range predicate
+    # prunes to zero files (a stale sidecar would conservatively keep)
+    keep3, _ = prune_files(path, [("a", ">", 10_000)])
+    assert keep3 == []
+    assert _rows(read_skipping(spark, path, [("a", "<", 100)])) == [
+        (i,) for i in range(100)
+    ]
