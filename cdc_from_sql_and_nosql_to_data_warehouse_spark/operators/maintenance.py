@@ -107,10 +107,23 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
     partition_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> TableStats:
     """Rewrite ``path`` into ceil(total_bytes / target) similar-sized
     files. No-op when the table is already compact. Row-order-free
     (parquet tables here carry no implicit order contract).
+
+    ``zorder_by`` turns the rewrite into Delta's ``OPTIMIZE ... ZORDER
+    BY``: instead of a round-robin repartition, rows are clustered on
+    the Morton key of the named numeric columns (each affinely scaled
+    onto the full interleave grid from its observed min/max — the
+    normalization ``layout.zorder_scale`` documents as load-bearing),
+    so the post-compaction file ranges are tight in EVERY z-dimension
+    and the refreshed stats sidecar prunes on any of them. Clustering
+    forces a FULL rewrite (locality is global), so ``zorder_by``
+    ignores the fragmentation gate and, with ``partition_by``,
+    rewrites every partition rather than only fragmented ones — run it
+    at the coarser OPTIMIZE cadence, not the per-batch one.
 
     ``partition_by`` preserves a hive-partitioned layout AND scopes the
     work: only FRAGMENTED partition directories (more files than their
@@ -132,6 +145,11 @@ def compact_parquet(
     from .apply import _recover_swap
 
     _recover_swap(path)  # adopt a swap a previous crash left undone
+
+    if zorder_by:
+        return _optimize_zorder(
+            spark, path, zorder_by, target_file_bytes, partition_by
+        )
 
     if partition_by:
         # ONE walk yields both the compaction gate and the per-dir
@@ -175,6 +193,75 @@ def compact_parquet(
         return before
     df = spark.read.option("mergeSchema", "true").parquet(path).repartition(n_out)
     _swap_into(spark, df, path, partition_by=None)
+    _refresh_stats_if_kept(spark, path)
+    return table_stats(spark, path)
+
+
+def _optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str],
+    target_file_bytes: int,
+    partition_by: list[str] | None,
+) -> TableStats:
+    """The clustered-rewrite arm of ``compact_parquet`` (OPTIMIZE ...
+    ZORDER BY): one bounds aggregate (min/max per z-column, the scaling
+    anchors), then ONE range shuffle on (partition columns..., Morton
+    key) with an in-task sort on the same key — partition columns lead
+    the range key so each task holds whole hive partitions and emits
+    ~one file per (task, partition). Numeric z-columns only (encode
+    dates to day numbers first, as scripts/probe_data_skipping.py
+    does)."""
+    import numbers
+    from contextlib import nullcontext
+
+    from pyspark.sql import functions as F
+
+    from .layout import zorder_scale, zorder_value
+
+    guard = (
+        _no_partition_type_inference(spark) if partition_by else nullcontext()
+    )
+    with guard:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_by columns not in table: {missing}")
+        before = table_stats(spark, path)
+        n_out = max(1, math.ceil(before.total_bytes / target_file_bytes))
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+        ).first()
+        bits = min(16, 63 // len(zorder_by))
+        zcols = []
+        for c in zorder_by:
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is not None and not isinstance(lo, numbers.Number):
+                raise TypeError(
+                    f"zorder_by column {c!r} is not numeric "
+                    f"({type(lo).__name__}); encode it first"
+                )
+            if lo is None or hi is None or hi == lo:
+                zcols.append(F.lit(0))  # constant/all-null: no signal
+            else:
+                zcols.append(zorder_scale(F.col(c), lo, hi, bits))
+        keys = [F_col(c) for c in (partition_by or [])] + [F.col("_z")]
+        clustered = (
+            df.withColumn("_z", zorder_value(zcols, bits))
+            .repartitionByRange(n_out, *keys)
+            .sortWithinPartitions(*keys)
+            .drop("_z")
+        )
+        if partition_by:
+            (
+                clustered.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+        else:
+            _swap_into(spark, clustered, path, partition_by=None)
     _refresh_stats_if_kept(spark, path)
     return table_stats(spark, path)
 

@@ -205,3 +205,68 @@ def test_stats_lifecycle_through_swap_and_compaction(spark, tmp_path):
     assert _rows(read_skipping(spark, path, [("a", "<", 100)])) == [
         (i,) for i in range(100)
     ]
+
+
+def test_optimize_zorder_compaction(spark, tmp_path):
+    """compact_parquet(zorder_by=...) is OPTIMIZE ZORDER BY: the rewrite
+    clusters on the Morton key of the named columns so the refreshed
+    stats prune on EITHER dimension, rows survive exactly, and the
+    sidecar lifecycle holds through the clustered swap."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl_opt")
+    n, files = 1 << 14, 16
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.shiftrightunsigned(F.xxhash64("id"), 50).alias("x"),
+        F.shiftrightunsigned(F.xxhash64("id", F.lit(1)), 50).alias("y"),
+    )
+    df.repartition(64).write.parquet(path)  # fragmented, unclustered
+    collect_file_stats(spark, path, ["x", "y"])
+    before = sorted(r["rid"] for r in spark.read.parquet(path).collect())
+    # pick a per-file byte target that yields ~16 output files
+    total = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    stats = compact_parquet(
+        spark, path, target_file_bytes=max(1, total // files), zorder_by=["x", "y"]
+    )
+    assert stats.n_files <= files + 2
+    after = sorted(r["rid"] for r in spark.read.parquet(path).collect())
+    assert after == before  # clustering moved rows, lost none
+    # the refreshed stats prune on BOTH z-dimensions (a linear layout
+    # would keep every file on its trailing one)
+    for col in ("x", "y"):
+        keep, tot = prune_files(path, [(col, "between", 4096, 4096 + (1 << 10))])
+        assert len(keep) <= tot * 0.7, (col, len(keep), tot)
+
+
+def test_optimize_zorder_partitioned_and_nonnumeric_raises(spark, tmp_path):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl_opt_part")
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("p"),
+        F.shiftrightunsigned(F.xxhash64("id"), 50).alias("x"),
+        F.shiftrightunsigned(F.xxhash64("id", F.lit(1)), 50).alias("y"),
+        F.col("id").cast("string").alias("s"),
+    )
+    df.repartition(8).write.partitionBy("p").parquet(path)
+    collect_file_stats(spark, path, ["x", "y"])
+    compact_parquet(
+        spark, path, target_file_bytes=1 << 13, zorder_by=["x", "y"],
+        partition_by=["p"],
+    )
+    out = spark.read.parquet(path)
+    assert out.count() == 4000 and "p" in out.columns
+    keep, tot = prune_files(path, [("x", "between", 0, 2000)])
+    assert tot >= 4 and len(keep) < tot, (len(keep), tot)
+    with pytest.raises(TypeError, match="not numeric"):
+        compact_parquet(spark, path, zorder_by=["s"])

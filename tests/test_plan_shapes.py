@@ -225,3 +225,35 @@ def test_span_stats_shuffles_carry_no_text(spark):
         if "RoundRobinPartitioning" in section:
             continue
         assert "text#" not in section, f"text crossed a shuffle:\n{section}"
+
+
+def test_read_changes_single_key_shuffle(spark, tmp_path):
+    """The change feed is ONE hash Exchange on the stored key (the lag
+    window); the seq-range filters stay above it and no second shuffle
+    or sort-merge join sneaks in."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes,
+        read_changes,
+    )
+
+    target = str(tmp_path / "wh_cdf_plan")
+    env = spark.range(200).select(
+        (F.col("id") % 40).cast("string").alias("key"),
+        F.when(F.col("id") < 40, "INSERT").otherwise("MODIFY").alias("op"),
+        F.struct((F.col("id") % 40).alias("k"), F.col("id").alias("v")).alias(
+            "after"
+        ),
+        (F.floor(F.col("id") / 40) + 1).alias("seq"),
+    )
+    apply_changes(spark, env, target, "k", mode="history")
+    df = read_changes(spark, target, from_seq=2, to_seq=4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "_key" in " ".join(re.findall(r"hashpartitioning\(([^)]*)", plan))
+    assert df.count() > 0
