@@ -922,6 +922,77 @@ def read_changes(
     return out
 
 
+def follow_changes(
+    spark: SparkSession,
+    target_path: str,
+    checkpoint_path: str,
+    process,
+    max_ticks: int | None = None,
+) -> int:
+    """Tail a history-mode table's change feed with at-least-once
+    delivery: each tick reads the window ``(last_seq, current_max]``
+    via ``read_changes``, hands it to ``process(df, from_seq, to_seq)``,
+    and advances a file checkpoint only AFTER process returns — a crash
+    mid-process re-delivers the same window on restart, never skips one
+    (the consumer-side dual of the reference's one-way relay: there the
+    Lambda tails the DynamoDB stream with its managed iterator,
+    ``write_dynamodb_stream_to_s3_lambda/handler.py``; here the
+    warehouse itself is the tailable source and the iterator is an
+    explicit seq checkpoint the consumer owns).
+
+    ``from_seq=None`` on the first tick means "from the beginning",
+    which a compacted table refuses (read_changes' horizon rule) — a
+    NEW consumer of a compacted table must bootstrap from a snapshot
+    read plus the feed from the horizon, like any log-compacted source.
+    Returns the number of non-empty windows delivered; stops after
+    ``max_ticks`` ticks (None = drain once to the current max and
+    return — callers loop at their own cadence).
+
+    Scale: each tick costs one max-seq aggregate over the retained
+    history plus the window read. Both are bounded by compaction, and
+    the checkpoint is one seq string — no per-key consumer state.
+    """
+    ck = os.path.join(checkpoint_path, "_change_feed_offset")
+    os.makedirs(checkpoint_path, exist_ok=True)
+
+    def _read_ck() -> str | None:
+        if not os.path.exists(ck):
+            return None
+        with open(ck) as f:
+            return f.read().strip() or None
+
+    def _write_ck(seq: str) -> None:
+        tmp = ck + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(seq)
+        os.replace(tmp, ck)  # atomic on POSIX: never a torn offset
+
+    delivered = 0
+    ticks = 0
+    while True:
+        ticks += 1
+        last = _read_ck()
+        _recover_swap(target_path)
+        df = spark.read.option("mergeSchema", "true").parquet(target_path)
+        if KEY_COL not in df.columns:
+            raise ValueError(
+                "follow_changes requires a history-mode table "
+                '(apply_changes(mode="history"))'
+            )
+        cur = df.agg(
+            F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")
+        ).first()["m"]
+        if cur is not None and (last is None or cur > last):
+            window = read_changes(
+                spark, target_path, from_seq=last, to_seq=cur
+            )
+            process(window, last, cur)
+            _write_ck(cur)
+            delivered += 1
+        if max_ticks is None or ticks >= max_ticks:
+            return delivered
+
+
 def read_warehouse_table(
     spark: SparkSession, table_name: str, with_seq: bool = False
 ):

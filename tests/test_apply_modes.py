@@ -860,3 +860,62 @@ def test_read_changes_horizon_interaction(spark, tmp_path):
         read_changes(spark, target)  # unbounded start
     with pytest.raises(ValueError, match="horizon"):
         read_changes(spark, target, from_seq=1)
+
+
+def test_follow_changes_tail_with_checkpoint(spark, tmp_path):
+    """Consumer-side change-feed tailing: each drain delivers exactly
+    the new window, the checkpoint advances only after process returns
+    (a failing process re-delivers — at-least-once), and an idle drain
+    delivers nothing."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        follow_changes,
+    )
+
+    t0, t1 = make_trade(0), make_trade(1)
+    target = str(tmp_path / "wh_follow")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def collect(df, frm, to):
+        seen.extend(
+            (r["id"], int(r["_seq"]), r["_change_type"])
+            for r in df.collect()
+        )
+
+    b1 = _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2)], "fw1")
+    apply_changes(spark, b1, target, "id", mode="history")
+    assert follow_changes(spark, target, ckpt, collect) == 1
+    assert sorted(seen) == sorted(
+        [(t0["id"], 1, "insert"), (t1["id"], 2, "insert")]
+    )
+
+    # idle drain: nothing new, checkpoint holds
+    assert follow_changes(spark, target, ckpt, collect) == 0
+
+    b2 = _feed(
+        spark, tmp_path,
+        [("MODIFY", dict(t0, price=50.0), 3), ("REMOVE", {"id": t1["id"]}, 4)],
+        "fw2",
+    )
+    apply_changes(spark, b2, target, "id", mode="history")
+
+    # a consumer that crashes mid-window must see the SAME window again
+    calls = {"n": 0}
+
+    def flaky(df, frm, to):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("consumer crash before commit")
+        collect(df, frm, to)
+
+    with pytest.raises(RuntimeError):
+        follow_changes(spark, target, ckpt, flaky)
+    assert follow_changes(spark, target, ckpt, flaky) == 1  # re-delivered
+    assert sorted(seen) == sorted(
+        [
+            (t0["id"], 1, "insert"),
+            (t1["id"], 2, "insert"),
+            (t0["id"], 3, "update"),
+            (t1["id"], 4, "delete"),
+        ]
+    )
