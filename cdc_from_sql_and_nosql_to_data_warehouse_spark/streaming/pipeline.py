@@ -214,6 +214,7 @@ def run_envelope_apply(
     key: str | None = None,
     compact_every_n_batches: int | None = None,
     compact_target_file_bytes: int = 128 * 1024 * 1024,
+    optimize_zorder_by: list[str] | None = None,
 ):
     """Collapsed pipeline: envelope feed -> apply_changes per micro-batch.
 
@@ -286,11 +287,16 @@ def run_envelope_apply(
                         before_seq=top,
                         partition_by=cfg.partition_by,
                     )
+            # with optimize_zorder_by the tick is OPTIMIZE ZORDER BY:
+            # the rewrite both compacts AND re-clusters on the Morton
+            # key, refreshing the stats sidecar, so file skipping on
+            # the z-dimensions stays tight as the table churns
             compact_parquet(
                 spark,
                 warehouse_path,
                 target_file_bytes=compact_target_file_bytes,
                 partition_by=cfg.partition_by,
+                zorder_by=optimize_zorder_by,
             )
 
     return (

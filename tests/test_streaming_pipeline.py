@@ -391,3 +391,44 @@ def test_envelope_apply_history_stream_with_compaction(spark, tmp_path):
     # time travel from the fold point forward still works
     asof = read_warehouse(spark, wh, as_of_seq=4).collect()
     assert [(r["id"], r["shares"]) for r in asof] == [(t0["id"], 777)]
+
+
+def test_envelope_apply_optimize_zorder_tick(spark, tmp_path):
+    """The hop's maintenance tick as OPTIMIZE ZORDER BY: a table that
+    opted into skipping stats gets re-clustered AND its sidecar
+    re-collected by the streaming compaction, so pruning stays live
+    (an out-of-range predicate prunes to zero files) as batches churn
+    the table."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+    )
+
+    cfg = EngineConfig(apply_mode="append")
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "warehouse")
+    write_envelope_file(
+        feed, "b1.json", [("INSERT", make_trade(i), i) for i in range(8)]
+    )
+    _await(run_envelope_apply(spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA))
+    collect_file_stats(spark, wh, ["shares"])  # the opt-in
+
+    write_envelope_file(
+        feed, "b2.json",
+        [("INSERT", make_trade(i), i) for i in range(8, 24)],
+    )
+    _await(
+        run_envelope_apply(
+            spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA,
+            compact_every_n_batches=1,
+            optimize_zorder_by=["shares"],
+        )
+    )
+    out = spark.read.parquet(wh)
+    assert out.count() == 24
+    # the tick refreshed the stats: they are live, not stale
+    keep, total = prune_files(wh, [("shares", ">", 10_000)])
+    assert keep == []  # max shares is 200 + 10*23 = 430
+    keep2, _ = prune_files(wh, [("shares", "between", 200, 250)])
+    assert len(keep2) >= 1
+    assert len(set(r["shares"] for r in out.collect())) == 24
