@@ -151,32 +151,11 @@ def _coerce_bound(v):
     return v
 
 
-def collect_file_stats(
-    spark: SparkSession, path: str, columns: list[str]
-) -> dict:
-    """ONE column-pruned distributed pass over the table: per-file
-    min/max (nulls excluded, as parquet stats define them) for
-    ``columns``, persisted to an underscore-prefixed JSON sidecar at the
-    table root (invisible to Spark's listing, carried through
-    ``_swap_into`` swaps only if registered — stats are advisory, a
-    stale or missing sidecar only costs pruning, never correctness,
-    because ``read_skipping`` includes unknown files conservatively and
-    re-applies the full predicate to every row it reads).
-
-    This is the maintenance-time twin of what a lakehouse writer stamps
-    into its log at commit time; on plain parquet the stats pass reads
-    ONLY the stat columns (column pruning makes it a footer+column
-    scan, not a table scan). File keys are stored relative to the table
-    root so the sidecar survives a directory move.
-
-    Scale: the aggregate is one shuffle keyed by file name — O(files)
-    result rows collected to the driver, the same order of driver state
-    every lakehouse keeps per snapshot.
-    """
-    df = spark.read.option("mergeSchema", "true").parquet(path)
-    missing = [c for c in columns if c not in df.columns]
-    if missing:
-        raise ValueError(f"stats columns not in table: {missing}")
+def _stat_files(spark: SparkSession, path: str, columns: list[str], df) -> dict:
+    """Per-file min/max of ``columns`` over ``df`` (a read of ``path``
+    or a subset of its files) -> {relative file path: {col: [min, max]}}.
+    One column-pruned aggregate keyed by file name; O(files) result rows
+    on the driver."""
     aggs = []
     for c in columns:
         aggs.append(F.min(c).alias(f"min__{c}"))
@@ -199,13 +178,85 @@ def collect_file_stats(
             c: [_enc_stat(r[f"min__{c}"]), _enc_stat(r[f"max__{c}"])]
             for c in columns
         }
-    payload = {
-        "version": _STATS_VERSION,
-        "columns": columns,
-        "schema": df.schema.json(),
-        "files": files,
-    }
-    with open(os.path.join(path, FILE_STATS_SIDECAR), "w") as f:
+    return files
+
+
+def collect_file_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    incremental: bool = False,
+) -> dict:
+    """ONE column-pruned distributed pass over the table: per-file
+    min/max (nulls excluded, as parquet stats define them) for
+    ``columns``, persisted to an underscore-prefixed JSON sidecar at the
+    table root (invisible to Spark's listing, carried through
+    ``_swap_into`` swaps only if registered — stats are advisory, a
+    stale or missing sidecar only costs pruning, never correctness,
+    because ``read_skipping`` includes unknown files conservatively and
+    re-applies the full predicate to every row it reads).
+
+    This is the maintenance-time twin of what a lakehouse writer stamps
+    into its log at commit time; on plain parquet the stats pass reads
+    ONLY the stat columns (column pruning makes it a footer+column
+    scan, not a table scan). File keys are stored relative to the table
+    root so the sidecar survives a directory move.
+
+    ``incremental=True`` scans only the files the sidecar has never
+    seen and drops entries for vanished ones — O(new files), not
+    O(table): after a streaming append tick, refreshing stats costs
+    the new files' footers, exactly how a lakehouse log accretes
+    per-commit stats. Falls back to the full pass when there is no
+    sidecar or its column set differs. (After a compaction/OPTIMIZE
+    rewrite, every file is new, so incremental degenerates to the full
+    pass by itself.)
+
+    Scale: the aggregate is one shuffle keyed by file name — O(files
+    scanned) result rows collected to the driver, the same order of
+    driver state every lakehouse keeps per snapshot.
+    """
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    prior = None
+    if incremental and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            prior = json.load(f)
+        if prior.get("columns") != columns:
+            prior = None  # column set changed: full re-collect
+
+    if prior is not None:
+        on_disk = set(_list_data_files(path))
+        kept = {
+            rel: st for rel, st in prior["files"].items() if rel in on_disk
+        }
+        new_rel = sorted(on_disk - set(kept))
+        if new_rel:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(prior["schema"]))
+            sub = (
+                spark.read.schema(schema)
+                .option("basePath", path)
+                .parquet(*[os.path.join(path, r) for r in new_rel])
+            )
+            kept.update(_stat_files(spark, path, columns, sub))
+        payload = {
+            "version": _STATS_VERSION,
+            "columns": columns,
+            "schema": prior["schema"],
+            "files": kept,
+        }
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"stats columns not in table: {missing}")
+        payload = {
+            "version": _STATS_VERSION,
+            "columns": columns,
+            "schema": df.schema.json(),
+            "files": _stat_files(spark, path, columns, df),
+        }
+    with open(sidecar, "w") as f:
         json.dump(payload, f)
     return payload
 

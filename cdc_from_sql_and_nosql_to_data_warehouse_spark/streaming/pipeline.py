@@ -256,6 +256,28 @@ def run_envelope_apply(
             propagate_deletes=cfg.propagate_deletes,
             partition_by=cfg.partition_by,
         )
+        if cfg.apply_mode in ("append", "history"):
+            # blind-append modes: a stats-opted table (sidecar present)
+            # accretes per-batch stats incrementally — O(this batch's
+            # new files), the lakehouse per-commit stats stamp. Upsert
+            # rewrites files, so its stats refresh stays at the
+            # compaction cadence instead.
+            import os as _os
+
+            from ..operators.layout import (
+                FILE_STATS_SIDECAR,
+                collect_file_stats,
+            )
+
+            sidecar = _os.path.join(warehouse_path, FILE_STATS_SIDECAR)
+            if _os.path.exists(sidecar):
+                import json as _json
+
+                with open(sidecar) as fh:
+                    cols = _json.load(fh)["columns"]
+                collect_file_stats(
+                    spark, warehouse_path, cols, incremental=True
+                )
         if (
             compact_every_n_batches
             and (epoch_id + 1) % compact_every_n_batches == 0

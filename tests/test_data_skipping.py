@@ -270,3 +270,55 @@ def test_optimize_zorder_partitioned_and_nonnumeric_raises(spark, tmp_path):
     assert tot >= 4 and len(keep) < tot, (len(keep), tot)
     with pytest.raises(TypeError, match="not numeric"):
         compact_parquet(spark, path, zorder_by=["s"])
+
+
+def test_incremental_stats_refresh_scans_only_new_files(spark, tmp_path):
+    """incremental=True keeps existing entries (without re-reading their
+    files), stats only unseen files, and drops vanished ones — the
+    O(new-files) refresh a streaming append cadence needs."""
+    import json as _json
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats as cfs,
+    )
+
+    path = str(tmp_path / "tbl_inc")
+    spark.range(100).select(F.col("id").alias("a")).coalesce(2).write.parquet(path)
+    first = cfs(spark, path, ["a"])
+    assert len(first["files"]) == 2
+
+    # tamper with a recorded entry: an incremental refresh must keep it
+    # verbatim (proof the old file was NOT re-scanned)
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    with open(sidecar) as f:
+        doc = _json.load(f)
+    marker_rel = next(iter(doc["files"]))
+    doc["files"][marker_rel]["a"] = [-999, -999]
+    with open(sidecar, "w") as f:
+        _json.dump(doc, f)
+
+    spark.range(1000, 1100).select(F.col("id").alias("a")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    second = cfs(spark, path, ["a"], incremental=True)
+    assert len(second["files"]) == 3
+    assert second["files"][marker_rel]["a"] == [-999, -999]  # untouched
+    new_rel = [r for r in second["files"] if r not in first["files"]]
+    assert len(new_rel) == 1
+    assert second["files"][new_rel[0]]["a"] == [1000, 1099]
+
+    # vanished files drop; full (non-incremental) re-collect heals the
+    # tampered entry
+    os.remove(os.path.join(path, new_rel[0]))
+    third = cfs(spark, path, ["a"], incremental=True)
+    assert set(third["files"]) == set(first["files"])
+    healed = cfs(spark, path, ["a"])
+    assert healed["files"][marker_rel]["a"] != [-999, -999]
+
+    # a changed column set falls back to the full pass
+    spark.range(5).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    ).write.mode("overwrite").parquet(path)
+    mixed = cfs(spark, path, ["a", "b"], incremental=True)
+    assert mixed["columns"] == ["a", "b"]
+    assert all("b" in st for st in mixed["files"].values())

@@ -432,3 +432,33 @@ def test_envelope_apply_optimize_zorder_tick(spark, tmp_path):
     keep2, _ = prune_files(wh, [("shares", "between", 200, 250)])
     assert len(keep2) >= 1
     assert len(set(r["shares"] for r in out.collect())) == 24
+
+
+def test_envelope_apply_accretes_stats_incrementally(spark, tmp_path):
+    """Blind-append modes stamp per-batch skipping stats (incremental,
+    O(new files)) once a table opts in — no compaction tick needed for
+    pruning to stay live."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+    )
+
+    cfg = EngineConfig(apply_mode="append")
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "warehouse")
+    write_envelope_file(
+        feed, "b1.json", [("INSERT", make_trade(i), i) for i in range(4)]
+    )
+    _await(run_envelope_apply(spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA))
+    collect_file_stats(spark, wh, ["shares"])
+
+    write_envelope_file(
+        feed, "b2.json", [("INSERT", make_trade(i), i) for i in range(4, 10)]
+    )
+    _await(run_envelope_apply(spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA))
+    # the new batch's rows are pruneable immediately: stats are LIVE
+    keep, total = prune_files(wh, [("shares", ">", 10_000)])
+    assert keep == []  # max shares = 200 + 10*9 = 290
+    keep2, _ = prune_files(wh, [("shares", ">=", 270)])
+    assert len(keep2) >= 1
+    assert spark.read.parquet(wh).count() == 10
