@@ -216,6 +216,10 @@ def collect_file_stats(
     driver state every lakehouse keeps per snapshot.
     """
     sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    bloom_meta = None
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            bloom_meta = json.load(f).get("bloom")
     prior = None
     if incremental and os.path.exists(sidecar):
         with open(sidecar) as f:
@@ -256,6 +260,12 @@ def collect_file_stats(
             "schema": df.schema.json(),
             "files": _stat_files(spark, path, columns, df),
         }
+    if bloom_meta:
+        # keep the bloom configuration through min/max refreshes; files
+        # whose bloom entry was dropped by a full rebuild probe
+        # conservatively until collect_file_blooms re-stamps them
+        # (refresh_file_stats chains the two)
+        payload["bloom"] = bloom_meta
     with open(sidecar, "w") as f:
         json.dump(payload, f)
     return payload
@@ -328,11 +338,19 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
     with open(sidecar) as f:
         stats = json.load(f)
     known = stats["files"]
+    bloom_meta = stats.get("bloom")
     keep = [
         rel
         for rel in all_files
         if rel not in known
-        or all(_file_matches(known[rel], *p) for p in preds)
+        or (
+            all(_file_matches(known[rel], *p) for p in preds)
+            and all(
+                _bloom_may_contain(known[rel], bloom_meta, p[0], p[2])
+                for p in preds
+                if p[1] == "="
+            )
+        )
     ]
     return keep, len(all_files)
 
@@ -413,5 +431,159 @@ def refresh_file_stats(spark: SparkSession, path: str) -> dict | None:
     if not os.path.exists(sidecar):
         return None
     with open(sidecar) as f:
-        cols = json.load(f)["columns"]
-    return collect_file_stats(spark, path, cols)
+        prior = json.load(f)
+    out = collect_file_stats(spark, path, prior["columns"])
+    bloom = prior.get("bloom")
+    if bloom:
+        out = collect_file_blooms(
+            spark,
+            path,
+            bloom["columns"],
+            num_bits=bloom["m"],
+            num_hashes=bloom["k"],
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters: point-lookup file pruning.
+# ---------------------------------------------------------------------------
+#
+# Min/max ranges cannot prune an equality probe on an UNCLUSTERED
+# high-cardinality column (every file's [min, max] spans the key space,
+# so `key = X` keeps all files). A small per-file Bloom filter answers
+# "can this file contain X" with no false negatives — the Delta bloom
+# index / parquet bloom filter idea, persisted in the same stats sidecar
+# so it shares the carry/refresh lifecycle. Build: one column-pruned
+# applyInPandas pass per file (Arrow batches, numpy packbits). Probe:
+# driver-side bit tests, O(k) per (file, predicate).
+
+_BLOOM_PREFIX = "bloom__"
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical hash key for one value — MUST match between the
+    distributed build and the driver-side probe. Ints and strings only
+    (the point-lookup domain); floats/dates are range-query territory
+    where min/max already works."""
+    import numbers
+
+    if isinstance(v, bool) or not isinstance(v, (numbers.Integral, str)):
+        raise TypeError(
+            f"bloom columns must be integer or string, got {type(v).__name__}"
+        )
+    return str(v).encode() if not isinstance(v, str) else v.encode()
+
+
+def _bloom_positions(v, m: int, k: int):
+    """k bit positions by double hashing the md5 of the canonical key."""
+    import hashlib
+
+    d = hashlib.md5(_bloom_key(v)).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    num_bits: int = 1 << 15,
+    num_hashes: int = 5,
+) -> dict:
+    """Add per-file Bloom filters for ``columns`` to the stats sidecar
+    (creating one if absent). 32 Kbit (4 KB) per file per column holds
+    ~3k distinct values at ~1% false-positive rate — size ``num_bits``
+    to the expected per-file cardinality. One column-pruned
+    applyInPandas pass grouped by file name; Arrow moves only the bloom
+    columns, each task emits a packed bitset.
+
+    Lifecycle: entries live inside the ``files`` map, so swaps carry
+    them (stale-but-safe) and ``refresh_file_stats`` /
+    ``collect_file_stats(incremental=True)`` rebuild or accrete them
+    with the min/max entries — with the same conservative rule: a file
+    without a bloom entry is never pruned by a bloom probe."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            payload = json.load(f)
+    else:
+        df0 = spark.read.option("mergeSchema", "true").parquet(path)
+        payload = {
+            "version": _STATS_VERSION,
+            "columns": [],
+            "schema": df0.schema.json(),
+            "files": {},
+        }
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom columns not in table: {missing}")
+    m, k = num_bits, num_hashes
+
+    out_schema = StructType(
+        [StructField("_file", StringType())]
+        + [StructField(f"{_BLOOM_PREFIX}{c}", StringType()) for c in columns]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {"_file": [pdf["_file"].iloc[0]]}
+        for c in columns:
+            bits = np.zeros(m, dtype=bool)
+            for v in pdf[c].dropna().unique():
+                if isinstance(v, np.integer):
+                    v = int(v)
+                for pos in _bloom_positions(v, m, k):
+                    bits[pos] = True
+            row[f"{_BLOOM_PREFIX}{c}"] = [
+                base64.b64encode(np.packbits(bits).tobytes()).decode()
+            ]
+        return pd.DataFrame(row)
+
+    rows = (
+        df.select(*columns)
+        .withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .applyInPandas(build, out_schema)
+        .collect()
+    )
+    root = os.path.abspath(path)
+    for r in rows:
+        fpath = r["_file"]
+        if fpath.startswith("file:"):
+            fpath = fpath[len("file:"):]
+        rel = os.path.relpath(os.path.abspath(fpath), root)
+        entry = payload["files"].setdefault(rel, {})
+        for c in columns:
+            entry[f"{_BLOOM_PREFIX}{c}"] = r[f"{_BLOOM_PREFIX}{c}"]
+    payload["bloom"] = {"columns": columns, "m": m, "k": k}
+    with open(sidecar, "w") as f:
+        json.dump(payload, f)
+    return payload
+
+
+def _bloom_may_contain(entry: dict, bloom_meta: dict, col: str, v) -> bool:
+    """Driver-side probe: False only when the file PROVABLY lacks v."""
+    import base64
+
+    import numpy as np
+
+    b64 = entry.get(f"{_BLOOM_PREFIX}{col}")
+    if b64 is None or not bloom_meta:
+        return True  # no bloom for this file/column: conservative
+    try:
+        positions = _bloom_positions(v, bloom_meta["m"], bloom_meta["k"])
+    except TypeError:
+        return True  # non-int/string probe value: blooms don't apply
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    )
+    return all(bits[p] for p in positions)

@@ -322,3 +322,72 @@ def test_incremental_stats_refresh_scans_only_new_files(spark, tmp_path):
     mixed = cfs(spark, path, ["a", "b"], incremental=True)
     assert mixed["columns"] == ["a", "b"]
     assert all("b" in st for st in mixed["files"].values())
+
+
+def test_bloom_filters_prune_point_lookups(spark, tmp_path):
+    """Per-file Blooms prune equality probes on an UNCLUSTERED
+    high-cardinality key — exactly where min/max cannot (every file's
+    range spans the key space) — with zero false negatives."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+    )
+
+    path = str(tmp_path / "tbl_bloom")
+    n, files = 20_000, 16
+    # hash-scatter ids across files: min/max are useless by design
+    spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+    ).repartition(files, "name").write.parquet(path)
+    collect_file_stats(spark, path, ["k"])
+    collect_file_blooms(spark, path, ["k", "name"])
+
+    all_kept, total = prune_files(path, [("k", "between", 0, n)])
+    assert len(all_kept) == total == files  # ranges can't prune
+
+    hits = 0
+    for probe in (17, 4242, 19_999):
+        keep, _ = prune_files(path, [("k", "=", probe)])
+        hits += len(keep)
+        assert 1 <= len(keep) <= 3  # ~1 true file + rare fp
+        got = read_skipping(spark, path, [("k", "=", probe)])
+        assert [r["k"] for r in got.collect()] == [probe]  # no false negative
+    assert hits <= 6
+    # string column blooms too
+    keep, _ = prune_files(path, [("name", "=", "u4242")])
+    assert 1 <= len(keep) <= 3
+    # absent key: bloom says no almost everywhere
+    keep, _ = prune_files(path, [("k", "=", n + 5)])
+    assert len(keep) <= 2
+    assert read_skipping(spark, path, [("k", "=", n + 5)]).count() == 0
+    # range predicates ignore blooms (no false pruning)
+    keep, _ = prune_files(path, [("k", ">=", n - 100)])
+    assert len(keep) == files
+
+
+def test_bloom_survives_refresh_and_unknown_files_conservative(spark, tmp_path):
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+        refresh_file_stats,
+    )
+
+    path = str(tmp_path / "tbl_bloom_life")
+    spark.range(1000).select(F.col("id").alias("k")).repartition(4, "k").write.parquet(path)
+    collect_file_stats(spark, path, ["k"])
+    collect_file_blooms(spark, path, ["k"])
+    keep, _ = prune_files(path, [("k", "=", 77)])
+    assert len(keep) <= 2
+
+    # full refresh rebuilds BOTH min/max and blooms
+    refresh_file_stats(spark, path)
+    keep2, _ = prune_files(path, [("k", "=", 77)])
+    assert len(keep2) <= 2
+    assert read_skipping(spark, path, [("k", "=", 77)]).count() == 1
+
+    # a new file without a bloom entry is kept for any equality probe
+    spark.range(5000, 5001).select(F.col("id").alias("k")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    collect_file_stats(spark, path, ["k"], incremental=True)
+    got = read_skipping(spark, path, [("k", "=", 5000)])
+    assert got.count() == 1  # no false negative from the bloom-less file
