@@ -134,6 +134,34 @@ def main() -> None:
                     f"pruned {pruned:6.3f}s unpruned {unpruned:6.3f}s "
                     f"rows {n}"
                 )
+        # Bloom point-lookup on the natural (hash-scattered) layout —
+        # the case min/max cannot prune at all
+        from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+            collect_file_blooms,
+        )
+
+        p = paths["natural"]
+        t0 = time.perf_counter()
+        # ~9.4k rows/file at sf0.1/64 files: 2^18 bits (32 KB/file)
+        # holds that at well under 1% fp — size blooms to per-file
+        # cardinality, like any bloom index
+        collect_file_blooms(spark, p, ["l_orderkey"], num_bits=1 << 18)
+        print(f"# bloom build natural: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
+        key = spark.read.parquet(p).select("l_orderkey").first()[0]
+        probe = [("l_orderkey", "=", int(key))]
+        keep, total = prune_files(p, probe)
+        pruned = _steady(lambda: _force(read_skipping(spark, p, probe)))
+        unpruned = _steady(
+            lambda: _force(
+                spark.read.parquet(p).filter(F.col("l_orderkey") == 300_000)
+            )
+        )
+        print(
+            f"{'orderkey_point':16s} {'bloom':8s} files {len(keep):3d}/{total} "
+            f"pruned {pruned:6.3f}s unpruned {unpruned:6.3f}s "
+            f"rows {_force(read_skipping(spark, p, probe))}"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
