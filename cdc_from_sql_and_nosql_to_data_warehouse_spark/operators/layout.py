@@ -307,6 +307,8 @@ def _file_matches(stats_for_file: dict, col: str, op: str, *vals) -> bool:
         return hi >= vals[0]
     if op == "between":
         return hi >= vals[0] and lo <= vals[1]
+    if op == "in":
+        return any(lo <= _promote(lo, v)[1] <= hi for v in vals[0])
     raise ValueError(f"unsupported skipping predicate op: {op!r}")
 
 
@@ -329,7 +331,10 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
     never seen (written after the last stats pass) are always included:
     skipping must stay an optimization, not a correctness bet."""
     preds = [
-        (p[0], p[1], *[_coerce_bound(v) for v in p[2:]]) for p in predicates
+        (p[0], "in", [_coerce_bound(v) for v in p[2]])
+        if p[1] == "in"
+        else (p[0], p[1], *[_coerce_bound(v) for v in p[2:]])
+        for p in predicates
     ]
     sidecar = os.path.join(path, FILE_STATS_SIDECAR)
     all_files = _list_data_files(path)
@@ -350,6 +355,14 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
                 for p in preds
                 if p[1] == "="
             )
+            and all(
+                any(
+                    _bloom_may_contain(known[rel], bloom_meta, p[0], v)
+                    for v in p[2]
+                )
+                for p in preds
+                if p[1] == "in" and p[2]
+            )
         )
     ]
     return keep, len(all_files)
@@ -369,6 +382,8 @@ def _predicate_column(p: tuple) -> Column:
         return col >= F.lit(p[2])
     if op == "between":
         return col.between(F.lit(p[2]), F.lit(p[3]))
+    if op == "in":
+        return col.isin(list(p[2]))
     raise ValueError(f"unsupported skipping predicate op: {op!r}")
 
 

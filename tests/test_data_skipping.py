@@ -391,3 +391,38 @@ def test_bloom_survives_refresh_and_unknown_files_conservative(spark, tmp_path):
     collect_file_stats(spark, path, ["k"], incremental=True)
     got = read_skipping(spark, path, [("k", "=", 5000)])
     assert got.count() == 1  # no false negative from the bloom-less file
+
+
+def test_in_list_predicates_prune_ranges_and_blooms(spark, tmp_path):
+    """IN-lists prune by range intersection per value and, where blooms
+    exist, by any-value containment — multi-point lookups."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+    )
+
+    path = str(tmp_path / "tbl_in")
+    spark.range(4000).select(F.col("id").alias("a")).repartitionByRange(
+        8, "a"
+    ).write.parquet(path)
+    collect_file_stats(spark, path, ["a"])
+    # range-clustered: an IN over two far-apart values keeps ~2 files
+    keep, total = prune_files(path, [("a", "in", [10, 3990])])
+    assert total == 8 and len(keep) == 2
+    got = read_skipping(spark, path, [("a", "in", [10, 3990])])
+    assert sorted(r["a"] for r in got.collect()) == [10, 3990]
+    # empty IN matches nothing anywhere
+    keep0, _ = prune_files(path, [("a", "in", [])])
+    assert keep0 == []
+    assert read_skipping(spark, path, [("a", "in", [])]).count() == 0
+
+    # hash-scattered + blooms: IN prunes where ranges cannot
+    bpath = str(tmp_path / "tbl_in_bloom")
+    spark.range(20_000).select(F.col("id").alias("k")).repartition(
+        16, "k"
+    ).write.parquet(bpath)
+    collect_file_stats(spark, bpath, ["k"])
+    collect_file_blooms(spark, bpath, ["k"])
+    keep, total = prune_files(bpath, [("k", "in", [5, 19_000])])
+    assert total == 16 and len(keep) <= 6
+    got = read_skipping(spark, bpath, [("k", "in", [5, 19_000])])
+    assert sorted(r["k"] for r in got.collect()) == [5, 19_000]
