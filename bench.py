@@ -65,7 +65,7 @@ HEADLINE = [
     "text_bpe_token_counts",
     "json_props_rollup",
     "skew_salted_event_rollup",
-    "large_volume_orders",
+    "text_boilerplate_ngrams",
     "multimodal_features",
     # round-4/5 operators with real cost profiles, guarded here so a
     # regression in any of them shows up in the next BENCH_r{N}

@@ -239,3 +239,43 @@ def lang_id_trigram(col) -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_hits = F.when(cond, h).otherwise(best_hits)
     return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+
+def corpus_frequent_ngrams(
+    docs, id_col: str, text_col: str, n: int = 5, top_k: int = 20
+):
+    """Boilerplate detection (C4/CCNet curation step): the corpus's
+    ``top_k`` most frequent word ``n``-grams with occurrence and
+    document-frequency counts — headers, footers, nav bars, and license
+    blurbs surface as n-grams whose doc frequency approaches their
+    occurrence count across unrelated documents.
+
+    Plan: per-doc n-gram arrays built by a codegen ``transform`` over
+    ``sequence`` (no UDF), exploded, then ONE count aggregate keyed by
+    the n-gram string; top-k resolves as TakeOrdered (orderBy + limit —
+    no full sort shuffle). The shuffle key is a bounded n-word string
+    (~tens of bytes), not a document body; at extreme corpus scale the
+    standard refinement is a 64-bit-hash pre-aggregate with a semi-join
+    back for the surviving k texts, trading one extra pass for a
+    fixed-width shuffle key. Ties at the k boundary break by n-gram
+    text so the cut is deterministic (the oracle orders identically).
+    """
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(top_k)
+    )

@@ -687,44 +687,13 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_incremental_vs_corpus was added.)
 
 
-# ---------------------------------------------------------------------------
-# Q18-shaped IN-subquery with aggregate HAVING: large-volume orders.
-# ---------------------------------------------------------------------------
-@register_query(
-    "large_volume_orders",
-    oracle="""
-    SELECT o.o_orderkey, o.o_custkey,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderkey IN (
-      SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey
-      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
-    )
-    GROUP BY o.o_orderkey, o.o_custkey
-    ORDER BY total_qty DESC, o_orderkey
-    """,
-)
-def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_tq"))
-        .filter(F.col("_tq") > 150)
-        .select("l_orderkey")
-    )
-    return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_qty")
-        )
-        .orderBy(F.desc("total_qty"), "o_orderkey")
-    )
+# (A "large_volume_orders" query (Q18-shaped IN-subquery with aggregate
+# HAVING, order-level) lived here through round 5; retired in round 6
+# under the registry size budget when text_boilerplate_ngrams was added
+# — q18_large_volume_customers certifies the identical plan shape
+# (HAVING-subquery as a semi-join on the pre-aggregated lineitem +
+# re-aggregate) with the customer dimension join on top, over the same
+# tables and threshold family.)
 
 
 # ---------------------------------------------------------------------------

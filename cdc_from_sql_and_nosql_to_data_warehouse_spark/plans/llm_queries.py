@@ -366,6 +366,37 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate detection (C4/CCNet curation): the corpus's most frequent
+# word n-grams with occurrence + document-frequency counts — repeated
+# headers/footers/license blurbs surface as n-grams whose doc frequency
+# approaches their occurrence count across unrelated documents. The
+# top-k cut is deterministic in BOTH engines (count desc, ngram asc).
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_boilerplate_ngrams",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 5
+             THEN list_transform(generate_series(1, len(t) - 4),
+                                 i -> array_to_string(t[i:i+4], ' '))
+             ELSE [] END) AS ngram
+      FROM tok
+    )
+    SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TX.corpus_frequent_ngrams(docs, "doc_id", "text", n=5, top_k=20)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal columns: opaque binary payload + typed metadata struct. The
 # synthetic media table derives deterministically from documents (the
 # container has no codecs — see functions/multimodal.py), which makes the

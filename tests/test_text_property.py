@@ -392,3 +392,40 @@ def test_unigram_logprob_matches_python(spark, texts):
         else:
             assert r["avg_logprob"] is None
         assert r["logprob_in_bounds"] is True
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(words, min_size=0, max_size=9), min_size=1, max_size=8))
+def test_corpus_frequent_ngrams_matches_python(spark, token_lists):
+    """corpus_frequent_ngrams == a pure-Python counter over the same
+    tokenization, including the deterministic (count desc, ngram asc)
+    top-k cut and doc-frequency counts."""
+    from collections import Counter
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import (
+        corpus_frequent_ngrams,
+    )
+
+    n, k = 3, 5
+    texts = [" ".join(toks) for toks in token_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in corpus_frequent_ngrams(docs, "doc_id", "text", n=n, top_k=k).collect()
+    ]
+
+    occ, dfreq = Counter(), Counter()
+    for t in texts:
+        toks = _py_tokens_split(t)
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        occ.update(grams)
+        dfreq.update(set(grams))
+    want = sorted(
+        ((g, c, dfreq[g]) for g, c in occ.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    assert got == want
