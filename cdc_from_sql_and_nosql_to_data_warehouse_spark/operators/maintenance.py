@@ -668,3 +668,75 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+@dataclass(frozen=True)
+class WarehouseAudit:
+    """Result of ``validate_warehouse``. The first two counts are
+    violations (0 in a healthy table); ``n_null_seq_tombstones`` is
+    informational — legacy tombstones without an arbitration seq are
+    legitimate (vacuum retains them, see ``_dead_tombstone_pred``) but
+    can never expire by seq, so a growing count says the table needs a
+    manual horizon decision."""
+
+    n_rows: int
+    n_null_keys: int
+    n_duplicate_keys: int
+    n_null_seq_tombstones: int
+
+
+def validate_warehouse(
+    spark: SparkSession, path: str, key: str
+) -> WarehouseAudit:
+    """Audit the invariants the apply paths promise (the lakehouse
+    CONSTRAINT check, run at maintenance cadence): latest-wins tables
+    hold exactly one live row per non-null key; history tables may
+    repeat keys (by design — every version is retained) but never
+    within one (key, seq) version after replay collapse. Violations
+    mean a bug or out-of-band writes — the counts localize which
+    invariant broke. One aggregate pass + one groupBy on the key; no
+    data is modified.
+
+    Reference tie: this generalizes the reference's row-count
+    reconciliation (start_dms_replication_task_lambda/handler.py:89-93)
+    from "same count" to "the keys themselves are sound"."""
+    from pyspark.sql import functions as F
+
+    from .apply import DELETED_COL, KEY_COL, SEQ_COL, _recover_swap
+
+    _recover_swap(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    history = KEY_COL in df.columns
+    key_col = F.col(KEY_COL) if history else F.col(key)
+    live = (
+        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        if DELETED_COL in df.columns
+        else F.lit(True)
+    )
+    n_rows = df.count()
+    n_null_keys = df.filter(key_col.isNull() & live).count()
+    if history:
+        # duplicate = same (key, seq) appearing twice, beyond the
+        # replay duplicates the readers collapse — flag only groups
+        # whose rows would disagree is overkill; count the groups
+        dup = (
+            df.groupBy(key_col.alias("_k"), F.col(SEQ_COL).alias("_s"))
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+    else:
+        dup = (
+            df.filter(live)
+            .groupBy(key_col.alias("_k"))
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+    null_seq = 0
+    if DELETED_COL in df.columns and SEQ_COL in df.columns:
+        null_seq = df.filter(
+            F.coalesce(F.col(DELETED_COL), F.lit(False))
+            & F.col(SEQ_COL).isNull()
+        ).count()
+    return WarehouseAudit(n_rows, n_null_keys, dup, null_seq)

@@ -919,3 +919,41 @@ def test_follow_changes_tail_with_checkpoint(spark, tmp_path):
             (t1["id"], 4, "delete"),
         ]
     )
+
+
+def test_validate_warehouse_audit(spark, tmp_path):
+    """Healthy upsert and history tables audit clean; hand-corrupted
+    tables surface the exact broken invariant."""
+    from pyspark.sql import functions as F
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        validate_warehouse,
+    )
+
+    t0, t1 = make_trade(0), make_trade(1)
+    up = str(tmp_path / "wh_audit_up")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2),
+                                ("MODIFY", dict(t0, price=5.0), 3)], "a1"),
+        up, "id", mode="upsert", propagate_deletes=True,
+    )
+    a = validate_warehouse(spark, up, "id")
+    assert (a.n_null_keys, a.n_duplicate_keys, a.n_null_seq_tombstones) == (0, 0, 0)
+    assert a.n_rows == 2
+
+    hist = str(tmp_path / "wh_audit_hist")
+    feed = _feed(spark, tmp_path, [("INSERT", t0, 1), ("MODIFY", dict(t0, price=2.0), 2)], "a2")
+    apply_changes(spark, feed, hist, "id", mode="history")
+    apply_changes(spark, feed, hist, "id", mode="history")  # replay dups are benign...
+    h = validate_warehouse(spark, hist, "id")
+    assert h.n_null_keys == 0
+    # ...but they DO show as duplicate (key, seq) version groups — the
+    # audit reports what compaction/readers are absorbing
+    assert h.n_duplicate_keys == 2
+
+    # corrupt an upsert table: append a duplicate live row for t0's key
+    extra = spark.read.parquet(up).filter(F.col("id") == t0["id"])
+    extra.write.mode("append").parquet(up)
+    bad = validate_warehouse(spark, up, "id")
+    assert bad.n_duplicate_keys == 1
