@@ -957,3 +957,47 @@ def test_validate_warehouse_audit(spark, tmp_path):
     extra.write.mode("append").parquet(up)
     bad = validate_warehouse(spark, up, "id")
     assert bad.n_duplicate_keys == 1
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """History batches whose after-image gains a column mid-stream still
+    feed a correct CDF: pre-evolution changes read NULL in the new
+    column, classification is unaffected, and the union schema comes
+    back from the footer merge."""
+    from pyspark.sql import types as T
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from .fixtures import write_envelope_file
+
+    t0 = make_trade(0)
+    target = str(tmp_path / "wh_cdf_evo")
+    d1 = str(tmp_path / "evo_f1")
+    write_envelope_file(d1, "b.json", [("INSERT", t0, 1)])
+    apply_changes(
+        spark,
+        read_envelope_feed(spark, d1, TRADE_SCHEMA, streaming=False),
+        target, "id", mode="history",
+    )
+    evolved = T.StructType(
+        TRADE_SCHEMA.fields + [T.StructField("venue", T.StringType())]
+    )
+    d2 = str(tmp_path / "evo_f2")
+    write_envelope_file(
+        d2, "b.json", [("MODIFY", dict(t0, venue="NYSE"), 2)]
+    )
+    apply_changes(
+        spark,
+        read_envelope_feed(spark, d2, evolved, streaming=False),
+        target, "id", mode="history",
+    )
+    rows = {
+        int(r["_seq"]): r
+        for r in read_changes(spark, target).collect()
+    }
+    assert rows[1]["_change_type"] == "insert" and rows[1]["venue"] is None
+    assert rows[2]["_change_type"] == "update" and rows[2]["venue"] == "NYSE"
