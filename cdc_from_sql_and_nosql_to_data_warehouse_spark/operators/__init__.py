@@ -1,6 +1,21 @@
 """Operator namespace: convenient flat imports for the public API."""
 
-from .apply import apply_changes, latest_per_key, read_warehouse
+from .apply import (
+    apply_changes,
+    follow_changes,
+    latest_per_key,
+    read_changes,
+    read_warehouse,
+)
+from .layout import (
+    collect_file_blooms,
+    collect_file_stats,
+    prune_files,
+    read_skipping,
+    refresh_file_stats,
+    zorder_repartition,
+    zorder_scale,
+)
 from .dedup import (
     exact_dedup,
     fuzzy_dedup_survivors,
@@ -16,7 +31,9 @@ from .maintenance import (
     compact_parquet,
     expire_files,
     table_stats,
+    validate_warehouse,
 )
+from .selection import dsir_importance
 from .reconcile import reconcile_checksums, reconcile_counts
 from .similarity import (
     brute_force_topk,
@@ -29,7 +46,12 @@ from .mixing import mix_to_weights
 from .skew import salted_agg, salted_join
 
 __all__ = [
-    "apply_changes", "latest_per_key", "read_warehouse",
+    "apply_changes", "follow_changes", "latest_per_key",
+    "read_changes", "read_warehouse",
+    "collect_file_blooms", "collect_file_stats", "prune_files",
+    "read_skipping", "refresh_file_stats", "zorder_repartition",
+    "zorder_scale",
+    "validate_warehouse", "dsir_importance",
     "exact_dedup", "fuzzy_dedup_survivors", "minhash_near_dup_pairs",
     "near_dup_clusters", "simhash_near_dup_pairs", "simhash_signatures",
     "asof_join",
