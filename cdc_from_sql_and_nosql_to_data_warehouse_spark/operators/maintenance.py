@@ -740,3 +740,85 @@ def validate_warehouse(
             & F.col(SEQ_COL).isNull()
         ).count()
     return WarehouseAudit(n_rows, n_null_keys, dup, null_seq)
+
+
+def purge_keys(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    values: list,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Hard-delete EVERY stored row of the given keys — live images,
+    tombstones, and (on history tables) every retained version. This is
+    the right-to-be-forgotten operation, deliberately distinct from a
+    REMOVE envelope: a REMOVE is a new fact that latest-wins arbitration
+    preserves history around; a purge REWRITES history so the key never
+    existed. Time travel and the change feed stop returning the key at
+    every seq — that is the point, and the caller owns the compliance
+    semantics (as with Delta's DELETE + VACUUM pair).
+
+    Mechanics mirror ``vacuum_tombstones``: flat tables rewrite through
+    the crash-recoverable staging swap; ``partition_by`` prunes the
+    rewrite to the partitions actually holding the keys (dynamic
+    overwrite, emptied partitions dropped) — purge cost is O(touched
+    partitions), not O(table). The skipping-stats sidecar rides the
+    swap and is refreshed where compaction would refresh it. Returns
+    the number of rows removed.
+    """
+    from pyspark.sql import functions as F
+
+    from .apply import (
+        KEY_COL,
+        _recover_swap,
+        _touched_partition_dirs,
+        overwrite_partitions_dropping_emptied,
+    )
+
+    if not values:
+        return 0
+    _recover_swap(path)
+
+    def _pred(df):
+        if KEY_COL in df.columns:  # history mode stores the envelope key
+            return F.col(KEY_COL).isin([str(v) for v in values])
+        return F.col(key).isin(list(values))
+
+    if partition_by:
+        with _no_partition_type_inference(spark):
+            df = spark.read.option("mergeSchema", "true").parquet(path)
+            doomed = _pred(df)
+            groups = (
+                df.filter(doomed)
+                .groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            n = int(sum(r["_n"] for r in groups))
+            if n == 0:
+                return 0
+            touched = [tuple(r[c] for c in partition_by) for r in groups]
+            dirs = _touched_partition_dirs(path, partition_by, touched, False)
+            if dirs:
+                sub = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", path)
+                    .parquet(*dirs)
+                )
+                overwrite_partitions_dropping_emptied(
+                    spark, sub.filter(~_pred(sub)), path, partition_by, touched
+                )
+            else:
+                _swap_into(
+                    spark, df.filter(~doomed), path, partition_by=partition_by
+                )
+            _refresh_stats_if_kept(spark, path)
+            return n
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    n = df.filter(_pred(df)).count()
+    if n == 0:
+        return 0
+    _swap_into(spark, df.filter(~_pred(df)), path, partition_by=None)
+    _refresh_stats_if_kept(spark, path)
+    return n

@@ -1001,3 +1001,81 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     }
     assert rows[1]["_change_type"] == "insert" and rows[1]["venue"] is None
     assert rows[2]["_change_type"] == "update" and rows[2]["venue"] == "NYSE"
+
+
+def test_purge_keys_hard_deletes_everywhere(spark, tmp_path):
+    """purge_keys erases every stored row of a key: live images and
+    tombstones on latest-wins tables; EVERY version on history tables
+    (time travel and the change feed stop returning the key at any
+    seq)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        purge_keys,
+    )
+
+    t0, t1 = make_trade(0), make_trade(1)
+    up = str(tmp_path / "wh_purge_up")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2),
+                                ("REMOVE", {"id": t0["id"]}, 3)], "p1"),
+        up, "id", mode="upsert", propagate_deletes=True,
+    )
+    # t0 is a stored tombstone; purge must remove it too
+    assert purge_keys(spark, up, "id", [t0["id"]]) == 1
+    stored = spark.read.parquet(up)
+    assert stored.count() == 1 and stored.first()["id"] == t1["id"]
+    assert purge_keys(spark, up, "id", [t0["id"]]) == 0  # idempotent
+
+    hist = str(tmp_path / "wh_purge_hist")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("MODIFY", dict(t0, price=2.0), 2),
+                                ("INSERT", t1, 3)], "p2"),
+        hist, "id", mode="history",
+    )
+    assert purge_keys(spark, hist, "id", [t0["id"]]) == 2  # both versions
+    assert [r["id"] for r in read_warehouse(spark, hist).collect()] == [t1["id"]]
+    assert [r["id"] for r in read_warehouse(spark, hist, as_of_seq=1).collect()] == []
+    assert [(r["id"], r["_change_type"]) for r in read_changes(spark, hist).collect()] == [
+        (t1["id"], "insert")
+    ]
+
+
+def test_purge_keys_partitioned_rewrites_only_touched(spark, tmp_path):
+    """With partition_by, purge rewrites ONLY the partitions holding the
+    keys — untouched partition files stay byte-identical (same inode
+    mtimes), and a partition emptied by the purge disappears."""
+    import glob
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        purge_keys,
+    )
+
+    target = str(tmp_path / "wh_purge_part")
+    trades = [make_trade(i) for i in range(6)]
+    env = [("INSERT", dict(t, ticker=f"tk{i % 3}"), i + 1)
+           for i, t in enumerate(trades)]
+    apply_changes(
+        spark, _feed(spark, tmp_path, env, "p3"), target, "id",
+        mode="upsert", partition_by=["ticker"],
+    )
+    untouched = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{target}/ticker=tk1/*.parquet")
+        + glob.glob(f"{target}/ticker=tk2/*.parquet")
+    }
+    assert untouched
+    # purge both tk0 keys: the tk0 partition empties and disappears
+    doomed = [t["id"] for i, t in enumerate(trades) if i % 3 == 0]
+    assert purge_keys(spark, target, "id", doomed, partition_by=["ticker"]) == 2
+    assert not glob.glob(f"{target}/ticker=tk0")
+    assert {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{target}/ticker=tk1/*.parquet")
+        + glob.glob(f"{target}/ticker=tk2/*.parquet")
+    } == untouched
+    assert spark.read.parquet(target).count() == 4
