@@ -30,6 +30,7 @@ from .maintenance import (
     compact_history,
     compact_parquet,
     expire_files,
+    purge_keys,
     table_stats,
     validate_warehouse,
 )
@@ -51,7 +52,7 @@ __all__ = [
     "collect_file_blooms", "collect_file_stats", "prune_files",
     "read_skipping", "refresh_file_stats", "zorder_repartition",
     "zorder_scale",
-    "validate_warehouse", "dsir_importance",
+    "validate_warehouse", "purge_keys", "dsir_importance",
     "exact_dedup", "fuzzy_dedup_survivors", "minhash_near_dup_pairs",
     "near_dup_clusters", "simhash_near_dup_pairs", "simhash_signatures",
     "asof_join",
