@@ -1079,3 +1079,28 @@ def test_purge_keys_partitioned_rewrites_only_touched(spark, tmp_path):
         + glob.glob(f"{target}/ticker=tk2/*.parquet")
     } == untouched
     assert spark.read.parquet(target).count() == 4
+
+
+def test_read_changes_partitioned_history(spark, tmp_path):
+    """CDF over a hive-partitioned history table: partition columns come
+    back on the feed rows and classification is unaffected by the
+    partition-routed layout."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_changes,
+    )
+
+    t0, t1 = make_trade(0), make_trade(1)
+    target = str(tmp_path / "wh_cdf_part")
+    env = [("INSERT", dict(t0, ticker="aa"), 1),
+           ("INSERT", dict(t1, ticker="bb"), 2),
+           ("MODIFY", dict(t0, ticker="aa", price=9.0), 3)]
+    apply_changes(
+        spark, _feed(spark, tmp_path, env, "cp1"), target, "id",
+        mode="history", partition_by=["ticker"],
+    )
+    out = {
+        int(r["_seq"]): (r["_change_type"], str(r["ticker"]))
+        for r in read_changes(spark, target).collect()
+    }
+    assert out == {1: ("insert", "aa"), 2: ("insert", "bb"),
+                   3: ("update", "aa")}
