@@ -6,6 +6,7 @@ from .apply import (
     latest_per_key,
     read_changes,
     read_warehouse,
+    sync_changes,
 )
 from .layout import (
     collect_file_blooms,
@@ -48,7 +49,7 @@ from .skew import salted_agg, salted_join
 
 __all__ = [
     "apply_changes", "follow_changes", "latest_per_key",
-    "read_changes", "read_warehouse",
+    "read_changes", "read_warehouse", "sync_changes",
     "collect_file_blooms", "collect_file_stats", "prune_files",
     "read_skipping", "refresh_file_stats", "zorder_repartition",
     "zorder_scale",

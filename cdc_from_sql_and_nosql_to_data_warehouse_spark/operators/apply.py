@@ -1001,3 +1001,50 @@ def read_warehouse_table(
     bucketed scan properties for joins; this only adds the metadata
     filter/projection on top."""
     return _reader_view(spark.table(table_name), with_seq)
+
+
+def sync_changes(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    checkpoint_path: str,
+    key: str,
+    mode: str = "upsert",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Maintain a downstream replica of a history-mode table by tailing
+    its own change feed: one drain reads ``(checkpoint, max]`` via
+    ``follow_changes`` and applies it to ``target_path`` through
+    ``apply_changes`` — the engine-to-engine form of the reference's
+    whole pipeline (source -> change relay -> warehouse), with the
+    warehouse itself as the source. Because the feed rows carry the
+    stored key and seq, the re-envelope is mechanical, and because
+    ``apply_changes`` converges under at-least-once replay, the
+    re-delivery ``follow_changes`` allows on a crash between apply and
+    checkpoint is harmless — end-to-end exactly-once EFFECT with only
+    an at-least-once feed, the same argument as the ingest path.
+    Returns the number of windows applied (0 or 1 per call).
+    """
+    meta = {SEQ_COL, KEY_COL, DELETED_COL, "_change_type"}
+
+    def _apply(window: DataFrame, _frm, _to) -> None:
+        after_cols = [c for c in window.columns if c not in meta]
+        env = window.select(
+            F.col(KEY_COL).alias("key"),
+            F.when(F.col("_change_type") == "delete", "REMOVE")
+            .otherwise("MODIFY")
+            .alias("op"),
+            F.struct(*[F.col(c) for c in after_cols]).alias("after"),
+            F.col(SEQ_COL).alias("seq"),
+        )
+        apply_changes(
+            spark,
+            env,
+            target_path,
+            key,
+            mode=mode,
+            propagate_deletes=True,
+            partition_by=partition_by,
+        )
+
+    return follow_changes(spark, source_path, checkpoint_path, _apply)

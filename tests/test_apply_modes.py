@@ -1104,3 +1104,77 @@ def test_read_changes_partitioned_history(spark, tmp_path):
     }
     assert out == {1: ("insert", "aa"), 2: ("insert", "bb"),
                    3: ("update", "aa")}
+
+
+def test_sync_changes_maintains_downstream_replica(spark, tmp_path):
+    """Warehouse-to-warehouse CDC: a downstream upsert replica maintained
+    by tailing the source history table's own change feed converges to
+    the source's reader view across multiple drains, deletes included,
+    and a drain with nothing new applies nothing."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        sync_changes,
+    )
+
+    t0, t1 = make_trade(0), make_trade(1)
+    src = str(tmp_path / "wh_src")
+    dst = str(tmp_path / "wh_dst")
+    ck = str(tmp_path / "sync_ck")
+
+    def snap(path):
+        return sorted(
+            (r["id"], r["price"]) for r in read_warehouse(spark, path).collect()
+        )
+
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2)], "s1"),
+        src, "id", mode="history",
+    )
+    assert sync_changes(spark, src, dst, ck, "id") == 1
+    assert snap(dst) == snap(src)
+
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("MODIFY", dict(t0, price=77.0), 3),
+               ("REMOVE", {"id": t1["id"]}, 4)], "s2"),
+        src, "id", mode="history",
+    )
+    assert sync_changes(spark, src, dst, ck, "id") == 1
+    assert snap(dst) == snap(src) == [(t0["id"], 77.0)]
+    assert sync_changes(spark, src, dst, ck, "id") == 0  # idle drain
+
+
+def test_follow_changes_checkpoint_below_horizon_raises(spark, tmp_path):
+    """A consumer offline past a compaction loses its window: the next
+    drain raises the horizon error instead of silently feeding a
+    too-new reconstruction — it must bootstrap from a snapshot, like
+    any log-compacted source."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        follow_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+
+    t0 = make_trade(0)
+    src = str(tmp_path / "wh_hz_src")
+    ck = str(tmp_path / "hz_ck")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("MODIFY", dict(t0, price=2.0), 2)], "h1"),
+        src, "id", mode="history",
+    )
+    assert follow_changes(spark, src, ck, lambda df, a, b: None) == 1
+
+    # consumer goes offline; more changes land and compaction folds
+    # everything below seq 4 — including the consumer's checkpoint (2)
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t0, price=3.0), 3),
+                                ("MODIFY", dict(t0, price=4.0), 4)], "h2"),
+        src, "id", mode="history",
+    )
+    compact_history(spark, src, before_seq=4)
+    with pytest.raises(ValueError, match="horizon"):
+        follow_changes(spark, src, ck, lambda df, a, b: None)
