@@ -35,6 +35,7 @@ from .maintenance import (
     table_stats,
     validate_warehouse,
 )
+from .incremental import incremental_upsert_agg, sync_aggregate
 from .selection import dsir_importance
 from .reconcile import reconcile_checksums, reconcile_counts
 from .similarity import (
@@ -54,6 +55,7 @@ __all__ = [
     "read_skipping", "refresh_file_stats", "zorder_repartition",
     "zorder_scale",
     "validate_warehouse", "purge_keys", "dsir_importance",
+    "incremental_upsert_agg", "sync_aggregate",
     "exact_dedup", "fuzzy_dedup_survivors", "minhash_near_dup_pairs",
     "near_dup_clusters", "simhash_near_dup_pairs", "simhash_signatures",
     "asof_join",

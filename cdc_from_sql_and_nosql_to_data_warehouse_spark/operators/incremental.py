@@ -119,3 +119,142 @@ def incremental_upsert_agg(
         )
         .filter(F.col("n_keys") > 0)
     )
+
+
+AGG_THROUGH_MARKER = "_agg_through_seq"
+
+
+def sync_aggregate(
+    spark,
+    source_path: str,
+    agg_path: str,
+    group_col: str,
+    value_col: str,
+    value_cast: str = "decimal(18,2)",
+) -> str | None:
+    """Maintain ``groupBy(group_col).agg(n_keys, total_value)`` as a
+    MATERIALIZED table driven by a history-mode warehouse's own change
+    feed — the "materialized view over CDF" pattern, with the crash
+    story solved by making the feed offset part of the aggregate's own
+    atomic swap:
+
+    - the offset is the ``_agg_through_seq`` sidecar marker INSIDE the
+      aggregate table (carried by ``_swap_into``), so "which changes
+      the aggregate contains" and the aggregate itself commit together
+      — there is no window where one advanced and the other did not;
+    - the maintenance step needs keyed state AS OF the offset, and a
+      history table IS its own state store at any cut
+      (``read_warehouse(as_of_seq=offset)``), so no replica table has
+      to stay transactionally consistent with the aggregate;
+    - replay/idempotence: a second drain sees an empty window and
+      leaves the table untouched; a marker below the compaction
+      horizon (consumer offline too long) falls back to ONE full
+      recompute at the current cut, which is always correct.
+
+    Exactness: ``value_col`` rides ``value_cast`` (DECIMAL) so base +
+    delta equals a full recompute bit-for-bit, per the registry float
+    policy. Returns the new through-seq (canonical), or None when there
+    was nothing new.
+
+    Scale: the happy path touches the window's keys only — one as-of
+    reconstruction bounded by compaction, a semi-join probe of the
+    touched keys, and the delta union; the aggregate table is
+    O(groups).
+    """
+    from .apply import (
+        DELETED_COL,
+        KEY_COL,
+        SEQ_COL,
+        _recover_swap,
+        _swap_into,
+        read_changes,
+        read_warehouse,
+    )
+
+    _recover_swap(agg_path)
+    import os
+
+    marker_path = os.path.join(agg_path, AGG_THROUGH_MARKER)
+    through = None
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            through = f.read().strip() or None
+
+    src = spark.read.option("mergeSchema", "true").parquet(source_path)
+    if KEY_COL not in src.columns:
+        raise ValueError("sync_aggregate requires a history-mode source")
+    from .apply import _canonical_seq
+
+    cur = src.agg(F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")).first()["m"]
+    if cur is None or (through is not None and cur <= through):
+        return None  # nothing new: idempotent no-op
+
+    val = F.col(value_col).cast(value_cast)
+
+    def _full_recompute():
+        state = read_warehouse(spark, source_path, as_of_seq=cur)
+        return state.groupBy(group_col).agg(
+            F.count("*").alias("n_keys"),
+            F.sum(val).alias("total_value"),
+        )
+
+    new_agg = None
+    if through is not None:
+        try:
+            window = read_changes(
+                spark, source_path, from_seq=through, to_seq=cur
+            )
+            # as-of state WITH the stored key (read_warehouse drops it);
+            # same horizon rule: a folded window cannot reconstruct
+            from .apply import latest_per_key
+            from .maintenance import read_history_horizon
+
+            horizon = read_history_horizon(source_path)
+            if horizon is not None and through < horizon:
+                raise ValueError("offset below compaction horizon")
+            versions = src.withColumn(
+                SEQ_COL, _canonical_seq(F.col(SEQ_COL))
+            ).filter(F.col(SEQ_COL) <= F.lit(through))
+            state_before = latest_per_key(versions, KEY_COL, SEQ_COL).filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            base_agg = (
+                spark.read.parquet(agg_path)
+                .select(group_col, "n_keys", "total_value")
+            )
+            changes = window.select(
+                F.col(KEY_COL).alias("_ik"),
+                F.when(F.col("_change_type") == "delete", "REMOVE")
+                .otherwise("MODIFY")
+                .alias("op"),
+                F.col(group_col),
+                val.alias("_iv"),
+                F.col(SEQ_COL),
+            )
+            state = state_before.select(
+                F.col(KEY_COL).alias("_ik"),
+                F.col(group_col),
+                val.alias("_iv"),
+                F.col(SEQ_COL),
+            )
+            new_agg = incremental_upsert_agg(
+                state,
+                base_agg.withColumn(
+                    "total_value", F.col("total_value").cast(value_cast)
+                ),
+                changes,
+                key="_ik",
+                group_col=group_col,
+                value_col="_iv",
+                seq_cols=[SEQ_COL],
+            )
+        except ValueError:
+            # offset below the compaction horizon: the incremental
+            # window is gone — one full recompute at the current cut
+            new_agg = None
+    if new_agg is None:
+        new_agg = _full_recompute()
+    _swap_into(
+        spark, new_agg, agg_path, extra_files={AGG_THROUGH_MARKER: cur}
+    )
+    return cur

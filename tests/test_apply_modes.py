@@ -1178,3 +1178,73 @@ def test_follow_changes_checkpoint_below_horizon_raises(spark, tmp_path):
     compact_history(spark, src, before_seq=4)
     with pytest.raises(ValueError, match="horizon"):
         follow_changes(spark, src, ck, lambda df, a, b: None)
+
+
+def test_sync_aggregate_materialized_view_over_cdf(spark, tmp_path):
+    """A materialized aggregate maintained from the history table's own
+    change feed equals a full recompute after every drain — through
+    inserts, group movement, deletes, an idempotent re-drain, and the
+    compaction-horizon fallback."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        sync_aggregate,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+
+    src = str(tmp_path / "wh_mv_src")
+    agg = str(tmp_path / "wh_mv_agg")
+
+    def trade(i, ticker, price):
+        return dict(make_trade(i), ticker=ticker, price=float(price))
+
+    def expected():
+        cur = read_warehouse(spark, src)
+        return sorted(
+            (r["ticker"], r["n"], float(r["tv"]))
+            for r in cur.groupBy("ticker")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("price").cast("decimal(18,2)")).alias("tv"),
+            )
+            .collect()
+        )
+
+    def got():
+        return sorted(
+            (r["ticker"], r["n_keys"], float(r["total_value"]))
+            for r in spark.read.parquet(agg).collect()
+        )
+
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", trade(0, "aa", 10), 1),
+               ("INSERT", trade(1, "aa", 20), 2),
+               ("INSERT", trade(2, "bb", 5), 3)], "m1"),
+        src, "id", mode="history",
+    )
+    assert sync_aggregate(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected()
+    assert sync_aggregate(spark, src, agg, "ticker", "price") is None  # idempotent
+
+    # group movement (t0 aa->bb), value change, delete (t2): incremental path
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("MODIFY", trade(0, "bb", 11), 4),
+               ("REMOVE", {"id": make_trade(2)["id"]}, 5)], "m2"),
+        src, "id", mode="history",
+    )
+    assert sync_aggregate(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected() == [("aa", 1, 20.0), ("bb", 1, 11.0)]
+
+    # consumer lapses below the compaction horizon: fallback recompute
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", trade(1, "cc", 21), 6)], "m3"),
+        src, "id", mode="history",
+    )
+    compact_history(spark, src, before_seq=6)
+    assert sync_aggregate(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected() == [("bb", 1, 11.0), ("cc", 1, 21.0)]
