@@ -68,7 +68,111 @@ KEY_COL = "_key"
 # every data file, so its entries go conservatively dead — unknown
 # files are always read) until maintenance refreshes it
 # (layout.refresh_file_stats, invoked by the compaction ops).
-_SIDECAR_MARKERS = ("_history_horizon", "_file_stats.json")
+# _agg_through_seq is sync_aggregate's change-feed offset (see
+# incremental.AGG_THROUGH_MARKER) — it must survive ANY swap of the
+# aggregate table (e.g. compact_parquet on agg_path), or a later drain
+# silently degrades to a full recompute. _table_schema.json is the
+# write-time schema manifest (see SCHEMA_MANIFEST below); _swap_into
+# re-stamps it FRESH from the written frame, so the carry here only
+# matters for swap paths that bypass _swap_into.
+_SIDECAR_MARKERS = (
+    "_history_horizon",
+    "_file_stats.json",
+    "_agg_through_seq",
+    "_table_schema.json",
+)
+
+# Write-time schema manifest: the union schema of the table's data
+# files, recorded by every engine write path (swap, blind append,
+# dynamic partition overwrite) and IMPOSED by the hot readers
+# (read_warehouse / read_changes / follow_changes / sync_aggregate)
+# instead of mergeSchema. mergeSchema unions every parquet footer in a
+# driver-side job before the scan — O(all files of the table) planning
+# work PER READ, minutes of driver time at 100 TB file counts — while
+# the manifest is one file read. This is what a lakehouse transaction
+# log does (the reference binds its warehouse schema by declared DDL +
+# name matching, load_s3_files_from_dynamodb_stream_to_redshift_lambda/
+# handler.py:74-95, never by re-deriving it per read); schema evolution
+# under partial rewrites (the reason the readers needed mergeSchema at
+# all) is handled by UNIONING the written frame's fields into the
+# manifest at write time. Readers fall back to mergeSchema when no
+# manifest exists (tables written by external tools).
+SCHEMA_MANIFEST = "_table_schema.json"
+
+
+def read_table_schema(path: str):
+    """The recorded union schema of a table, or None when the table has
+    no manifest (external writers — readers then fall back to
+    mergeSchema)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    p = os.path.join(path, SCHEMA_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return StructType.fromJson(json.loads(f.read()))
+
+
+def _nullable_schema(schema):
+    """Every field forced nullable, as a footer-union (mergeSchema)
+    schema would be: a frame written with a non-nullable computed
+    column must not let a later evolving write's NULL-filled reads be
+    constant-folded away under a falsely-strict manifest."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+
+
+def _write_table_schema(path: str, schema) -> None:
+    tmp = os.path.join(path, SCHEMA_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(_nullable_schema(schema).json())
+    os.replace(tmp, os.path.join(path, SCHEMA_MANIFEST))
+
+
+def _stamp_schema_union(path: str, new_schema) -> None:
+    """Union a just-written frame's fields into the table's schema
+    manifest — the write-time twin of what mergeSchema derives per
+    read. Recorded order first, new fields appended (matching
+    _merge_latest's evolution order). A same-name TYPE conflict removes
+    the manifest: readers then fall back to mergeSchema, which is the
+    component that owns cross-footer type reconciliation."""
+    from pyspark.sql.types import StructType
+
+    existing = read_table_schema(path)
+    if existing is None:
+        _write_table_schema(path, new_schema)
+        return
+    have = {f.name: f.dataType for f in existing.fields}
+    for f in new_schema.fields:
+        if f.name in have and f.dataType != have[f.name]:
+            try:
+                os.remove(os.path.join(path, SCHEMA_MANIFEST))
+            except FileNotFoundError:
+                pass
+            return
+    added = [f for f in new_schema.fields if f.name not in have]
+    if added:
+        _write_table_schema(
+            path, StructType(list(existing.fields) + added)
+        )
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    """The hot-reader scan: manifest-imposed when the table carries one
+    (O(1) planning), mergeSchema otherwise. Partition columns in the
+    imposed schema are sourced from directory values (Spark relocates
+    them to the end of the output schema); files missing a manifest
+    column read NULL in it — exactly the mergeSchema result, minus the
+    per-read footer union."""
+    schema = read_table_schema(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def _hive_partition_value_str(v):
@@ -226,6 +330,10 @@ def _swap_into(
         if fname not in carried and os.path.exists(src):
             with open(src) as fh:
                 carried[fname] = fh.read()
+    # the swap replaces the WHOLE table with df, so the schema manifest
+    # is re-stamped fresh from the written frame (a carried copy would
+    # go stale the moment a swap narrowed or evolved the schema)
+    carried[SCHEMA_MANIFEST] = _nullable_schema(df.schema).json()
     for fname, content in carried.items():
         with open(os.path.join(tmp, fname), "w") as fh:
             fh.write(content)
@@ -427,6 +535,7 @@ def apply_changes(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
+        _stamp_schema_union(target_path, rows.schema)
         return
 
     if mode == "history":
@@ -451,6 +560,7 @@ def apply_changes(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
+        _stamp_schema_union(target_path, rows.schema)
         return
 
     if mode != "upsert":
@@ -526,12 +636,11 @@ def apply_changes(
         elif dirs is not None:
             existing = None
         else:
-            # mergeSchema: after an evolving batch rewrote only its
-            # touched partitions, untouched partitions still carry the
-            # older column set — the footer-union read sees them all
-            existing = spark.read.option("mergeSchema", "true").parquet(
-                target_path
-            )
+            # after an evolving batch rewrote only its touched
+            # partitions, untouched partitions still carry the older
+            # column set — the manifest (or the footer-union fallback)
+            # restores the union for the merge read
+            existing = _read_table(spark, target_path)
         if partition_by and touched is None and propagate_deletes:
             # unpruned-merge fallback: remember every stored partition so
             # ones the merge empties can still be dropped after the write
@@ -586,6 +695,7 @@ def apply_changes(
         return
     if partition_by:
         result.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
+        _write_table_schema(target_path, result.schema)
         return
     # cache-free swap: the merged plan reads the old files, the swap
     # happens only after the new files are fully written
@@ -631,6 +741,10 @@ def overwrite_partitions_dropping_emptied(
         .partitionBy(*partition_by)
         .parquet(target_path)
     )
+    # dynamic overwrite replaces only matched partitions: untouched
+    # ones keep their (possibly narrower) column set, so the manifest
+    # records the UNION — old partitions read NULL in evolved columns
+    _stamp_schema_union(target_path, df.schema)
     if not candidates:
         return
     stale = [tuple(v) for v in candidates if tuple(v) not in remaining]
@@ -787,15 +901,16 @@ def read_warehouse(
     same window the upsert merge runs per batch, moved to read time);
     partition filters still prune file listing before it.
     """
-    # mergeSchema: a schema-evolving upsert on a PARTITIONED table
+    # Schema binding: a schema-evolving upsert on a PARTITIONED table
     # rewrites only the touched partitions (dynamic partition
     # overwrite), so untouched partitions keep the pre-evolution column
     # set; a plain read could bind to an old-schema footer and silently
-    # drop the evolved column. Merging footers restores the union
-    # schema (old rows read NULL in the new column), matching the
-    # merge path inside apply_changes.
+    # drop the evolved column. The write-time manifest records the
+    # union schema (old rows read NULL in the new column) at O(1)
+    # planning cost; manifest-less tables fall back to the footer
+    # union (mergeSchema) — see _read_table.
     _recover_swap(target_path)
-    df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    df = _read_table(spark, target_path)
     if KEY_COL in df.columns:
         if as_of_seq is not None:
             from .maintenance import read_history_horizon
@@ -871,7 +986,7 @@ def read_changes(
     itself becomes a change source downstream consumers can tail by seq.
     """
     _recover_swap(target_path)
-    df = spark.read.option("mergeSchema", "true").parquet(target_path)
+    df = _read_table(spark, target_path)
     if KEY_COL not in df.columns:
         raise ValueError(
             "read_changes requires a history-mode table "
@@ -973,7 +1088,7 @@ def follow_changes(
         ticks += 1
         last = _read_ck()
         _recover_swap(target_path)
-        df = spark.read.option("mergeSchema", "true").parquet(target_path)
+        df = _read_table(spark, target_path)
         if KEY_COL not in df.columns:
             raise ValueError(
                 "follow_changes requires a history-mode table "

@@ -165,6 +165,7 @@ def sync_aggregate(
         DELETED_COL,
         KEY_COL,
         SEQ_COL,
+        _read_table,
         _recover_swap,
         _swap_into,
         read_changes,
@@ -180,7 +181,7 @@ def sync_aggregate(
         with open(marker_path) as f:
             through = f.read().strip() or None
 
-    src = spark.read.option("mergeSchema", "true").parquet(source_path)
+    src = _read_table(spark, source_path)
     if KEY_COL not in src.columns:
         raise ValueError("sync_aggregate requires a history-mode source")
     from .apply import _canonical_seq

@@ -233,23 +233,57 @@ def collect_file_stats(
             rel: st for rel, st in prior["files"].items() if rel in on_disk
         }
         new_rel = sorted(on_disk - set(kept))
+        schema_json = prior["schema"]
         if new_rel:
             from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(prior["schema"]))
-            sub = (
-                spark.read.schema(schema)
+            schema = StructType.fromJson(json.loads(schema_json))
+            new_paths = [os.path.join(path, r) for r in new_rel]
+            # Schema evolution guard: a mid-stream evolving append writes
+            # files whose footers carry columns the recorded schema lacks;
+            # carrying the stale schema forever would make read_skipping
+            # (which imposes the sidecar schema instead of mergeSchema)
+            # silently drop the evolved column. Footer-merge ONLY the new
+            # files (O(new files), the incremental contract) and union any
+            # new fields into the record; a same-name type conflict falls
+            # back to the full pass, which re-derives the table's own
+            # merged schema.
+            new_schema = (
+                spark.read.option("mergeSchema", "true")
                 .option("basePath", path)
-                .parquet(*[os.path.join(path, r) for r in new_rel])
+                .parquet(*new_paths)
+                .schema
             )
-            kept.update(_stat_files(spark, path, columns, sub))
-        payload = {
-            "version": _STATS_VERSION,
-            "columns": columns,
-            "schema": prior["schema"],
-            "files": kept,
-        }
-    else:
+            recorded_types = {f.name: f.dataType for f in schema.fields}
+            conflict = any(
+                f.name in recorded_types
+                and f.dataType != recorded_types[f.name]
+                for f in new_schema.fields
+            )
+            if conflict:
+                prior = None
+            else:
+                added = [
+                    f for f in new_schema.fields
+                    if f.name not in recorded_types
+                ]
+                if added:
+                    schema = StructType(list(schema.fields) + added)
+                    schema_json = schema.json()
+                sub = (
+                    spark.read.schema(schema)
+                    .option("basePath", path)
+                    .parquet(*new_paths)
+                )
+                kept.update(_stat_files(spark, path, columns, sub))
+        if prior is not None:
+            payload = {
+                "version": _STATS_VERSION,
+                "columns": columns,
+                "schema": schema_json,
+                "files": kept,
+            }
+    if prior is None:
         df = spark.read.option("mergeSchema", "true").parquet(path)
         missing = [c for c in columns if c not in df.columns]
         if missing:
@@ -613,6 +647,17 @@ def collect_file_blooms(
         + [StructField(f"{_BLOOM_PREFIX}{c}", StringType()) for c in columns]
     )
 
+    # integer columns that arrive with the Spark type tell us the pandas
+    # float64 we may see is Arrow's null coercion (int64 + NULL -> NaN),
+    # not a genuine float column — build() casts those back to int so the
+    # bloom key matches the probe side (_bloom_key rejects floats).
+    int_cols = {
+        f.name
+        for f in df.schema.fields
+        if f.name in columns
+        and f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         row = {"_file": [pdf["_file"].iloc[0]]}
         for c in columns:
@@ -620,6 +665,8 @@ def collect_file_blooms(
             for v in pdf[c].dropna().unique():
                 if isinstance(v, np.integer):
                     v = int(v)
+                elif c in int_cols and isinstance(v, (float, np.floating)):
+                    v = int(v)  # null-coerced int64: NaN dropped above
                 for pos in _bloom_positions(v, m, k):
                     bits[pos] = True
             row[f"{_BLOOM_PREFIX}{c}"] = [

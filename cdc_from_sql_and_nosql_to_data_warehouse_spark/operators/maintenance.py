@@ -780,9 +780,16 @@ def purge_keys(
     _recover_swap(path)
 
     def _pred(df):
+        # NULL-safe: isin() on a NULL key yields NULL, and ~NULL is NULL,
+        # so an un-coalesced survivor filter would silently DELETE every
+        # NULL-key row (plausible on append-mode tables) — the same
+        # three-valued hazard _dead_tombstone_pred guards against. A NULL
+        # key is never one of the requested values, so it must survive.
         if KEY_COL in df.columns:  # history mode stores the envelope key
-            return F.col(KEY_COL).isin([str(v) for v in values])
-        return F.col(key).isin(list(values))
+            raw = F.col(KEY_COL).isin([str(v) for v in values])
+        else:
+            raw = F.col(key).isin(list(values))
+        return F.coalesce(raw, F.lit(False))
 
     if partition_by:
         with _no_partition_type_inference(spark):

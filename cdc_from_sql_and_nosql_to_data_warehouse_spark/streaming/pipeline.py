@@ -215,6 +215,7 @@ def run_envelope_apply(
     compact_every_n_batches: int | None = None,
     compact_target_file_bytes: int = 128 * 1024 * 1024,
     optimize_zorder_by: list[str] | None = None,
+    history_retain_seqs: int = 0,
 ):
     """Collapsed pipeline: envelope feed -> apply_changes per micro-batch.
 
@@ -286,11 +287,16 @@ def run_envelope_apply(
 
             if cfg.apply_mode == "history":
                 # history (merge-on-read) tables accumulate one version
-                # row per change: the maintenance tick folds everything
-                # below the current max seq to one latest-wins row per
-                # key (time travel stays available from the fold point
-                # forward — the Delta-checkpoint-style retention choice;
-                # run compact_history by hand for a lagged horizon)
+                # row per change: the maintenance tick folds versions
+                # below (current max seq - history_retain_seqs) to one
+                # latest-wins row per key. The default lag of 0 is the
+                # Delta-checkpoint-style "fold to the tip" choice; a
+                # NON-zero lag is Delta's CDF-retention analogue — it
+                # keeps a seq window of versions live so change-feed
+                # consumers (follow_changes / sync_changes /
+                # sync_aggregate) that are not exactly caught up at the
+                # compaction instant still find their window instead of
+                # permanently raising on the horizon rule.
                 from pyspark.sql import functions as F
 
                 from ..operators.apply import SEQ_COL
@@ -302,11 +308,16 @@ def run_envelope_apply(
                     .agg(F.max(SEQ_COL).alias("m"))
                     .first()["m"]
                 )
-                if top is not None:
+                fold_to = (
+                    int(top) - int(history_retain_seqs)
+                    if top is not None
+                    else None
+                )
+                if fold_to is not None and fold_to > 0:
                     compact_history(
                         spark,
                         warehouse_path,
-                        before_seq=top,
+                        before_seq=fold_to,
                         partition_by=cfg.partition_by,
                     )
             # with optimize_zorder_by the tick is OPTIMIZE ZORDER BY:

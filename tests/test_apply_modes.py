@@ -1248,3 +1248,79 @@ def test_sync_aggregate_materialized_view_over_cdf(spark, tmp_path):
     compact_history(spark, src, before_seq=6)
     assert sync_aggregate(spark, src, agg, "ticker", "price") is not None
     assert got() == expected() == [("bb", 1, 11.0), ("cc", 1, 21.0)]
+
+
+def test_purge_keys_null_key_rows_survive(spark, tmp_path):
+    """Three-valued-logic guard: isin() on a NULL key yields NULL and
+    ~NULL is NULL, so an un-coalesced survivor filter would silently
+    DELETE every NULL-key row. NULL keys are never a requested purge
+    value — they must survive the rewrite, and the count must agree
+    with the rows actually removed."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        purge_keys,
+    )
+
+    # append-mode (bug-compat) table written with a NULL key row
+    path = str(tmp_path / "wh_purge_null")
+    spark.createDataFrame(
+        [("k1", 1.0), (None, 2.0), ("k2", 3.0)], "id string, price double"
+    ).write.parquet(path)
+    assert purge_keys(spark, path, "id", ["k1"]) == 1
+    left = sorted(
+        ((r["id"], r["price"]) for r in spark.read.parquet(path).collect()),
+        key=lambda t: (t[0] is not None, t[0] or ""),
+    )
+    assert left == [(None, 2.0), ("k2", 3.0)]
+    # partitioned path takes the same predicate
+    part = str(tmp_path / "wh_purge_null_part")
+    spark.createDataFrame(
+        [("k1", "aa", 1.0), (None, "aa", 2.0), ("k2", "bb", 3.0)],
+        "id string, ticker string, price double",
+    ).write.partitionBy("ticker").parquet(part)
+    assert purge_keys(spark, part, "id", ["k1"], partition_by=["ticker"]) == 1
+    left = sorted(
+        ((r["id"], r["ticker"]) for r in spark.read.parquet(part).collect()),
+        key=lambda t: (t[0] is not None, t[0] or ""),
+    )
+    assert left == [(None, "aa"), ("k2", "bb")]
+
+
+def test_agg_offset_marker_survives_table_swaps(spark, tmp_path):
+    """sync_aggregate's feed offset is a sidecar marker carried by
+    _swap_into — so ANY swap of the aggregate table (e.g. a file-size
+    compaction) must preserve it, or later drains silently degrade to
+    full recomputes."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _SIDECAR_MARKERS,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        AGG_THROUGH_MARKER,
+        sync_aggregate,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    assert AGG_THROUGH_MARKER in _SIDECAR_MARKERS
+
+    src = str(tmp_path / "wh_mk_src")
+    agg = str(tmp_path / "wh_mk_agg")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", make_trade(0), 1), ("INSERT", make_trade(1), 2)],
+              "mk1"),
+        src, "id", mode="history",
+    )
+    through = sync_aggregate(spark, src, agg, "ticker", "price")
+    assert through is not None
+    import os
+
+    marker = os.path.join(agg, AGG_THROUGH_MARKER)
+    with open(marker) as f:
+        assert f.read() == through
+    compact_parquet(spark, agg, target_file_bytes=1 << 30)
+    with open(marker) as f:
+        assert f.read() == through  # swap carried the offset
+    # and the next drain still sees "nothing new" instead of recomputing
+    assert sync_aggregate(spark, src, agg, "ticker", "price") is None

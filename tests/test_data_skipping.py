@@ -474,3 +474,77 @@ def test_partition_dir_pruning_skips_walk(spark, tmp_path, monkeypatch):
         _rows(read_skipping(spark, path, [("p", ">=", 2)]))
         == _rows(spark.read.parquet(path).filter(F.col("p") >= 2))
     )
+
+
+def test_bloom_on_nullable_int_column(spark, tmp_path):
+    """Arrow->pandas converts an int64 column containing NULLs to
+    float64 (NaN); the bloom build must cast the non-null values back
+    to int so hashing matches the probe side instead of raising — and
+    the resulting blooms must still prune with zero false negatives."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+    )
+
+    path = str(tmp_path / "bloom_null_int")
+    spark.createDataFrame(
+        [(1, 100), (2, None), (3, 300)], "id long, acct int"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(4, 400), (5, None)], "id long, acct int"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    collect_file_blooms(spark, path, ["acct"], num_bits=1 << 10)
+    kept, total = prune_files(path, [("acct", "=", 300)])
+    assert total == 2 and len(kept) == 1  # pruned to the file holding 300
+    got = read_skipping(spark, path, [("acct", "=", 300)]).collect()
+    assert [(r["id"], r["acct"]) for r in got] == [(3, 300)]
+    # absent value: both files provably lack it
+    kept, _ = prune_files(path, [("acct", "=", 999)])
+    assert kept == []
+
+
+def test_incremental_stats_record_evolved_schema(spark, tmp_path):
+    """collect_file_stats(incremental=True) must not carry the recorded
+    schema forever: after a schema-evolving append, the sidecar schema
+    unions the new files' columns so read_skipping (which imposes the
+    sidecar schema instead of mergeSchema) still returns the evolved
+    column. Contract: read_skipping == unpruned read + filter, always."""
+    import json
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, price double"
+    ).coalesce(1).write.parquet(path)
+    collect_file_stats(spark, path, ["id"])
+
+    # evolving append: new files carry an extra column
+    spark.createDataFrame(
+        [(3, 30.0, "NYSE"), (4, 40.0, "ARCA")],
+        "id long, price double, venue string",
+    ).coalesce(1).write.mode("append").parquet(path)
+    out = collect_file_stats(spark, path, ["id"], incremental=True)
+    recorded = [f["name"] for f in json.loads(out["schema"])["fields"]]
+    assert "venue" in recorded
+
+    got = read_skipping(spark, path, [("id", ">=", 3)])
+    assert "venue" in got.columns
+    ref = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .filter(F.col("id") >= 3)
+    )
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        ref.select(*sorted(ref.columns))
+    )
+
+    # a same-name TYPE conflict falls back to the full pass (and still
+    # records a readable union schema via the table's own merge)
+    spark.createDataFrame(
+        [(5, 50.0, 7)], "id long, price double, flag long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(6, 60.0, "x")], "id long, price double, flag2 string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    out2 = collect_file_stats(spark, path, ["id"], incremental=True)
+    names2 = [f["name"] for f in json.loads(out2["schema"])["fields"]]
+    assert "flag" in names2 and "flag2" in names2 and "venue" in names2

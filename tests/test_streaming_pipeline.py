@@ -462,3 +462,37 @@ def test_envelope_apply_accretes_stats_incrementally(spark, tmp_path):
     keep2, _ = prune_files(wh, [("shares", ">=", 270)])
     assert len(keep2) >= 1
     assert spark.read.parquet(wh).count() == 10
+
+
+def test_envelope_apply_history_retain_seqs_keeps_feed_window(spark, tmp_path):
+    """history_retain_seqs lags the compaction tick's fold point below
+    the tip (Delta's CDF-retention analogue): a change-feed consumer
+    not exactly caught up at the compaction instant still finds its
+    window instead of permanently raising on the horizon rule."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        read_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        read_history_horizon,
+    )
+
+    cfg = EngineConfig(apply_mode="history", max_files_per_trigger=1)
+    feed = str(tmp_path / "feed")
+    wh = str(tmp_path / "warehouse")
+    t0, t1 = make_trade(0), make_trade(1)
+    write_envelope_file(feed, "b1.json", [("INSERT", t0, 1), ("INSERT", t1, 2)])
+    write_envelope_file(feed, "b2.json", [("MODIFY", dict(t0, shares=9), 3),
+                                          ("MODIFY", dict(t1, shares=8), 4)])
+    _await(run_envelope_apply(
+        spark, cfg, feed, wh, str(tmp_path / "ck"), TRADE_SCHEMA,
+        compact_every_n_batches=2, history_retain_seqs=3,
+    ))
+    # tip is 4; fold point lagged to 4 - 3 = 1
+    horizon = read_history_horizon(wh)
+    assert horizon is not None and int(horizon) == 1
+    # a consumer checkpointed at seq 2 (inside the retained window) can
+    # still drain its changes
+    window = read_changes(spark, wh, from_seq=2)
+    assert sorted(
+        (r["id"], int(r["_seq"])) for r in window.collect()
+    ) == [(t0["id"], 3), (t1["id"], 4)]
