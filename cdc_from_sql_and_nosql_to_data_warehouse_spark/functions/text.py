@@ -251,14 +251,21 @@ def corpus_frequent_ngrams(
     occurrence count across unrelated documents.
 
     Plan: per-doc n-gram arrays built by a codegen ``transform`` over
-    ``sequence`` (no UDF), exploded, then ONE count aggregate keyed by
-    the n-gram string; top-k resolves as TakeOrdered (orderBy + limit —
-    no full sort shuffle). The shuffle key is a bounded n-word string
-    (~tens of bytes), not a document body; at extreme corpus scale the
-    standard refinement is a 64-bit-hash pre-aggregate with a semi-join
-    back for the surviving k texts, trading one extra pass for a
-    fixed-width shuffle key. Ties at the k boundary break by n-gram
-    text so the cut is deterministic (the oracle orders identically).
+    ``sequence`` (no UDF), exploded, then a TWO-pass top-k with a
+    FIXED-WIDTH shuffle key: (1) one count aggregate keyed by
+    ``xxhash64(ngram)`` — 8 bytes on the wire regardless of gram
+    length, with map-side partial aggregation — cut to ``top_k * 2``
+    candidate hashes (TakeOrdered, deterministic (count desc, hash)
+    tie-break); (2) the exploded grams re-scan joins the BROADCAST
+    candidate-hash set and re-aggregates by the gram TEXT — exact
+    occurrence and doc-frequency counts over a ~k-row domain, so a
+    64-bit collision can only ever ADD a candidate (inflating a
+    hash-group's pass-1 count), never corrupt a reported count; the 2x
+    margin keeps the true top-k inside the candidate set through any
+    boundary displacement. The extra corpus pass is the standard trade
+    for never shuffling gram text; explode + hash are whole-stage
+    codegen. Ties at the k boundary break by n-gram text so the final
+    cut is deterministic (the oracle orders identically).
     """
     toks = tokens(F.col(text_col))
     sz = F.size(toks)
@@ -269,8 +276,27 @@ def corpus_frequent_ngrams(
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("ngram")
+    )
+    hashed = exploded.withColumn("_h", F.xxhash64("ngram"))
+    # pass-1 tie-break must mirror the final (count desc, text asc)
+    # order or boundary ties would cut by hash instead of text: carry
+    # min(ngram) per hash — one string per DISTINCT hash per task in
+    # the agg buffer (the per-occurrence wire stays 8-byte), and equal
+    # to the gram text whenever the hash holds one gram (collisions
+    # only over-admit). Pass 1 deliberately has NO countDistinct: the
+    # doc-frequency distinct expansion — the wide part of the old
+    # single-pass plan — now runs only over the ~2k-candidate subset.
+    candidates = (
+        hashed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("ngram").alias("_t"))
+        .orderBy(F.desc("_c"), "_t", "_h")
+        .limit(top_k * 2)
+        .select("_h")
+    )
     return (
-        docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
+        hashed.join(F.broadcast(candidates), "_h")
         .groupBy("ngram")
         .agg(
             F.count("*").alias("n_occurrences"),

@@ -162,6 +162,20 @@ def _stamp_schema_union(path: str, new_schema) -> None:
         )
 
 
+def refresh_table_schema(spark: SparkSession, path: str):
+    """Re-derive the schema manifest from the table's own footers (one
+    mergeSchema pass) and stamp it. For tables appended to by EXTERNAL
+    writers (anything that bypasses the engine's write paths): the
+    manifest only reflects engine writes, so an external evolving
+    append would otherwise be invisible to manifest-imposed hot reads.
+    Engine-managed tables never need this."""
+    schema = (
+        spark.read.option("mergeSchema", "true").parquet(path).schema
+    )
+    _write_table_schema(path, schema)
+    return schema
+
+
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
     """The hot-reader scan: manifest-imposed when the table carries one
     (O(1) planning), mergeSchema otherwise. Partition columns in the
@@ -173,6 +187,247 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def _pruned_table_read(
+    spark: SparkSession, path: str, predicates: list[tuple]
+) -> DataFrame | None:
+    """Sidecar-pruned, manifest-schema read: plan the scan over only
+    the files whose stats (min/max ranges, blooms, hive dirs) can
+    satisfy ``predicates`` — the hot-reader twin of
+    ``layout.read_skipping``, sharing its conservative rules (unknown
+    files always read, missing stats never prune) so the result is
+    ALWAYS row-equal to the full read; callers still re-apply their
+    row filters. Returns None when the table carries neither manifest
+    nor stats sidecar (caller falls back to ``_read_table`` — pruning
+    without a sidecar would list every file for nothing), or an empty
+    manifest-schema frame when every file was pruned."""
+    from .layout import FILE_STATS_SIDECAR, prune_files
+
+    schema = read_table_schema(path)
+    has_stats = os.path.exists(os.path.join(path, FILE_STATS_SIDECAR))
+    if schema is None and not has_stats:
+        return None
+    keep, _total = prune_files(path, predicates)
+    if schema is None:
+        if not keep:
+            # cannot synthesize an empty frame without a schema
+            return spark.read.option("mergeSchema", "true").parquet(
+                path
+            ).filter(F.lit(False))
+        return (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(*[os.path.join(path, rel) for rel in keep])
+        )
+    if not keep:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .option("basePath", path)
+        .parquet(*[os.path.join(path, rel) for rel in keep])
+    )
+
+
+def _is_canonical_seq_str(v) -> bool:
+    return isinstance(v, str) and len(v) == 40 and v.isdigit()
+
+
+def current_max_seq(spark: SparkSession, path: str) -> str | None:
+    """The table's max canonical sequence — the change-feed tip every
+    follow/sync tick needs. With a fresh stats sidecar recording _seq,
+    this is a DRIVER-side max over the per-file stats plus a scan of
+    ONLY the files the sidecar has never seen (O(new files) per tick —
+    the idle-tick cost at 100 TB); without one it is a full-column
+    aggregate scan. The sidecar fast path only engages when every
+    recorded _seq bound is already canonical (engine-written history
+    tables always are); anything else falls back to the scan, which
+    canonicalizes row-wise."""
+    import json
+
+    from .layout import FILE_STATS_SIDECAR, _dec_stat, _list_data_files
+
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            stats = json.load(f)
+        if SEQ_COL in stats.get("columns", []):
+            best: str | None = None
+            ok = True
+            known = stats["files"]
+            for entry in known.values():
+                if SEQ_COL not in entry:
+                    ok = False
+                    break
+                hi = _dec_stat(entry[SEQ_COL][1])
+                if hi is None:
+                    continue  # all-null _seq file contributes nothing
+                if not _is_canonical_seq_str(hi):
+                    ok = False
+                    break
+                if best is None or hi > best:
+                    best = hi
+            if ok:
+                unknown = [
+                    rel
+                    for rel in _list_data_files(path)
+                    if rel not in known
+                ]
+                if unknown:
+                    schema = read_table_schema(path)
+                    reader = spark.read.option("basePath", path)
+                    if schema is not None:
+                        reader = reader.schema(schema)
+                    else:
+                        reader = reader.option("mergeSchema", "true")
+                    sub_max = (
+                        reader.parquet(
+                            *[os.path.join(path, r) for r in unknown]
+                        )
+                        .agg(
+                            F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")
+                        )
+                        .first()["m"]
+                    )
+                    if sub_max is not None and (
+                        best is None or sub_max > best
+                    ):
+                        best = sub_max
+                return best
+    df = _read_table(spark, path)
+    return df.agg(F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")).first()[
+        "m"
+    ]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to mutate a table another writer
+    holds. The swap protocol (_swap_into, dynamic partition overwrite,
+    sidecar stamps) is single-writer by design — two interleaved
+    writers would silently lose one's commit — so concurrent mutations
+    SERIALIZE OR FAIL CLEANLY, never tear the table."""
+
+
+# Sibling lock file (not inside the table dir — swaps rename that dir).
+_LOCK_SUFFIX = "__lock"
+
+
+def _lock_path(target_path: str) -> str:
+    return target_path.rstrip("/") + _LOCK_SUFFIX
+
+
+def break_table_lock(target_path: str) -> bool:
+    """Manually remove a table's writer lock — the operator escape
+    hatch for a lock stranded by a writer that died on ANOTHER host
+    (same-host dead writers are detected and adopted automatically by
+    pid liveness). Breaking a lock whose owner is alive re-opens the
+    lost-commit window the fence exists to close; the caller owns that
+    judgment, as with any lease-break. Returns True if a lock file was
+    removed."""
+    try:
+        os.remove(_lock_path(target_path))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def _lock_owner_is_dead(lock: str) -> bool:
+    """True only when the lock PROVABLY belongs to a dead writer: the
+    owner recorded the same host and its pid no longer exists. A lock
+    from another host, an unparseable lock (torn mid-write — the
+    creator is between open and write), or a live pid all read as
+    alive (conservative: a wrong 'dead' verdict re-opens the lost-
+    commit window; a wrong 'alive' verdict only makes someone call
+    break_table_lock)."""
+    import json
+    import socket
+
+    try:
+        with open(lock) as f:
+            meta = json.loads(f.read())
+        if meta.get("host") != socket.gethostname():
+            return False
+        os.kill(int(meta["pid"]), 0)
+        return False
+    except (ValueError, KeyError, OSError) as e:
+        if isinstance(e, ProcessLookupError):
+            return True
+        if isinstance(e, PermissionError):
+            return False  # pid exists, owned by someone else
+        if isinstance(e, FileNotFoundError):
+            return False  # raced with the owner's release
+        return False
+
+
+def _write_lock(target_path: str):
+    """Context manager: the single-writer fence every table mutation
+    runs under. Acquisition is one atomic O_CREAT|O_EXCL create of the
+    sibling lock file (the portable file-system mutex); the owner
+    records pid+host so a writer that DIED on this host is adopted
+    automatically instead of deadlocking crash recovery. A live
+    concurrent writer raises ConcurrentWriteError immediately — no
+    blocking, because a CDC apply loop would rather surface the
+    conflict than stack up behind it. On a lakehouse table format this
+    whole fence is the transaction log's optimistic-commit CAS; the
+    reference's implicitly-multi-writer pipeline delegates the same
+    problem to its managed services (concurrent Lambda invocations per
+    shard, cdk_infrastructure/__init__.py:351-359)."""
+    import contextlib
+    import json
+    import socket
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        lock = _lock_path(target_path)
+        parent = os.path.dirname(os.path.abspath(lock))
+        os.makedirs(parent, exist_ok=True)
+        fd = None
+        for _ in range(3):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if _lock_owner_is_dead(lock):
+                    # adopt: remove and retry the atomic create (two
+                    # adopters race on the create, one wins)
+                    try:
+                        os.remove(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentWriteError(
+                    f"table {target_path!r} is locked by another writer "
+                    f"({lock}); if its owner is dead on another host, "
+                    "break_table_lock() releases it"
+                )
+        if fd is None:
+            raise ConcurrentWriteError(
+                f"could not acquire writer lock for {target_path!r}"
+            )
+        try:
+            os.write(
+                fd,
+                json.dumps(
+                    {
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "acquired_unix": time.time(),
+                    }
+                ).encode(),
+            )
+            os.close(fd)
+            fd = None
+            yield
+        finally:
+            if fd is not None:
+                os.close(fd)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    return _cm()
 
 
 def _hive_partition_value_str(v):
@@ -499,10 +754,31 @@ def apply_changes(
     partition overwrite) instead of swapping the whole table. Constraint,
     as in every partitioned-MERGE system: a key's partition values must
     be immutable across its change events.
+
+    Single-writer fence: the whole read-merge-write runs under the
+    table's writer lock (``_write_lock``) — a concurrent mutation of
+    the same path raises ``ConcurrentWriteError`` instead of silently
+    losing one writer's commit in the swap/overwrite window.
     """
     bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
     if bad:
         raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
+    with _write_lock(target_path):
+        _apply_changes_locked(
+            spark, changes, target_path, key, mode, propagate_deletes,
+            partition_by,
+        )
+
+
+def _apply_changes_locked(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_path: str,
+    key: str,
+    mode: str,
+    propagate_deletes: bool,
+    partition_by: list[str] | None,
+) -> None:
     _recover_swap(target_path)  # adopt a swap a previous crash left undone
 
     def _table_exists(path: str) -> bool:
@@ -881,8 +1157,25 @@ def read_warehouse(
     target_path: str,
     with_seq: bool = False,
     as_of_seq: int | str | None = None,
+    predicates: list[tuple] | None = None,
 ):
     """Reader view of a warehouse table; ``as_of_seq`` time-travels.
+
+    ``predicates`` (the ``layout.prune_files`` tuple grammar) routes
+    the read through the stats sidecar when the table maintains one:
+    files whose min/max ranges, blooms, or hive partition dirs prove
+    the predicate false are never opened, and the predicate is
+    re-applied row-wise so the result ALWAYS equals the unpruned read
+    + filter. On latest-wins tables every predicate prunes files (one
+    stored row per key, so dropping non-matching files cannot change
+    which row is a key's latest). On HISTORY tables file-level pruning
+    would be unsound for data predicates — a file holding a key's
+    LATEST version can be pruned while an older version survives
+    elsewhere and would masquerade as current — so there the predicate
+    is applied AFTER latest-wins reconstruction (row-filter only) and
+    the only file pruning is the ``as_of_seq`` upper bound (files
+    whose min _seq exceeds the cut contain no reconstructible
+    version). Sidecar-less tables skip pruning entirely.
 
     Latest-wins (upsert/append) tables read as stored. History-mode
     tables (``apply_changes(mode="history")``) reconstruct latest-wins
@@ -911,7 +1204,8 @@ def read_warehouse(
     # union (mergeSchema) — see _read_table.
     _recover_swap(target_path)
     df = _read_table(spark, target_path)
-    if KEY_COL in df.columns:
+    is_history = KEY_COL in df.columns
+    if is_history:
         if as_of_seq is not None:
             from .maintenance import read_history_horizon
 
@@ -925,6 +1219,15 @@ def read_warehouse(
                     "before it were folded by compact_history and the "
                     "state at that seq can no longer be reconstructed"
                 )
+            # file-level time-travel pruning: a file whose min _seq
+            # exceeds the cut holds only post-cut versions
+            pruned = _pruned_table_read(
+                spark,
+                target_path,
+                [(SEQ_COL, "<=", _canonical_seq_py(as_of_seq))],
+            )
+            if pruned is not None:
+                df = pruned
             df = df.filter(
                 _canonical_seq(F.col(SEQ_COL))
                 <= _canonical_seq(F.lit(as_of_seq))
@@ -934,14 +1237,38 @@ def read_warehouse(
             KEY_COL,
             SEQ_COL,
         ).drop(KEY_COL)
-        return _reader_view(latest, with_seq)
+        out = _reader_view(latest, with_seq)
+        if predicates:
+            # data predicates are row-applied AFTER reconstruction on
+            # history tables (file pruning would be unsound, see above)
+            out = out.filter(_predicates_condition(predicates))
+        return out
     if as_of_seq is not None:
         raise ValueError(
             "as_of_seq requires a history-mode table "
             '(apply_changes(mode="history")); latest-wins tables do not '
             "retain superseded versions to reconstruct from"
         )
+    if predicates:
+        pruned = _pruned_table_read(spark, target_path, predicates)
+        if pruned is not None:
+            df = pruned
+        return _reader_view(df, with_seq).filter(
+            _predicates_condition(predicates)
+        )
     return _reader_view(df, with_seq)
+
+
+def _predicates_condition(predicates: list[tuple]):
+    """AND of the prune_files predicate tuples as a row-wise Column —
+    re-applied after any file pruning (pruning is necessary, never
+    sufficient)."""
+    from .layout import _predicate_column
+
+    cond = F.lit(True)
+    for p in predicates:
+        cond = cond & _predicate_column(p)
+    return cond
 
 
 def read_changes(
@@ -987,6 +1314,17 @@ def read_changes(
     """
     _recover_swap(target_path)
     df = _read_table(spark, target_path)
+    if to_seq is not None:
+        # upper-bound file pruning is SOUND here (unlike from_seq,
+        # whose classification needs each key's pre-range history): a
+        # pruned file's every row has seq > to_seq, and the lag window
+        # only ever looks BACKWARD, so no in-range row's classification
+        # can depend on it.
+        pruned = _pruned_table_read(
+            spark, target_path, [(SEQ_COL, "<=", _canonical_seq_py(to_seq))]
+        )
+        if pruned is not None:
+            df = pruned
     if KEY_COL not in df.columns:
         raise ValueError(
             "read_changes requires a history-mode table "
@@ -1088,15 +1426,22 @@ def follow_changes(
         ticks += 1
         last = _read_ck()
         _recover_swap(target_path)
-        df = _read_table(spark, target_path)
-        if KEY_COL not in df.columns:
+        schema = read_table_schema(target_path)
+        if schema is not None:
+            if KEY_COL not in schema.fieldNames():
+                raise ValueError(
+                    "follow_changes requires a history-mode table "
+                    '(apply_changes(mode="history"))'
+                )
+        elif KEY_COL not in _read_table(spark, target_path).columns:
             raise ValueError(
                 "follow_changes requires a history-mode table "
                 '(apply_changes(mode="history"))'
             )
-        cur = df.agg(
-            F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")
-        ).first()["m"]
+        # the tip probe: driver-side over the stats sidecar when the
+        # table maintains one (idle ticks then cost O(new files), not
+        # a full-column scan — the 100 TB cadence cost)
+        cur = current_max_seq(spark, target_path)
         if cur is not None and (last is None or cur > last):
             window = read_changes(
                 spark, target_path, from_seq=last, to_seq=cur

@@ -123,6 +123,11 @@ def incremental_upsert_agg(
 
 AGG_THROUGH_MARKER = "_agg_through_seq"
 
+# Above this many touched keys per drain, key discovery stays
+# distributed (semi-join) instead of collecting to the driver for
+# bloom file-pruning + InSet filtering. Micro-batches sit far below it.
+_TOUCHED_KEY_CAP = 10_000
+
 
 def sync_aggregate(
     spark,
@@ -165,10 +170,40 @@ def sync_aggregate(
         DELETED_COL,
         KEY_COL,
         SEQ_COL,
+        _pruned_table_read,
         _read_table,
         _recover_swap,
         _swap_into,
-        read_changes,
+        _write_lock,
+        current_max_seq,
+        read_warehouse,
+    )
+
+    # single-writer fence on the AGGREGATE table: two concurrent drains
+    # would race their offset-carrying swaps (the source is only read)
+    with _write_lock(agg_path):
+        return _sync_aggregate_locked(
+            spark, source_path, agg_path, group_col, value_col, value_cast
+        )
+
+
+def _sync_aggregate_locked(
+    spark,
+    source_path: str,
+    agg_path: str,
+    group_col: str,
+    value_col: str,
+    value_cast: str,
+) -> str | None:
+    from .apply import (
+        DELETED_COL,
+        KEY_COL,
+        SEQ_COL,
+        _pruned_table_read,
+        _read_table,
+        _recover_swap,
+        _swap_into,
+        current_max_seq,
         read_warehouse,
     )
 
@@ -186,7 +221,9 @@ def sync_aggregate(
         raise ValueError("sync_aggregate requires a history-mode source")
     from .apply import _canonical_seq
 
-    cur = src.agg(F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")).first()["m"]
+    # tip probe: driver-side over the stats sidecar when the source
+    # maintains one — an idle drain then costs O(new files), no scan
+    cur = current_max_seq(spark, source_path)
     if cur is None or (through is not None and cur <= through):
         return None  # nothing new: idempotent no-op
 
@@ -202,30 +239,101 @@ def sync_aggregate(
     new_agg = None
     if through is not None:
         try:
-            window = read_changes(
-                spark, source_path, from_seq=through, to_seq=cur
-            )
-            # as-of state WITH the stored key (read_warehouse drops it);
-            # same horizon rule: a folded window cannot reconstruct
+            # Touched-key pruning — the whole drain is O(touched keys'
+            # history), not O(retained history). Catalyst verifiably
+            # does NOT push a left-semi join below row_number().over(
+            # partitionBy(key)) (the optimized plan keeps Join LeftSemi
+            # above Window), so the semi-join inside
+            # incremental_upsert_agg arrives too late: a drain that
+            # windowed ALL keys' versions first would pay a full-
+            # history key-shuffle per tick regardless of window size —
+            # the cost class the operator exists to avoid. Instead the
+            # range filter (through, cur] runs FIRST (one filtered
+            # scan, no shuffle), the touched keys fall out of it, and
+            # the pre-window state is semi-joined to them BEFORE the
+            # per-key window — correct because a per-key window needs
+            # only that key's rows. Prior liveness is classified from
+            # that pruned state (the tombstone filter), not from a
+            # full-feed read_changes lag.
             from .apply import latest_per_key
             from .maintenance import read_history_horizon
 
             horizon = read_history_horizon(source_path)
             if horizon is not None and through < horizon:
                 raise ValueError("offset below compaction horizon")
-            versions = src.withColumn(
+            # in-range scan: files whose max _seq <= through hold no
+            # window rows — with a fresh stats sidecar the scan reads
+            # O(new files), not the retained history
+            scoped = _pruned_table_read(
+                spark, source_path, [(SEQ_COL, ">", through)]
+            )
+            versions = (scoped if scoped is not None else src).withColumn(
                 SEQ_COL, _canonical_seq(F.col(SEQ_COL))
-            ).filter(F.col(SEQ_COL) <= F.lit(through))
-            state_before = latest_per_key(versions, KEY_COL, SEQ_COL).filter(
+            )
+            in_range = versions.filter(
+                (F.col(SEQ_COL) > F.lit(through))
+                & (F.col(SEQ_COL) <= F.lit(cur))
+            )
+            # touched-key discovery: micro-batch scale, so the key set
+            # collects to the driver (capped) — it both prunes the
+            # pre-window read to files whose BLOOM can hold a touched
+            # key (layout.collect_file_blooms on _key: the point-lookup
+            # pruner) and replaces the semi-join with an InSet filter
+            # (no shuffle at all). Past the cap, fall back to the
+            # distributed semi-join over the full pre-window scan.
+            touched_vals = [
+                r[0]
+                for r in in_range.select(KEY_COL)
+                .distinct()
+                .limit(_TOUCHED_KEY_CAP + 1)
+                .collect()
+            ]
+            pre_src = src
+            if (
+                len(touched_vals) <= _TOUCHED_KEY_CAP
+                and all(v is not None for v in touched_vals)
+            ):
+                pre_scoped = _pruned_table_read(
+                    spark,
+                    source_path,
+                    [
+                        (SEQ_COL, "<=", through),
+                        (KEY_COL, "in", touched_vals),
+                    ],
+                )
+                if pre_scoped is not None:
+                    pre_src = pre_scoped
+                pre = pre_src.withColumn(
+                    SEQ_COL, _canonical_seq(F.col(SEQ_COL))
+                ).filter(
+                    (F.col(SEQ_COL) <= F.lit(through))
+                    & F.col(KEY_COL).isin(touched_vals)
+                )
+            else:
+                touched = in_range.select(KEY_COL).distinct()
+                pre = src.withColumn(
+                    SEQ_COL, _canonical_seq(F.col(SEQ_COL))
+                ).filter(F.col(SEQ_COL) <= F.lit(through)).join(
+                    touched, KEY_COL, "left_semi"
+                )
+            state_before = latest_per_key(pre, KEY_COL, SEQ_COL).filter(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
             )
             base_agg = (
                 spark.read.parquet(agg_path)
                 .select(group_col, "n_keys", "total_value")
             )
-            changes = window.select(
+            # in-range version rows ARE the change envelope: tombstone
+            # -> REMOVE, else MODIFY. incremental_upsert_agg's internal
+            # latest-per-key collapses replays (duplicate (key, seq)
+            # appends) and multi-change keys to the window's winner; a
+            # REMOVE of a never-live key retracts nothing and applies
+            # nothing — identical semantics to the classified feed.
+            changes = in_range.select(
                 F.col(KEY_COL).alias("_ik"),
-                F.when(F.col("_change_type") == "delete", "REMOVE")
+                F.when(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False)), "REMOVE"
+                )
                 .otherwise("MODIFY")
                 .alias("op"),
                 F.col(group_col),
@@ -259,3 +367,174 @@ def sync_aggregate(
         spark, new_agg, agg_path, extra_files={AGG_THROUGH_MARKER: cur}
     )
     return cur
+
+
+def sync_aggregate_minmax(
+    spark,
+    source_path: str,
+    agg_path: str,
+    group_col: str,
+    value_col: str,
+    value_cast: str = "decimal(18,2)",
+) -> str | None:
+    """Materialized ``groupBy(group_col).agg(n_keys, total_value,
+    min_value, max_value)`` maintained from a history-mode table's
+    change feed — extending the view surface beyond the retractable
+    count/sum of ``sync_aggregate``.
+
+    MIN/MAX are NOT retractable: deleting the key that held a group's
+    minimum cannot be folded into the old aggregate (the second-
+    smallest value is unknown there). The standard IVM answer — and
+    the one the history layout makes cheap — is TOUCHED-GROUP
+    RECOMPUTE: groups the window's changes touch (a moved key touches
+    both its old and new group; a delete touches its old group) are
+    re-aggregated from the AS-OF state at the new cut, which the
+    history table reconstructs on demand precisely because it retains
+    versions; untouched groups keep their stored rows verbatim. Count
+    and sum ride the same recompute so one table serves all four.
+
+    Scale: the recompute windows only the CANDIDATE KEYS' history —
+    keys any of whose versions carry a touched group value (a superset
+    of the groups' current keys, needed because group values move
+    across a key's versions and a group-filtered window cut mid-
+    history would arbitrate wrongly) — discovered by one group-filtered
+    scan; untouched groups' keys never shuffle. Same crash story as
+    ``sync_aggregate``: the feed offset commits inside the aggregate's
+    own swap, re-drains are no-ops, an offset below the compaction
+    horizon falls back to one full recompute.
+    """
+    from .apply import (
+        DELETED_COL,
+        KEY_COL,
+        SEQ_COL,
+        _canonical_seq,
+        _read_table,
+        _recover_swap,
+        _swap_into,
+        _write_lock,
+        current_max_seq,
+        read_warehouse,
+    )
+
+    with _write_lock(agg_path):
+        _recover_swap(agg_path)
+        import os
+
+        marker_path = os.path.join(agg_path, AGG_THROUGH_MARKER)
+        through = None
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                through = f.read().strip() or None
+
+        src = _read_table(spark, source_path)
+        if KEY_COL not in src.columns:
+            raise ValueError(
+                "sync_aggregate_minmax requires a history-mode source"
+            )
+        cur = current_max_seq(spark, source_path)
+        if cur is None or (through is not None and cur <= through):
+            return None
+
+        val = F.col(value_col).cast(value_cast)
+        aggs = [
+            F.count("*").alias("n_keys"),
+            F.sum(val).alias("total_value"),
+            F.min(val).alias("min_value"),
+            F.max(val).alias("max_value"),
+        ]
+
+        def _full_recompute():
+            state = read_warehouse(spark, source_path, as_of_seq=cur)
+            return state.groupBy(group_col).agg(*aggs)
+
+        new_agg = None
+        if through is not None:
+            try:
+                from .apply import _pruned_table_read, latest_per_key
+                from .maintenance import read_history_horizon
+
+                horizon = read_history_horizon(source_path)
+                if horizon is not None and through < horizon:
+                    raise ValueError("offset below compaction horizon")
+                scoped = _pruned_table_read(
+                    spark, source_path, [(SEQ_COL, ">", through)]
+                )
+                versions_new = (
+                    scoped if scoped is not None else src
+                ).withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
+                in_range = versions_new.filter(
+                    (F.col(SEQ_COL) > F.lit(through))
+                    & (F.col(SEQ_COL) <= F.lit(cur))
+                )
+                all_versions = src.withColumn(
+                    SEQ_COL, _canonical_seq(F.col(SEQ_COL))
+                ).filter(F.col(SEQ_COL) <= F.lit(cur))
+                # touched groups: new group values in the window, plus
+                # the PRIOR group of every touched key (group moves and
+                # deletes retract from a group the window rows may not
+                # name). Prior groups come from the touched keys'
+                # pre-window latest — the same pruned reconstruction
+                # sync_aggregate runs.
+                touched_keys = in_range.select(KEY_COL).distinct()
+                pre = all_versions.filter(
+                    F.col(SEQ_COL) <= F.lit(through)
+                ).join(touched_keys, KEY_COL, "left_semi")
+                prior_state = latest_per_key(pre, KEY_COL, SEQ_COL).filter(
+                    ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+                touched_groups = (
+                    in_range.select(group_col)
+                    .unionByName(prior_state.select(group_col))
+                    .distinct()
+                )
+                # candidate keys: any version carries a touched group
+                # (superset of the groups' current keys — group values
+                # move across versions, so the window must see the
+                # candidates' FULL history, then filter on the latest)
+                cand_keys = (
+                    all_versions.join(
+                        F.broadcast(touched_groups), group_col, "left_semi"
+                    )
+                    .select(KEY_COL)
+                    .distinct()
+                )
+                cand_latest = latest_per_key(
+                    all_versions.join(cand_keys, KEY_COL, "left_semi"),
+                    KEY_COL,
+                    SEQ_COL,
+                ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                recomputed = (
+                    cand_latest.join(
+                        F.broadcast(touched_groups), group_col, "left_semi"
+                    )
+                    .groupBy(group_col)
+                    .agg(*aggs)
+                )
+                base_kept = (
+                    spark.read.parquet(agg_path)
+                    .select(
+                        group_col,
+                        "n_keys",
+                        F.col("total_value").cast(value_cast).alias(
+                            "total_value"
+                        ),
+                        F.col("min_value").cast(value_cast).alias(
+                            "min_value"
+                        ),
+                        F.col("max_value").cast(value_cast).alias(
+                            "max_value"
+                        ),
+                    )
+                    .join(
+                        F.broadcast(touched_groups), group_col, "left_anti"
+                    )
+                )
+                new_agg = base_kept.unionByName(recomputed)
+            except ValueError:
+                new_agg = None
+        if new_agg is None:
+            new_agg = _full_recompute()
+        _swap_into(
+            spark, new_agg, agg_path, extra_files={AGG_THROUGH_MARKER: cur}
+        )
+        return cur

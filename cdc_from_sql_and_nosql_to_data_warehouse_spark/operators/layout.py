@@ -442,6 +442,7 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
         stats = json.load(f)
     known = stats["files"]
     bloom_meta = stats.get("bloom")
+    bloom_cache: dict = {}
     keep = [
         rel
         for rel in all_files
@@ -449,13 +450,17 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
         or (
             all(_file_matches(known[rel], *p) for p in preds)
             and all(
-                _bloom_may_contain(known[rel], bloom_meta, p[0], p[2])
+                _bloom_may_contain(
+                    known[rel], bloom_meta, p[0], p[2], bloom_cache
+                )
                 for p in preds
                 if p[1] == "="
             )
             and all(
                 any(
-                    _bloom_may_contain(known[rel], bloom_meta, p[0], v)
+                    _bloom_may_contain(
+                        known[rel], bloom_meta, p[0], v, bloom_cache
+                    )
                     for v in p[2]
                 )
                 for p in preds
@@ -696,11 +701,18 @@ def collect_file_blooms(
     return payload
 
 
-def _bloom_may_contain(entry: dict, bloom_meta: dict, col: str, v) -> bool:
-    """Driver-side probe: False only when the file PROVABLY lacks v."""
-    import base64
+def _bloom_may_contain(
+    entry: dict, bloom_meta: dict, col: str, v, _cache: dict | None = None
+) -> bool:
+    """Driver-side probe: False only when the file PROVABLY lacks v.
 
-    import numpy as np
+    Bit tests index the base64-decoded BYTES directly (np.packbits
+    layout: bit j of byte i is position i*8 + j, MSB first) — never
+    unpacking the whole bitset, and ``_cache`` (keyed by the b64 text)
+    amortizes the decode across the files x probe-values loop of one
+    prune_files call: an IN-list probe of 500 keys against 1,000 files
+    is 500k O(k) bit tests, not 500k megabit unpacks."""
+    import base64
 
     b64 = entry.get(f"{_BLOOM_PREFIX}{col}")
     if b64 is None or not bloom_meta:
@@ -709,7 +721,12 @@ def _bloom_may_contain(entry: dict, bloom_meta: dict, col: str, v) -> bool:
         positions = _bloom_positions(v, bloom_meta["m"], bloom_meta["k"])
     except TypeError:
         return True  # non-int/string probe value: blooms don't apply
-    bits = np.unpackbits(
-        np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    if _cache is not None and b64 in _cache:
+        raw = _cache[b64]
+    else:
+        raw = base64.b64decode(b64)
+        if _cache is not None:
+            _cache[b64] = raw
+    return all(
+        raw[p >> 3] & (0x80 >> (p & 7)) for p in positions
     )
-    return all(bits[p] for p in positions)

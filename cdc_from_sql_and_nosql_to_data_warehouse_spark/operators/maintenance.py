@@ -101,6 +101,25 @@ def _no_partition_type_inference(spark: SparkSession):
         spark.conf.set(k, prev)
 
 
+def _locked_on_path(fn):
+    """Run a (spark, path, ...) table mutation under the table's
+    single-writer fence (``apply._write_lock``): concurrent mutations
+    of one path serialize-or-fail-cleanly (ConcurrentWriteError)
+    instead of interleaving swap/rename/sidecar windows and silently
+    losing a commit."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, path, *args, **kwargs):
+        from .apply import _write_lock
+
+        with _write_lock(path):
+            return fn(spark, path, *args, **kwargs)
+
+    return wrapper
+
+
+@_locked_on_path
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -307,6 +326,7 @@ def expire_files(
     return deleted
 
 
+@_locked_on_path
 def vacuum_tombstones(
     spark: SparkSession,
     path: str,
@@ -443,6 +463,7 @@ def vacuum_tombstones_table(
     return n
 
 
+@_locked_on_path
 def compact_history(
     spark: SparkSession,
     path: str,
@@ -742,6 +763,7 @@ def validate_warehouse(
     return WarehouseAudit(n_rows, n_null_keys, dup, null_seq)
 
 
+@_locked_on_path
 def purge_keys(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,142 @@
+"""Structured-Streaming consumption of a warehouse change feed.
+
+``operators/apply.follow_changes`` is a poll loop the CALLER must
+schedule; this module lets a downstream Spark job consume the same
+feed under Spark's own streaming machinery — trigger cadence,
+checkpointing, availableNow batch-draining — the way Delta exposes its
+CDF through ``readStream``.
+
+The integration is honest, not simulated: a history-mode table
+(``apply_changes(mode="history")``) is written by BLIND APPENDS — new
+parquet files only, existing files never modified between compactions
+— which is exactly the contract Spark's file streaming source is built
+on. ``stream_changes`` is therefore a real ``readStream`` over the
+table's version rows: each newly appended file becomes micro-batch
+input, offsets/commit live in Spark's checkpoint, and every trigger
+mode works.
+
+Delivery semantics: the file source is at-least-once across
+table REWRITES (a compaction swap renames every file, so the folded
+versions are re-delivered as "new" files), and ``apply_changes``'s
+max-seq arbitration makes re-applying any old version a no-op — so
+``stream_sync_changes`` achieves exactly-once EFFECT end-to-end by
+replay convergence, the same argument the ingest path and
+``sync_changes`` make. That is why the re-envelope below does NOT need
+read-time insert/update classification (``read_changes``'s job): the
+replica only needs op (REMOVE vs MODIFY) + seq, both stored on every
+version row.
+
+Reference tie: the reference's stream relay is push-driven Lambda on
+a managed iterator (cdk_infrastructure/__init__.py:351-359,
+write_dynamodb_stream_to_s3_lambda/handler.py); here the warehouse
+itself is the tailable source and Spark's streaming engine owns the
+iterator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.apply import (
+    DELETED_COL,
+    KEY_COL,
+    SEQ_COL,
+    _canonical_seq,
+    apply_changes,
+    read_table_schema,
+)
+
+
+def stream_changes(spark: SparkSession, source_path: str) -> DataFrame:
+    """Streaming DataFrame of a history-mode table's VERSION ROWS (one
+    row per change event, ``_key``/``_seq``/``_deleted`` included) via
+    Spark's file streaming source. Requires the table's schema manifest
+    (every engine-written table carries one; external tables can stamp
+    it with ``apply.refresh_table_schema``) because ``readStream``
+    needs a schema without scanning.
+
+    Downstream transformations, watermarks, and sinks are ordinary
+    Structured Streaming; for replica maintenance use
+    ``stream_sync_changes``, which wires the convergent apply."""
+    schema = read_table_schema(source_path)
+    if schema is None:
+        raise ValueError(
+            "stream_changes requires the table's schema manifest "
+            "(_table_schema.json); run apply.refresh_table_schema once "
+            "for tables written outside the engine"
+        )
+    if KEY_COL not in schema.fieldNames():
+        raise ValueError(
+            "stream_changes requires a history-mode table "
+            '(apply_changes(mode="history")); latest-wins tables do not '
+            "retain the version history a change feed is derived from"
+        )
+    return spark.readStream.schema(schema).parquet(source_path)
+
+
+def envelope_from_versions(versions: DataFrame) -> DataFrame:
+    """Version rows -> the op/key/after/seq envelope ``apply_changes``
+    consumes: tombstones re-enter as REMOVE, everything else as MODIFY
+    (max-seq arbitration downstream makes INSERT/MODIFY distinction
+    irrelevant for state maintenance)."""
+    meta = {SEQ_COL, KEY_COL, DELETED_COL, "_change_type"}
+    after_cols = [c for c in versions.columns if c not in meta]
+    return versions.select(
+        F.col(KEY_COL).alias("key"),
+        F.when(
+            F.coalesce(F.col(DELETED_COL), F.lit(False)), "REMOVE"
+        )
+        .otherwise("MODIFY")
+        .alias("op"),
+        F.struct(*[F.col(c) for c in after_cols]).alias("after"),
+        _canonical_seq(F.col(SEQ_COL)).alias("seq"),
+    )
+
+
+def stream_sync_changes(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    checkpoint_path: str,
+    key: str,
+    mode: str = "upsert",
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Maintain a downstream replica of a history-mode table UNDER
+    SPARK'S STREAMING MACHINERY: ``stream_changes`` feeds micro-batches
+    of version rows into the convergent ``apply_changes`` merge via
+    ``foreachBatch``. The streaming checkpoint owns progress (which
+    source files were consumed); a crash between apply and commit
+    re-delivers the batch, and re-applying converges (max-seq) — the
+    exactly-once-effect posture of ``sync_changes``, now with Spark's
+    trigger/checkpoint lifecycle instead of a caller-scheduled loop.
+
+    ``available_now=True`` drains everything currently in the feed and
+    stops (the batch-boundary trigger); ``processing_time`` (e.g.
+    ``"5 seconds"``) runs continuously at the reference pipeline's
+    cadence. Returns the StreamingQuery."""
+
+    def _apply(batch: DataFrame, _epoch_id: int) -> None:
+        apply_changes(
+            spark,
+            envelope_from_versions(batch),
+            target_path,
+            key,
+            mode=mode,
+            propagate_deletes=True,
+            partition_by=partition_by,
+        )
+
+    writer = (
+        stream_changes(spark, source_path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,144 @@
+"""Scale probe for sync_aggregate's touched-key drain (COVERAGE.md
+protocol).
+
+The round-6 finding: the drain reconstructed pre-window state for ALL
+keys (the semi-join sat above the per-key window, and Catalyst does
+not push a left-semi below row_number().over(partitionBy(key))), so
+every drain paid a full-history key-shuffle. The fix derives touched
+keys from the range-filtered window FIRST and semi-joins the
+pre-window versions to them BEFORE the window. Claim under test:
+drain wall is a function of the TOUCHED keys' history, near-flat
+while untouched retained history grows 10x/100x.
+
+Shape: K keys x 10 versions of untouched bulk, then one 1,000-row
+batch touching 500 keys; measure the sync_aggregate drain that folds
+exactly that batch, at 1x/10x/100x bulk. Equality vs a full recompute
+is asserted every leg.
+
+Run manually: ``python scripts/probe_sync_aggregate_scale.py``.
+Results summarized in COVERAGE.md; nothing here runs in CI.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+    apply_changes,
+    read_warehouse,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+    sync_aggregate,
+)
+
+BASE_ROWS = 100_000  # 1x: 10k keys x 10 versions
+TOUCH_KEYS = 500
+TOUCH_ROWS = 1_000
+
+
+def _bulk(spark, rows: int):
+    keys = rows // 10
+    return spark.range(rows).select(
+        (F.col("id") % keys).cast("string").alias("key"),
+        F.when(F.col("id") < keys, "INSERT").otherwise("MODIFY").alias("op"),
+        F.struct(
+            (F.col("id") % keys).alias("k"),
+            (F.pmod(F.col("id"), F.lit(20))).cast("string").alias("grp"),
+            (F.col("id") * 17 % 1000).cast("double").alias("v"),
+        ).alias("after"),
+        (F.floor(F.col("id") / keys) + 1).alias("seq"),
+    )
+
+
+def _touch(spark, rows: int, base_max_seq: int):
+    return spark.range(TOUCH_ROWS).select(
+        (F.col("id") % TOUCH_KEYS).cast("string").alias("key"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) == 0, "REMOVE")
+        .otherwise("MODIFY")
+        .alias("op"),
+        F.struct(
+            (F.col("id") % TOUCH_KEYS).alias("k"),
+            (F.pmod(F.col("id"), F.lit(20))).cast("string").alias("grp"),
+            (F.col("id") * 31 % 1000).cast("double").alias("v"),
+        ).alias("after"),
+        (F.floor(F.col("id") / TOUCH_KEYS) + 1 + base_max_seq).alias("seq"),
+    )
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="sync_agg_probe_")
+    try:
+        for mult in (1, 10, 100):
+            rows = BASE_ROWS * mult
+            src = os.path.join(work, f"src_{mult}x")
+            agg = os.path.join(work, f"agg_{mult}x")
+            apply_changes(spark, _bulk(spark, rows), src, "k", mode="history")
+            # maintenance-cadence opt-in (untimed): _seq min/max stats
+            # prune the in-range scan to new files; _key blooms prune
+            # the touched-history scan to the files that can hold a
+            # touched key — together they make the drain O(touched)
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+                collect_file_blooms,
+                collect_file_stats,
+            )
+
+            collect_file_stats(spark, src, ["_seq", "_key"])
+            collect_file_blooms(spark, src, ["_key"], num_bits=1 << 20)
+            t0 = time.perf_counter()
+            sync_aggregate(spark, src, agg, "grp", "v")
+            full = time.perf_counter() - t0
+
+            base_max_seq = 10
+            apply_changes(
+                spark, _touch(spark, rows, base_max_seq), src, "k",
+                mode="history",
+            )
+            t0 = time.perf_counter()
+            assert sync_aggregate(spark, src, agg, "grp", "v") is not None
+            drain = time.perf_counter() - t0
+
+            # equality vs full recompute at the current cut
+            got = {
+                r["grp"]: (r["n_keys"], float(r["total_value"]))
+                for r in spark.read.parquet(agg).collect()
+            }
+            exp = {
+                r["grp"]: (r["n"], float(r["tv"]))
+                for r in read_warehouse(spark, src)
+                .groupBy("grp")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("v").cast("decimal(18,2)")).alias("tv"),
+                )
+                .collect()
+            }
+            assert got == exp, f"mismatch at {mult}x"
+            print(
+                f"{mult:3d}x history {rows:>10,} rows: first_full "
+                f"{full:6.2f}s drain({TOUCH_ROWS} changes/"
+                f"{TOUCH_KEYS} keys) {drain:6.2f}s"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1324,3 +1324,287 @@ def test_agg_offset_marker_survives_table_swaps(spark, tmp_path):
         assert f.read() == through  # swap carried the offset
     # and the next drain still sees "nothing new" instead of recomputing
     assert sync_aggregate(spark, src, agg, "ticker", "price") is None
+
+
+def test_schema_manifest_replaces_mergeschema_on_hot_reads(spark, tmp_path, monkeypatch):
+    """Write-time schema manifest: every engine write path records the
+    union schema in a sidecar, and the hot readers (read_warehouse /
+    read_changes / follow_changes / sync_aggregate) IMPOSE it instead
+    of paying mergeSchema's O(all files) driver-side footer union per
+    read. Pinned by a reader spy: with a manifest present, no hot read
+    sets the mergeSchema option; results equal the footer-union read
+    through schema evolution; manifest-less tables fall back."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        SCHEMA_MANIFEST,
+        read_changes,
+        read_table_schema,
+        refresh_table_schema,
+    )
+
+    target = str(tmp_path / "wh_manifest")
+    t0 = make_trade(0)
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1)], "sm1"),
+        target, "id", mode="history",
+    )
+    assert os.path.exists(os.path.join(target, SCHEMA_MANIFEST))
+
+    # evolving batch: new column via an evolved envelope schema
+    import pyspark.sql.types as T
+    evolved = T.StructType(
+        list(TRADE_SCHEMA.fields) + [T.StructField("venue", T.StringType())]
+    )
+    d2 = str(tmp_path / "sm2")
+    write_envelope_file(
+        d2, "b.json", [("MODIFY", dict(t0, venue="NYSE"), 2)]
+    )
+    apply_changes(
+        spark,
+        read_envelope_feed(spark, d2, evolved, streaming=False),
+        target, "id", mode="history",
+    )
+    manifest = read_table_schema(target)
+    assert "venue" in manifest.fieldNames()
+
+    # spy: hot reads must not set mergeSchema while a manifest exists
+    from pyspark.sql.readwriter import DataFrameReader
+
+    merge_calls = []
+    orig = DataFrameReader.option
+
+    def spy(self, key, value):
+        if str(key).lower() == "mergeschema":
+            merge_calls.append(value)
+        return orig(self, key, value)
+
+    monkeypatch.setattr(DataFrameReader, "option", spy)
+    got = sorted(
+        ((r["id"], r["venue"], int(r["_seq"]), r["_change_type"])
+         for r in read_changes(spark, target).collect()),
+        key=lambda t: t[2],
+    )
+    latest = read_warehouse(spark, target).first()
+    assert merge_calls == []
+    monkeypatch.undo()
+
+    assert got == [(t0["id"], None, 1, "insert"), (t0["id"], "NYSE", 2, "update")]
+    assert latest["venue"] == "NYSE"
+
+    # equality with the footer-union read (sorted columns)
+    ref = spark.read.option("mergeSchema", "true").parquet(target)
+    imposed = spark.read.schema(manifest).parquet(target)
+    assert sorted(
+        map(tuple, ref.select(*sorted(ref.columns)).collect())
+    ) == sorted(map(tuple, imposed.select(*sorted(imposed.columns)).collect()))
+
+    # manifest-less fallback: delete it, reads still work (mergeSchema)
+    os.remove(os.path.join(target, SCHEMA_MANIFEST))
+    assert read_warehouse(spark, target).first()["venue"] == "NYSE"
+    # external-writer escape hatch re-derives and stamps
+    s = refresh_table_schema(spark, target)
+    assert "venue" in s.fieldNames()
+    assert read_table_schema(target) is not None
+
+
+def test_single_writer_fence_serializes_or_fails_cleanly(spark, tmp_path):
+    """The swap protocol is single-writer: while one writer holds a
+    table's lock, a second mutation of the same path raises
+    ConcurrentWriteError (never a torn table); a lock left by a DEAD
+    same-host writer is adopted automatically so crash recovery keeps
+    working; break_table_lock is the cross-host escape hatch; and two
+    genuinely concurrent writer threads with retry converge to the
+    same table a serial run produces."""
+    import json
+    import os
+    import socket
+    import threading
+    import time
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        ConcurrentWriteError,
+        _lock_path,
+        _write_lock,
+        break_table_lock,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+        purge_keys,
+    )
+
+    target = str(tmp_path / "wh_fence")
+    t0 = make_trade(0)
+    batch = _feed(spark, tmp_path, [("INSERT", t0, 1)], "f1")
+    apply_changes(spark, batch, target, "id", mode="upsert")
+    assert not os.path.exists(_lock_path(target))  # released after commit
+
+    # a held lock blocks every mutator with a clean error
+    with _write_lock(target):
+        for op in (
+            lambda: apply_changes(spark, batch, target, "id", mode="upsert"),
+            lambda: compact_parquet(spark, target),
+            lambda: purge_keys(spark, target, "id", [t0["id"]]),
+        ):
+            try:
+                op()
+                raise AssertionError("expected ConcurrentWriteError")
+            except ConcurrentWriteError:
+                pass
+    # table untouched by the failed attempts
+    assert read_warehouse(spark, target).count() == 1
+
+    # dead same-host owner: adopted automatically (pid 2**22+ is free)
+    dead = {"pid": 4194000, "host": socket.gethostname(), "acquired_unix": 0}
+    while True:
+        try:
+            os.kill(dead["pid"], 0)
+            dead["pid"] -= 1  # actually alive: pick another
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            dead["pid"] -= 1
+    with open(_lock_path(target), "w") as f:
+        json.dump(dead, f)
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", make_trade(1), 2)], "f2"),
+        target, "id", mode="upsert",
+    )  # proceeds: lock adopted
+    assert read_warehouse(spark, target).count() == 2
+
+    # foreign-host owner: honored until break_table_lock
+    with open(_lock_path(target), "w") as f:
+        json.dump({"pid": os.getpid(), "host": "other-host"}, f)
+    try:
+        compact_parquet(spark, target)
+        raise AssertionError("expected ConcurrentWriteError")
+    except ConcurrentWriteError:
+        pass
+    assert break_table_lock(target)
+    compact_parquet(spark, target)
+
+    # two concurrent writers with retry converge to the serial result
+    errors: list[Exception] = []
+
+    def writer(tid: int) -> None:
+        for i in range(3):
+            seq = 10 + tid * 10 + i
+            env = _feed(
+                spark, tmp_path,
+                [("INSERT", make_trade(100 + tid * 10 + i), seq)],
+                f"w{tid}_{i}",
+            )
+            for _ in range(60):
+                try:
+                    apply_changes(spark, env, target, "id", mode="upsert")
+                    break
+                except ConcurrentWriteError:
+                    time.sleep(0.1)
+            else:
+                errors.append(RuntimeError(f"writer {tid} starved"))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert read_warehouse(spark, target).count() == 8  # 2 + 2x3
+    assert not os.path.exists(_lock_path(target))
+
+
+def test_sync_aggregate_minmax_touched_group_recompute(spark, tmp_path):
+    """Materialized min/max view over the change feed: MIN/MAX are not
+    retractable, so touched groups recompute from the as-of state
+    (possible precisely because history retains versions) while
+    untouched groups keep their stored rows. Equality vs a full
+    recompute through inserts, DELETING a group's minimum, group
+    moves, an idempotent re-drain, and the horizon fallback — same
+    swap-atomic offset story as sync_aggregate."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        sync_aggregate_minmax,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+
+    src = str(tmp_path / "wh_mm_src")
+    agg = str(tmp_path / "wh_mm_agg")
+
+    def trade(i, ticker, price):
+        return dict(make_trade(i), ticker=ticker, price=float(price))
+
+    def expected():
+        cur = read_warehouse(spark, src)
+        return sorted(
+            (r["ticker"], r["n"], float(r["tv"]), float(r["mn"]), float(r["mx"]))
+            for r in cur.groupBy("ticker")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("price").cast("decimal(18,2)")).alias("tv"),
+                F.min(F.col("price").cast("decimal(18,2)")).alias("mn"),
+                F.max(F.col("price").cast("decimal(18,2)")).alias("mx"),
+            )
+            .collect()
+        )
+
+    def got():
+        return sorted(
+            (r["ticker"], r["n_keys"], float(r["total_value"]),
+             float(r["min_value"]), float(r["max_value"]))
+            for r in spark.read.parquet(agg).collect()
+        )
+
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", trade(0, "aa", 10), 1),
+               ("INSERT", trade(1, "aa", 20), 2),
+               ("INSERT", trade(2, "bb", 5), 3),
+               ("INSERT", trade(3, "bb", 7), 4)], "mm1"),
+        src, "id", mode="history",
+    )
+    assert sync_aggregate_minmax(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected()
+    assert sync_aggregate_minmax(spark, src, agg, "ticker", "price") is None
+
+    # delete bb's MIN (t2@5), move t1 aa->bb (touches both groups),
+    # and raise aa's max via t0
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("REMOVE", {"id": make_trade(2)["id"]}, 5),
+               ("MODIFY", trade(1, "bb", 9), 6),
+               ("MODIFY", trade(0, "aa", 30), 7)], "mm2"),
+        src, "id", mode="history",
+    )
+    assert sync_aggregate_minmax(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected() == [
+        ("aa", 1, 30.0, 30.0, 30.0),
+        ("bb", 2, 16.0, 7.0, 9.0),
+    ]
+
+    # empty a group entirely: its row disappears
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("REMOVE", {"id": make_trade(0)["id"]}, 8)], "mm3"),
+        src, "id", mode="history",
+    )
+    assert sync_aggregate_minmax(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected() == [("bb", 2, 16.0, 7.0, 9.0)]
+
+    # horizon lapse: offset below compaction -> one full recompute
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", trade(4, "cc", 1), 9)], "mm4"),
+        src, "id", mode="history",
+    )
+    compact_history(spark, src, before_seq=9)
+    assert sync_aggregate_minmax(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected() == [
+        ("bb", 2, 16.0, 7.0, 9.0),
+        ("cc", 1, 1.0, 1.0, 1.0),
+    ]

@@ -548,3 +548,83 @@ def test_incremental_stats_record_evolved_schema(spark, tmp_path):
     out2 = collect_file_stats(spark, path, ["id"], incremental=True)
     names2 = [f["name"] for f in json.loads(out2["schema"])["fields"]]
     assert "flag" in names2 and "flag2" in names2 and "venue" in names2
+
+
+def test_hot_readers_route_through_sidecar_pruning(spark, tmp_path):
+    """read_warehouse / read_changes consult the stats sidecar: a
+    seq-range (time travel / feed upper bound) or data predicate opens
+    STRICTLY fewer files than the full listing while returning exactly
+    the unpruned rows; current_max_seq resolves the feed tip from the
+    sidecar without a table scan of known files."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes,
+        current_max_seq,
+        read_changes,
+        read_warehouse,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+    )
+
+    hist = str(tmp_path / "hot_hist")
+    for b in range(4):  # 4 batches -> >= 4 files, seqs 1..40
+        env = spark.range(10).select(
+            (F.col("id") + b * 10).cast("string").alias("key"),
+            F.lit("INSERT").alias("op"),
+            F.struct(
+                (F.col("id") + b * 10).alias("k"),
+                (F.col("id") * 3).cast("double").alias("v"),
+            ).alias("after"),
+            (F.col("id") + 1 + b * 10).alias("seq"),
+        )
+        apply_changes(spark, env, hist, "k", mode="history")
+    collect_file_stats(spark, hist, ["_seq", "_key"])
+    collect_file_blooms(spark, hist, ["_key"], num_bits=1 << 10)
+
+    all_files = set(
+        spark.read.option("mergeSchema", "true").parquet(hist).inputFiles()
+    )
+
+    # time-travel read prunes files above the cut
+    asof = read_warehouse(spark, hist, as_of_seq=10)
+    assert set(asof.inputFiles()) < all_files
+    assert asof.count() == 10
+    # feed read with an upper bound prunes the same way
+    feed = read_changes(spark, hist, to_seq=20)
+    assert set(feed.inputFiles()) < all_files
+    assert feed.count() == 20
+    # the tip comes from the sidecar (equal to the scan's answer)
+    scan_max = (
+        spark.read.parquet(hist)
+        .agg(F.max("_seq").alias("m"))
+        .first()["m"]
+    )
+    assert current_max_seq(spark, hist) == scan_max
+
+    # history tables do NOT file-prune data predicates (unsound for
+    # latest-wins reconstruction) but still row-filter them
+    got = read_warehouse(spark, hist, predicates=[("v", "=", 3.0)])
+    assert set(got.inputFiles()) == all_files
+    assert sorted(r["k"] for r in got.collect()) == [1, 11, 21, 31]
+
+    # latest-wins tables DO file-prune data predicates
+    up = str(tmp_path / "hot_up")
+    for b in range(4):
+        env = spark.range(10).select(
+            (F.col("id") + b * 10).cast("string").alias("key"),
+            F.lit("INSERT").alias("op"),
+            F.struct(
+                (F.col("id") + b * 10).alias("k"),
+                (F.col("id") + b * 10).cast("double").alias("v"),
+            ).alias("after"),
+            (F.col("id") + 1 + b * 10).alias("seq"),
+        )
+        apply_changes(spark, env, up, "k", mode="upsert")
+    collect_file_stats(spark, up, ["v"])
+    up_all = set(spark.read.parquet(up).inputFiles())
+    got = read_warehouse(spark, up, predicates=[("v", "between", 35.0, 39.0)])
+    ref = read_warehouse(spark, up).filter(F.col("v").between(35.0, 39.0))
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in ref.collect()
+    )
+    assert set(got.inputFiles()) < up_all or len(up_all) == 1

@@ -496,3 +496,96 @@ def test_envelope_apply_history_retain_seqs_keeps_feed_window(spark, tmp_path):
     assert sorted(
         (r["id"], int(r["_seq"])) for r in window.collect()
     ) == [(t0["id"], 3), (t1["id"], 4)]
+
+
+def test_stream_sync_changes_structured_streaming_cdf(spark, tmp_path):
+    """The change feed as a REAL Structured Streaming source: a
+    history table's blind-append files feed readStream; foreachBatch
+    re-envelopes version rows into the convergent apply. Crash and
+    duplicate-drain scenarios (restart with the same checkpoint, a
+    wiped checkpoint forcing a full re-read, compaction rewriting
+    every file under an old checkpoint) all converge the replica to
+    the source's current state — exactly-once effect from an
+    at-least-once file source."""
+    import shutil
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_changes,
+        stream_sync_changes,
+    )
+
+    src = str(tmp_path / "cdf_src")
+    dst = str(tmp_path / "cdf_dst")
+    ck = str(tmp_path / "cdf_ck")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+            read_envelope_feed,
+        )
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    def replica_equals_source():
+        a = sorted(
+            (r["id"], r["shares"])
+            for r in read_warehouse(spark, src).collect()
+        )
+        b = sorted(
+            (r["id"], r["shares"])
+            for r in read_warehouse(spark, dst).collect()
+        )
+        assert a == b, (a, b)
+
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+    apply_changes(
+        spark, feed([("INSERT", t0, 1), ("INSERT", t1, 2)], "c1"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    replica_equals_source()
+
+    # new source changes incl. a delete; same checkpoint: only the new
+    # files are consumed
+    apply_changes(
+        spark,
+        feed([("MODIFY", dict(t0, shares=9), 3),
+              ("REMOVE", {"id": t1["id"]}, 4),
+              ("INSERT", t2, 5)], "c2"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    replica_equals_source()
+
+    # duplicate drain: wipe the checkpoint -> the WHOLE feed replays
+    # against the existing replica; max-seq arbitration converges it
+    shutil.rmtree(ck)
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    replica_equals_source()
+
+    # compaction rewrites every source file: an old checkpoint sees
+    # them all as new input (at-least-once across rewrites) and the
+    # folded versions re-apply as no-ops
+    compact_history(spark, src, before_seq=5)
+    apply_changes(
+        spark, feed([("MODIFY", dict(t2, shares=77), 6)], "c3"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    replica_equals_source()
+
+    # non-history / manifest-less sources are refused clearly
+    flat = str(tmp_path / "cdf_flat")
+    apply_changes(spark, feed([("INSERT", t0, 1)], "c4"), flat, "id",
+                  mode="upsert")
+    try:
+        stream_changes(spark, flat)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
