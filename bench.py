@@ -54,7 +54,8 @@ HEADLINE = [
     "events_hourly_rollup",
     "asof_last_click_before_purchase",
     "cdc_schema_evolution_read",
-    "cdc_count_reconciliation",
+    "cdc_minmax_aggregate",
+    "cdc_streaming_replica_sync",
     "dedup_exact_survivors",
     "dedup_minhash_jaccard_pairs",
     "dedup_simhash_pairs",
@@ -129,7 +130,7 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
-    QUERIES["cdc_count_reconciliation"](spark, sf_dir).collect()
+    QUERIES["cdc_checksum_reconciliation"](spark, sf_dir).collect()
     _phase("table-warmup")
     # ... and spin up the Arrow/Python worker pool (numpy+pandas import in
     # every worker) so the one-time Python-runtime start is not attributed

@@ -734,33 +734,53 @@ def validate_warehouse(
         if DELETED_COL in df.columns
         else F.lit(True)
     )
-    n_rows = df.count()
-    n_null_keys = df.filter(key_col.isNull() & live).count()
-    if history:
-        # duplicate = same (key, seq) appearing twice, beyond the
-        # replay duplicates the readers collapse — flag only groups
-        # whose rows would disagree is overkill; count the groups
-        dup = (
-            df.groupBy(key_col.alias("_k"), F.col(SEQ_COL).alias("_s"))
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
+    deleted = (
+        F.coalesce(F.col(DELETED_COL), F.lit(False))
+        if DELETED_COL in df.columns
+        else F.lit(False)
+    )
+    null_seq_pred = (
+        deleted & F.col(SEQ_COL).isNull()
+        if DELETED_COL in df.columns and SEQ_COL in df.columns
+        else F.lit(False)
+    )
+    # ONE pass, ONE action: the per-group counts aggregate under the
+    # audit's group key and every scalar rolls up from there —
+    # duplicate groups by count>1, the rest as conditional sums. (The
+    # previous shape ran four separate count actions = four scans.)
+    group_cols = (
+        [key_col.alias("_k"), F.col(SEQ_COL).alias("_s")]
+        if history
+        else [key_col.alias("_k")]
+    )
+    row = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(live, 1).otherwise(0)).alias("_n_live"),
+            F.sum(F.when(key_col.isNull() & live, 1).otherwise(0)).alias(
+                "_n_null_live"
+            ),
+            F.sum(F.when(null_seq_pred, 1).otherwise(0)).alias("_n_null_seq"),
         )
-    else:
-        dup = (
-            df.filter(live)
-            .groupBy(key_col.alias("_k"))
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.sum("_n_null_live").alias("n_null_keys"),
+            F.sum(
+                F.when(
+                    (F.col("_n") if history else F.col("_n_live")) > 1, 1
+                ).otherwise(0)
+            ).alias("dup"),
+            F.sum("_n_null_seq").alias("null_seq"),
         )
-    null_seq = 0
-    if DELETED_COL in df.columns and SEQ_COL in df.columns:
-        null_seq = df.filter(
-            F.coalesce(F.col(DELETED_COL), F.lit(False))
-            & F.col(SEQ_COL).isNull()
-        ).count()
-    return WarehouseAudit(n_rows, n_null_keys, dup, null_seq)
+        .first()
+    )
+    return WarehouseAudit(
+        int(row["n_rows"] or 0),
+        int(row["n_null_keys"] or 0),
+        int(row["dup"] or 0),
+        int(row["null_seq"] or 0),
+    )
 
 
 @_locked_on_path

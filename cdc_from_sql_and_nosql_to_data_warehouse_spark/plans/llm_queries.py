@@ -1065,43 +1065,17 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unordered small set, so we aggregate exact integer df counts and do
 # ONE float division at the end).
 # ---------------------------------------------------------------------------
-@register_query(
-    "text_token_docfreq_score",
-    oracle=r"""
-    WITH tok AS (
-      SELECT doc_id, unnest(
-        list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
-      FROM documents
-    ), df AS (
-      SELECT t, count(*) AS doc_freq FROM tok GROUP BY t
-    )
-    SELECT tok.doc_id,
-           count(*) AS n_distinct_tokens,
-           CAST(sum(df.doc_freq) AS BIGINT) AS total_doc_freq,
-           CAST(sum(df.doc_freq) AS DOUBLE) / count(*) AS mean_doc_freq
-    FROM tok JOIN df USING (t)
-    GROUP BY tok.doc_id
-    ORDER BY doc_id
-    """,
-)
-def text_token_docfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    tok = docs.select(
-        "doc_id", F.explode(TX.distinct_tokens("text")).alias("t")
-    )
-    df_tbl = tok.groupBy("t").agg(F.count("*").alias("doc_freq"))
-    return (
-        tok.join(df_tbl, "t")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_distinct_tokens"),
-            F.sum("doc_freq").alias("total_doc_freq"),
-            (
-                F.sum("doc_freq").cast("double") / F.count("*")
-            ).alias("mean_doc_freq"),
-        )
-        .orderBy("doc_id")
-    )
+# (A "text_token_docfreq_score" query (per-doc mean token document-
+# frequency: corpus model aggregate -> join back -> per-doc
+# re-aggregate) lived here through round 6; retired in round 7 under
+# the registry size budget when cdc_streaming_replica_sync was added —
+# text_unigram_logprob below certifies the same corpus-statistics-
+# model/broadcast-join/per-doc-re-aggregate plan shape in a strictly
+# stronger form: a thresholded TRAINED unigram model with OOV
+# accounting and the tolerance-twin float policy, vs an unthresholded
+# doc-frequency mean. The doc-frequency signal itself remains
+# available through functions/text.distinct_tokens composed with the
+# same join, and the plan shape stays pinned by that certificate.)
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,6 @@ STRIDE = 1_000_000_000
 PROBE_QUERIES = [
     "text_unigram_logprob",
     "training_dsir_importance",
-    "text_token_docfreq_score",
 ]
 
 

@@ -196,7 +196,6 @@ def test_no_cartesian_product_across_registry(spark):
     allow = {
         "embedding_cosine_topk",      # deliberate brute-force baseline
         "embedding_pq_full_rerank",   # nprobe=all exact twin (bounded query set)
-        "cdc_count_reconciliation",   # 1x1 scalar crossJoin
         "cdc_checksum_reconciliation",
         "daily_orders_vs_events_full_outer",  # full outer of two tiny day series
     }
