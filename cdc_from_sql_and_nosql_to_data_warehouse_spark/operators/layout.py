@@ -111,6 +111,33 @@ FILE_STATS_SIDECAR = "_file_stats.json"
 _STATS_VERSION = 1
 
 
+def _load_sidecar(path: str) -> dict | None:
+    """The stats sidecar, or None when absent OR unreadable. Stats are
+    ADVISORY by contract (a missing sidecar only costs pruning, never
+    correctness), so a torn/corrupt file from a legacy non-atomic
+    writer degrades to "no stats" instead of failing every pruned
+    read; _dump_sidecar writes atomically so new corruption cannot
+    occur."""
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    if not os.path.exists(sidecar):
+        return None
+    try:
+        with open(sidecar) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def _dump_sidecar(path: str, payload: dict) -> None:
+    """Atomic sidecar replace (tmp + rename): a crash mid-write must
+    never leave a torn JSON that poisons later reads."""
+    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, sidecar)
+
+
 def _enc_stat(v):
     """JSON-encode one min/max value, tagging non-native types so the
     prune-time comparison happens in the value's own domain (an ISO
@@ -215,17 +242,11 @@ def collect_file_stats(
     scanned) result rows collected to the driver, the same order of
     driver state every lakehouse keeps per snapshot.
     """
-    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-    bloom_meta = None
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            bloom_meta = json.load(f).get("bloom")
-    prior = None
-    if incremental and os.path.exists(sidecar):
-        with open(sidecar) as f:
-            prior = json.load(f)
-        if prior.get("columns") != columns:
-            prior = None  # column set changed: full re-collect
+    existing = _load_sidecar(path)
+    bloom_meta = existing.get("bloom") if existing else None
+    prior = existing if incremental else None
+    if prior is not None and prior.get("columns") != columns:
+        prior = None  # column set changed: full re-collect
 
     if prior is not None:
         on_disk = set(_list_data_files(path))
@@ -300,8 +321,7 @@ def collect_file_stats(
         # conservatively until collect_file_blooms re-stamps them
         # (refresh_file_stats chains the two)
         payload["bloom"] = bloom_meta
-    with open(sidecar, "w") as f:
-        json.dump(payload, f)
+    _dump_sidecar(path, payload)
     return payload
 
 
@@ -434,12 +454,10 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
         else (p[0], p[1], *[_coerce_bound(v) for v in p[2:]])
         for p in predicates
     ]
-    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
     all_files = _list_data_files(path, preds)
-    if not os.path.exists(sidecar):
+    stats = _load_sidecar(path)
+    if stats is None:
         return all_files, len(all_files)
-    with open(sidecar) as f:
-        stats = json.load(f)
     known = stats["files"]
     bloom_meta = stats.get("bloom")
     bloom_cache: dict = {}
@@ -514,13 +532,12 @@ def read_skipping(
         cond = c if cond is None else cond & c
 
     def _sidecar_schema():
-        sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-        if not os.path.exists(sidecar):
+        stats = _load_sidecar(path)
+        if stats is None:
             return None
         from pyspark.sql.types import StructType
 
-        with open(sidecar) as f:
-            return StructType.fromJson(json.loads(json.load(f)["schema"]))
+        return StructType.fromJson(json.loads(stats["schema"]))
 
     schema = _sidecar_schema()
     if not keep:
@@ -545,11 +562,9 @@ def refresh_file_stats(spark: SparkSession, path: str) -> dict | None:
     Merge/append paths deliberately do NOT refresh per micro-batch:
     stats are a maintenance-time product, and the conservative-include
     rule keeps the window between refreshes correct."""
-    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-    if not os.path.exists(sidecar):
+    prior = _load_sidecar(path)
+    if prior is None:
         return None
-    with open(sidecar) as f:
-        prior = json.load(f)
     out = collect_file_stats(spark, path, prior["columns"])
     bloom = prior.get("bloom")
     if bloom:
@@ -628,11 +643,8 @@ def collect_file_blooms(
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
-    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            payload = json.load(f)
-    else:
+    payload = _load_sidecar(path)
+    if payload is None:
         df0 = spark.read.option("mergeSchema", "true").parquet(path)
         payload = {
             "version": _STATS_VERSION,
@@ -696,8 +708,7 @@ def collect_file_blooms(
         for c in columns:
             entry[f"{_BLOOM_PREFIX}{c}"] = r[f"{_BLOOM_PREFIX}{c}"]
     payload["bloom"] = {"columns": columns, "m": m, "k": k}
-    with open(sidecar, "w") as f:
-        json.dump(payload, f)
+    _dump_sidecar(path, payload)
     return payload
 
 

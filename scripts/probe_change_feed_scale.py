@@ -110,6 +110,27 @@ def main() -> None:
                 f"feed_all {feed_all:6.2f}s feed_tail {feed_tail:6.2f}s "
                 f"state_read {state:6.2f}s"
             )
+            # idle-tick cost (round 7): a caught-up follow/sync loop's
+            # per-tick work is ONE tip probe. Without a sidecar that is
+            # a full-column scan; with _seq stats it is a driver-side
+            # max over the sidecar plus a scan of unknown files only.
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+                current_max_seq,
+            )
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+                collect_file_stats,
+            )
+
+            tip_scan = _steady(lambda: current_max_seq(spark, path))
+            t0 = time.perf_counter()
+            collect_file_stats(spark, path, ["_seq", "_key"])
+            stats_wall = time.perf_counter() - t0
+            tip_sidecar = _steady(lambda: current_max_seq(spark, path))
+            print(
+                f"     idle tick: scan {tip_scan:6.3f}s  sidecar "
+                f"{tip_sidecar:6.3f}s  (stats pass {stats_wall:.2f}s, "
+                "maintenance cadence)"
+            )
             if mult == 100:
                 # fold 90% of the history, then re-read: the compaction
                 # lever in action

@@ -43,6 +43,10 @@ STRIDE = 1_000_000_000
 PROBE_QUERIES = [
     "text_unigram_logprob",
     "training_dsir_importance",
+    # round 7: the two-pass fixed-width-hash boilerplate top-k — its
+    # scale claim (8-byte shuffle key, candidate recount bounded by
+    # ~2k grams) is measured here at 1x/10x
+    "text_boilerplate_ngrams",
 ]
 
 
