@@ -531,7 +531,17 @@ def read_skipping(
         c = _predicate_column(p)
         cond = c if cond is None else cond & c
 
-    def _sidecar_schema():
+    def _read_schema():
+        # prefer the table's write-time manifest (updated per write by
+        # the engine's apply/maintenance paths) over the schema the
+        # STATS pass recorded (refreshed only at stats cadence): after
+        # a schema-evolving append the manifest is current immediately,
+        # closing the staleness window between stats refreshes.
+        from .apply import read_table_schema
+
+        manifest = read_table_schema(path)
+        if manifest is not None:
+            return manifest
         stats = _load_sidecar(path)
         if stats is None:
             return None
@@ -539,7 +549,7 @@ def read_skipping(
 
         return StructType.fromJson(json.loads(stats["schema"]))
 
-    schema = _sidecar_schema()
+    schema = _read_schema()
     if not keep:
         if schema is not None:
             return spark.createDataFrame([], schema)

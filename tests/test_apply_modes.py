@@ -1608,3 +1608,79 @@ def test_sync_aggregate_minmax_touched_group_recompute(spark, tmp_path):
         ("bb", 2, 16.0, 7.0, 9.0),
         ("cc", 1, 1.0, 1.0, 1.0),
     ]
+
+
+def test_sync_aggregate_drain_prunes_files(spark, tmp_path, monkeypatch):
+    """The drain's two scans route through the stats sidecar: the
+    in-range scan prunes on the _seq range (only files with max _seq
+    past the offset are read) and the touched-history scan prunes via
+    _key blooms — pinned by a prune_files spy recording strictly-
+    positive pruning for both predicates, with the result still equal
+    to a full recompute."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import layout
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        sync_aggregate,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+        collect_file_stats,
+    )
+
+    src = str(tmp_path / "wh_spy_src")
+    agg = str(tmp_path / "wh_spy_agg")
+    # 4 history batches -> >= 4 file generations, keys 0..39
+    for b in range(4):
+        env = spark.range(10).select(
+            (F.col("id") + b * 10).cast("string").alias("key"),
+            F.lit("INSERT").alias("op"),
+            F.struct(
+                (F.col("id") + b * 10).alias("k"),
+                F.lit("g").alias("grp"),
+                (F.col("id") * 2).cast("double").alias("v"),
+            ).alias("after"),
+            (F.col("id") + 1 + b * 10).alias("seq"),
+        )
+        apply_changes(spark, env, src, "k", mode="history")
+    collect_file_stats(spark, src, ["_seq", "_key"])
+    collect_file_blooms(spark, src, ["_key"], num_bits=1 << 12)
+    assert sync_aggregate(spark, src, agg, "grp", "v") is not None
+
+    # one touched key (k=5) in a new batch
+    env = spark.createDataFrame(
+        [("5", "MODIFY", (5, "g", 99.0), 41)],
+        "key string, op string, after struct<k:long,grp:string,v:double>, seq long",
+    )
+    apply_changes(spark, env, src, "k", mode="history")
+
+    calls = []
+    orig = layout.prune_files
+
+    def spy(path, preds):
+        keep, total = orig(path, preds)
+        calls.append((tuple(p[:2] for p in preds), len(keep), total))
+        return keep, total
+
+    monkeypatch.setattr(layout, "prune_files", spy)
+    assert sync_aggregate(spark, src, agg, "grp", "v") is not None
+    monkeypatch.undo()
+
+    seq_calls = [c for c in calls if c[0] == (("_seq", ">"),)]
+    key_calls = [c for c in calls if ("_key", "in") in c[0]]
+    assert seq_calls and all(kept < total for _, kept, total in seq_calls)
+    assert key_calls and all(kept < total for _, kept, total in key_calls)
+
+    got = sorted(
+        (r["grp"], r["n_keys"], float(r["total_value"]))
+        for r in spark.read.parquet(agg).collect()
+    )
+    exp = sorted(
+        (r["grp"], r["n"], float(r["tv"]))
+        for r in read_warehouse(spark, src)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("tv"),
+        )
+        .collect()
+    )
+    assert got == exp

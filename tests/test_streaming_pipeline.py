@@ -589,3 +589,78 @@ def test_stream_sync_changes_structured_streaming_cdf(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_stream_sync_aggregate_under_streaming_machinery(spark, tmp_path):
+    """Materialized views driven by the streaming change-feed source:
+    the file stream paces drains, the swap-atomic offset owns
+    exactly-once — a wiped checkpoint replays triggers, not state
+    (the re-drain no-ops). Both the count/sum and min/max views."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_aggregate,
+    )
+    import shutil
+
+    src = str(tmp_path / "mv_src")
+    agg = str(tmp_path / "mv_agg")
+    mm = str(tmp_path / "mv_mm")
+    ck1, ck2 = str(tmp_path / "mv_ck1"), str(tmp_path / "mv_ck2")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    def expected():
+        cur = read_warehouse(spark, src)
+        return sorted(
+            (r["ticker"], r["n"], float(r["tv"]))
+            for r in cur.groupBy("ticker").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("price").cast("decimal(18,2)")).alias("tv"),
+            ).collect()
+        )
+
+    def got(path):
+        return sorted(
+            (r["ticker"], r["n_keys"], float(r["total_value"]))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    def trade(i, ticker, price):
+        return dict(make_trade(i), ticker=ticker, price=float(price))
+
+    apply_changes(
+        spark,
+        feed([("INSERT", trade(0, "aa", 10), 1),
+              ("INSERT", trade(1, "bb", 5), 2)], "v1"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_aggregate(spark, src, agg, ck1, "ticker", "price"))
+    assert got(agg) == expected()
+    _await(stream_sync_aggregate(
+        spark, src, mm, ck2, "ticker", "price", minmax=True
+    ))
+    assert [r["min_value"] for r in
+            spark.read.parquet(mm).orderBy("ticker").collect()] == [10.0, 5.0]
+
+    # more changes incl. a delete; the stream consumes only new files
+    apply_changes(
+        spark,
+        feed([("MODIFY", trade(0, "bb", 11), 3),
+              ("REMOVE", {"id": make_trade(1)["id"]}, 4)], "v2"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_aggregate(spark, src, agg, ck1, "ticker", "price"))
+    assert got(agg) == expected() == [("bb", 1, 11.0)]
+
+    # wiped checkpoint: triggers replay, the offset makes drains no-op
+    shutil.rmtree(ck1)
+    _await(stream_sync_aggregate(spark, src, agg, ck1, "ticker", "price"))
+    assert got(agg) == expected()
