@@ -134,18 +134,38 @@ def _write_table_schema(path: str, schema) -> None:
     os.replace(tmp, os.path.join(path, SCHEMA_MANIFEST))
 
 
-def _stamp_schema_union(path: str, new_schema) -> None:
+def _stamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
     """Union a just-written frame's fields into the table's schema
     manifest — the write-time twin of what mergeSchema derives per
     read. Recorded order first, new fields appended (matching
     _merge_latest's evolution order). A same-name TYPE conflict removes
     the manifest: readers then fall back to mergeSchema, which is the
-    component that owns cross-footer type reconciliation."""
+    component that owns cross-footer type reconciliation.
+
+    FIRST stamp on a table that has no manifest derives the union from
+    the table's own footers (one mergeSchema pass) instead of trusting
+    the current batch's schema alone: a legacy pre-manifest table may
+    hold files carrying columns this batch lacks, and a batch-only
+    first stamp would hide them from every later manifest-imposed
+    read. On OVERLAPPING fields the batch's type wins: mergeSchema
+    requires type-equal data columns across footers (so the batch
+    cannot conflict with a data column it just wrote), which means any
+    derived-vs-batch type difference is PARTITION-column dir-name
+    inference ('01' and '1' inferring int where the writer declared
+    string) — and the writer knows the truth. New tables pay one
+    footer pass over their own just-written files."""
     from pyspark.sql.types import StructType
 
     existing = read_table_schema(path)
     if existing is None:
-        _write_table_schema(path, new_schema)
+        derived = (
+            spark.read.option("mergeSchema", "true").parquet(path).schema
+        )
+        batch = {f.name: f for f in new_schema.fields}
+        fields = [batch.get(f.name, f) for f in derived.fields]
+        have = {f.name for f in fields}
+        fields += [f for f in new_schema.fields if f.name not in have]
+        _write_table_schema(path, StructType(fields))
         return
     have = {f.name: f.dataType for f in existing.fields}
     for f in new_schema.fields:
@@ -202,11 +222,25 @@ def _pruned_table_read(
     nor stats sidecar (caller falls back to ``_read_table`` — pruning
     without a sidecar would list every file for nothing), or an empty
     manifest-schema frame when every file was pruned."""
-    from .layout import FILE_STATS_SIDECAR, prune_files
+    from .layout import _load_sidecar, prune_files
 
     schema = read_table_schema(path)
-    has_stats = os.path.exists(os.path.join(path, FILE_STATS_SIDECAR))
-    if schema is None and not has_stats:
+    stats = _load_sidecar(path)
+    if schema is None and stats is not None:
+        # manifest-less table: impose the stats pass's recorded schema
+        # rather than footer-merging only the KEPT files — a column
+        # living solely in pruned files would otherwise vanish from the
+        # output schema, diverging from the unpruned read. Files newer
+        # than the sidecar are conservatively kept either way.
+        import json
+
+        from pyspark.sql.types import StructType
+
+        try:
+            schema = StructType.fromJson(json.loads(stats["schema"]))
+        except (KeyError, ValueError):
+            schema = None
+    if schema is None and stats is None:
         return None
     keep, _total = prune_files(path, predicates)
     if schema is None:
@@ -231,6 +265,45 @@ def _pruned_table_read(
 
 def _is_canonical_seq_str(v) -> bool:
     return isinstance(v, str) and len(v) == 40 and v.isdigit()
+
+
+def _seq_stats_canonical(path: str) -> bool:
+    """True when every recorded _seq bound in the stats sidecar is in
+    the canonical 40-char form — the precondition for comparing a
+    canonical predicate bound against sidecar stats at prune time.
+    Mixed-era tables (unpadded-string or long _seq, which
+    _canonical_seq normalizes row-wise at read time) record RAW stored
+    values in their stats; pruning against those would compare
+    lexicographically-incomparable forms and silently drop files, so
+    seq-bound pruning must be skipped entirely for them. True also
+    when the sidecar does not track _seq (prune_files is then
+    conservative by itself)."""
+    from .layout import _load_sidecar
+
+    stats = _load_sidecar(path)
+    if stats is None or SEQ_COL not in stats.get("columns", []):
+        return True
+    for entry in stats["files"].values():
+        if SEQ_COL not in entry:
+            continue
+        for bound in entry[SEQ_COL]:
+            if bound is not None and not _is_canonical_seq_str(bound):
+                return False
+    return True
+
+
+def _seq_scoped_read(
+    spark: SparkSession, path: str, op: str, bound
+) -> DataFrame | None:
+    """Sidecar-pruned read for ONE canonical-_seq bound predicate, or
+    None when pruning is unavailable/unsafe (no sidecar+manifest, or
+    non-canonical recorded _seq stats — see _seq_stats_canonical).
+    Callers always re-apply the row filter."""
+    if not _seq_stats_canonical(path):
+        return None
+    return _pruned_table_read(
+        spark, path, [(SEQ_COL, op, _canonical_seq_py(bound))]
+    )
 
 
 def current_max_seq(spark: SparkSession, path: str) -> str | None:
@@ -388,18 +461,43 @@ def _write_lock(target_path: str):
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
-                if _lock_owner_is_dead(lock):
-                    # adopt: remove and retry the atomic create (two
-                    # adopters race on the create, one wins)
-                    try:
-                        os.remove(lock)
-                    except FileNotFoundError:
-                        pass
-                    continue
+                if not _lock_owner_is_dead(lock):
+                    raise ConcurrentWriteError(
+                        f"table {target_path!r} is locked by another "
+                        f"writer ({lock}); if its owner is dead on "
+                        "another host, break_table_lock() releases it"
+                    )
+                # Adopt WITHOUT a delete-then-create TOCTOU: rename the
+                # stale lock to a unique name first — rename is atomic,
+                # so of N adopters exactly ONE owns the renamed file
+                # (the rest race back to the O_EXCL create) and a live
+                # lock created in between is never deleted out from
+                # under its owner. Re-verify on the file we now own
+                # (pid-reuse edge: judged dead, now alive) and restore
+                # it non-clobberingly if the owner is alive after all.
+                import uuid as _uuid
+
+                stale = f"{lock}.adopt-{_uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock, stale)
+                except FileNotFoundError:
+                    continue  # released or adopted by someone else
+                if _lock_owner_is_dead(stale):
+                    os.remove(stale)
+                    continue  # truly dead: retry the atomic create
+                try:
+                    with open(stale, "rb") as sf:
+                        content = sf.read()
+                    rfd = os.open(
+                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    os.write(rfd, content)
+                    os.close(rfd)
+                except FileExistsError:
+                    pass  # a newer writer got in: leave its lock alone
+                os.remove(stale)
                 raise ConcurrentWriteError(
-                    f"table {target_path!r} is locked by another writer "
-                    f"({lock}); if its owner is dead on another host, "
-                    "break_table_lock() releases it"
+                    f"table {target_path!r} is locked by another writer"
                 )
         if fd is None:
             raise ConcurrentWriteError(
@@ -811,7 +909,7 @@ def _apply_changes_locked(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
-        _stamp_schema_union(target_path, rows.schema)
+        _stamp_schema_union(spark, target_path, rows.schema)
         return
 
     if mode == "history":
@@ -836,7 +934,7 @@ def _apply_changes_locked(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_path)
-        _stamp_schema_union(target_path, rows.schema)
+        _stamp_schema_union(spark, target_path, rows.schema)
         return
 
     if mode != "upsert":
@@ -1020,7 +1118,7 @@ def overwrite_partitions_dropping_emptied(
     # dynamic overwrite replaces only matched partitions: untouched
     # ones keep their (possibly narrower) column set, so the manifest
     # records the UNION — old partitions read NULL in evolved columns
-    _stamp_schema_union(target_path, df.schema)
+    _stamp_schema_union(spark, target_path, df.schema)
     if not candidates:
         return
     stale = [tuple(v) for v in candidates if tuple(v) not in remaining]
@@ -1220,12 +1318,9 @@ def read_warehouse(
                     "state at that seq can no longer be reconstructed"
                 )
             # file-level time-travel pruning: a file whose min _seq
-            # exceeds the cut holds only post-cut versions
-            pruned = _pruned_table_read(
-                spark,
-                target_path,
-                [(SEQ_COL, "<=", _canonical_seq_py(as_of_seq))],
-            )
+            # exceeds the cut holds only post-cut versions (skipped on
+            # mixed-era tables whose recorded stats are non-canonical)
+            pruned = _seq_scoped_read(spark, target_path, "<=", as_of_seq)
             if pruned is not None:
                 df = pruned
             df = df.filter(
@@ -1320,9 +1415,7 @@ def read_changes(
         # pruned file's every row has seq > to_seq, and the lag window
         # only ever looks BACKWARD, so no in-range row's classification
         # can depend on it.
-        pruned = _pruned_table_read(
-            spark, target_path, [(SEQ_COL, "<=", _canonical_seq_py(to_seq))]
-        )
+        pruned = _seq_scoped_read(spark, target_path, "<=", to_seq)
         if pruned is not None:
             df = pruned
     if KEY_COL not in df.columns:
@@ -1344,6 +1437,41 @@ def read_changes(
             "can no longer be reconstructed"
         )
     df = df.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
+    if from_seq is not None:
+        # Touched-key restriction (the consumer-tick scale lever, same
+        # argument as sync_aggregate's drain): only keys with a version
+        # INSIDE (from, to] emit changes, and the lag classification of
+        # key k depends only on k's own rows — so semi-joining the
+        # version log to the window's touched keys BEFORE the window is
+        # result-identical while shrinking the key shuffle from ALL
+        # retained history to the touched keys' history. The touched-key
+        # side scans only files whose max _seq clears the lower bound
+        # when a stats sidecar exists; AQE turns the semi-join into a
+        # broadcast probe when the touched set is micro-batch-sized.
+        scoped = _seq_scoped_read(spark, target_path, ">", from_seq)
+        base = (
+            scoped.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
+            if scoped is not None
+            else df
+        )
+        in_window = base.filter(
+            F.col(SEQ_COL) > _canonical_seq(F.lit(from_seq))
+        )
+        if to_seq is not None:
+            in_window = in_window.filter(
+                F.col(SEQ_COL) <= _canonical_seq(F.lit(to_seq))
+            )
+        # eqNullSafe: NULL-key version rows form their own lag group
+        # and must keep emitting changes — a plain equality semi-join
+        # would silently drop them whenever from_seq is set
+        touched_keys = in_window.select(
+            F.col(KEY_COL).alias("_touched_key")
+        ).distinct()
+        df = df.join(
+            touched_keys,
+            F.col(KEY_COL).eqNullSafe(F.col("_touched_key")),
+            "left_semi",
+        )
     live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
     w = W.partitionBy(KEY_COL).orderBy(SEQ_COL)
     prev_seq = F.lag(F.col(SEQ_COL)).over(w)

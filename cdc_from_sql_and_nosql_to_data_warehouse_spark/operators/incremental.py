@@ -76,8 +76,12 @@ def incremental_upsert_agg(
     when batches come from an ordered change feed past a cutoff).
     """
     latest = latest_per_key_multi(changes, key, seq_cols)
-    touched = latest.select(key)
-    old = base_state.join(touched, key, "left_semi")
+    # eqNullSafe: a NULL key is a legitimate latest-wins group; a plain
+    # equality semi-join would silently skip its retract
+    touched = latest.select(F.col(key).alias("_touched"))
+    old = base_state.join(
+        touched, F.col(key).eqNullSafe(F.col("_touched")), "left_semi"
+    )
     retract = old.groupBy(group_col).agg(
         (-F.count("*")).alias("_dn"),
         (-F.sum(value_col)).alias("_dv"),
@@ -166,18 +170,7 @@ def sync_aggregate(
     touched keys, and the delta union; the aggregate table is
     O(groups).
     """
-    from .apply import (
-        DELETED_COL,
-        KEY_COL,
-        SEQ_COL,
-        _pruned_table_read,
-        _read_table,
-        _recover_swap,
-        _swap_into,
-        _write_lock,
-        current_max_seq,
-        read_warehouse,
-    )
+    from .apply import _write_lock
 
     # single-writer fence on the AGGREGATE table: two concurrent drains
     # would race their offset-carrying swaps (the source is only read)
@@ -264,9 +257,9 @@ def _sync_aggregate_locked(
             # in-range scan: files whose max _seq <= through hold no
             # window rows — with a fresh stats sidecar the scan reads
             # O(new files), not the retained history
-            scoped = _pruned_table_read(
-                spark, source_path, [(SEQ_COL, ">", through)]
-            )
+            from .apply import _seq_scoped_read
+
+            scoped = _seq_scoped_read(spark, source_path, ">", through)
             versions = (scoped if scoped is not None else src).withColumn(
                 SEQ_COL, _canonical_seq(F.col(SEQ_COL))
             )
@@ -310,11 +303,15 @@ def _sync_aggregate_locked(
                     & F.col(KEY_COL).isin(touched_vals)
                 )
             else:
-                touched = in_range.select(KEY_COL).distinct()
+                touched = in_range.select(
+                    F.col(KEY_COL).alias("_touched")
+                ).distinct()
                 pre = src.withColumn(
                     SEQ_COL, _canonical_seq(F.col(SEQ_COL))
                 ).filter(F.col(SEQ_COL) <= F.lit(through)).join(
-                    touched, KEY_COL, "left_semi"
+                    touched,
+                    F.col(KEY_COL).eqNullSafe(F.col("_touched")),
+                    "left_semi",
                 )
             state_before = latest_per_key(pre, KEY_COL, SEQ_COL).filter(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -456,9 +453,9 @@ def sync_aggregate_minmax(
                 horizon = read_history_horizon(source_path)
                 if horizon is not None and through < horizon:
                     raise ValueError("offset below compaction horizon")
-                scoped = _pruned_table_read(
-                    spark, source_path, [(SEQ_COL, ">", through)]
-                )
+                from .apply import _seq_scoped_read
+
+                scoped = _seq_scoped_read(spark, source_path, ">", through)
                 versions_new = (
                     scoped if scoped is not None else src
                 ).withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
@@ -475,10 +472,16 @@ def sync_aggregate_minmax(
                 # name). Prior groups come from the touched keys'
                 # pre-window latest — the same pruned reconstruction
                 # sync_aggregate runs.
-                touched_keys = in_range.select(KEY_COL).distinct()
+                touched_keys = in_range.select(
+                    F.col(KEY_COL).alias("_tk")
+                ).distinct()
                 pre = all_versions.filter(
                     F.col(SEQ_COL) <= F.lit(through)
-                ).join(touched_keys, KEY_COL, "left_semi")
+                ).join(
+                    touched_keys,
+                    F.col(KEY_COL).eqNullSafe(F.col("_tk")),
+                    "left_semi",
+                )
                 prior_state = latest_per_key(pre, KEY_COL, SEQ_COL).filter(
                     ~F.coalesce(F.col(DELETED_COL), F.lit(False))
                 )
@@ -491,21 +494,36 @@ def sync_aggregate_minmax(
                 # (superset of the groups' current keys — group values
                 # move across versions, so the window must see the
                 # candidates' FULL history, then filter on the latest)
+                # every join here is NULL-SAFE: a NULL group value is a
+                # legitimate aggregate row and a NULL key a legitimate
+                # state group — plain equality would leave a stale
+                # NULL-group row in the view forever
+                tg = F.broadcast(
+                    touched_groups.select(F.col(group_col).alias("_tg"))
+                )
                 cand_keys = (
                     all_versions.join(
-                        F.broadcast(touched_groups), group_col, "left_semi"
+                        tg,
+                        F.col(group_col).eqNullSafe(F.col("_tg")),
+                        "left_semi",
                     )
-                    .select(KEY_COL)
+                    .select(F.col(KEY_COL).alias("_ck"))
                     .distinct()
                 )
                 cand_latest = latest_per_key(
-                    all_versions.join(cand_keys, KEY_COL, "left_semi"),
+                    all_versions.join(
+                        cand_keys,
+                        F.col(KEY_COL).eqNullSafe(F.col("_ck")),
+                        "left_semi",
+                    ),
                     KEY_COL,
                     SEQ_COL,
                 ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
                 recomputed = (
                     cand_latest.join(
-                        F.broadcast(touched_groups), group_col, "left_semi"
+                        tg,
+                        F.col(group_col).eqNullSafe(F.col("_tg")),
+                        "left_semi",
                     )
                     .groupBy(group_col)
                     .agg(*aggs)
@@ -526,7 +544,13 @@ def sync_aggregate_minmax(
                         ),
                     )
                     .join(
-                        F.broadcast(touched_groups), group_col, "left_anti"
+                        F.broadcast(
+                            touched_groups.select(
+                                F.col(group_col).alias("_tg")
+                            )
+                        ),
+                        F.col(group_col).eqNullSafe(F.col("_tg")),
+                        "left_anti",
                     )
                 )
                 new_agg = base_kept.unionByName(recomputed)

@@ -689,15 +689,30 @@ def collect_file_blooms(
         row = {"_file": [pdf["_file"].iloc[0]]}
         for c in columns:
             bits = np.zeros(m, dtype=bool)
+            exact = True
             for v in pdf[c].dropna().unique():
                 if isinstance(v, np.integer):
                     v = int(v)
                 elif c in int_cols and isinstance(v, (float, np.floating)):
-                    v = int(v)  # null-coerced int64: NaN dropped above
+                    # null-coerced int64 (NaN dropped above): the cast
+                    # back is only sound while float64 holds the value
+                    # exactly — above 2^53 the round-trip rounds, the
+                    # bloom would set bits for the WRONG value, and a
+                    # probe of the true value would return a FALSE
+                    # NEGATIVE (a silently pruned file holding the
+                    # row). Emit NO bloom for this (file, column)
+                    # instead: absent entries probe conservatively.
+                    fv = float(v)
+                    if abs(fv) >= 2.0**53 or float(int(fv)) != fv:
+                        exact = False
+                        break
+                    v = int(fv)
                 for pos in _bloom_positions(v, m, k):
                     bits[pos] = True
             row[f"{_BLOOM_PREFIX}{c}"] = [
                 base64.b64encode(np.packbits(bits).tobytes()).decode()
+                if exact
+                else None
             ]
         return pd.DataFrame(row)
 
@@ -716,7 +731,13 @@ def collect_file_blooms(
         rel = os.path.relpath(os.path.abspath(fpath), root)
         entry = payload["files"].setdefault(rel, {})
         for c in columns:
-            entry[f"{_BLOOM_PREFIX}{c}"] = r[f"{_BLOOM_PREFIX}{c}"]
+            b64 = r[f"{_BLOOM_PREFIX}{c}"]
+            if b64 is None:
+                # value didn't round-trip float64 exactly: no bloom for
+                # this (file, column) — probes include it conservatively
+                entry.pop(f"{_BLOOM_PREFIX}{c}", None)
+            else:
+                entry[f"{_BLOOM_PREFIX}{c}"] = b64
     payload["bloom"] = {"columns": columns, "m": m, "k": k}
     _dump_sidecar(path, payload)
     return payload

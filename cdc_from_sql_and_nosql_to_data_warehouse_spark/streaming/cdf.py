@@ -72,7 +72,18 @@ def stream_changes(spark: SparkSession, source_path: str) -> DataFrame:
             '(apply_changes(mode="history")); latest-wins tables do not '
             "retain the version history a change feed is derived from"
         )
-    return spark.readStream.schema(schema).parquet(source_path)
+    # ignoreMissingFiles: a compaction swap can delete listed-but-
+    # unread files under a CONTINUOUS (processingTime) stream mid-
+    # trigger; without this the in-flight batch dies on
+    # FileNotFoundException. The folded content re-appears under the
+    # compaction's NEW file names (re-delivered as fresh input) and
+    # max-seq arbitration makes the re-application a no-op, so
+    # skipping vanished files never loses a change.
+    return (
+        spark.readStream.schema(schema)
+        .option("ignoreMissingFiles", "true")
+        .parquet(source_path)
+    )
 
 
 def envelope_from_versions(versions: DataFrame) -> DataFrame:

@@ -110,6 +110,28 @@ def main() -> None:
                 f"feed_all {feed_all:6.2f}s feed_tail {feed_tail:6.2f}s "
                 f"state_read {state:6.2f}s"
             )
+            # narrow consumer tick (round 7): one micro-batch (1k keys)
+            # lands past the tip; a tick reads (tip, new]. The touched-
+            # key restriction makes this window's key shuffle O(1k
+            # keys' history) instead of O(all retained history) — the
+            # per-tick cost class of follow/sync consumers. (Wide
+            # catch-up windows like feed_tail above touch ~every key
+            # in this feed shape, so they pay the discovery pass for
+            # no pruning — the documented trade.)
+            tick_env = spark.range(1_000).select(
+                F.col("id").cast("string").alias("key"),
+                F.lit("MODIFY").alias("op"),
+                F.struct(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 3 % 1000).alias("v"),
+                ).alias("after"),
+                F.lit(max_seq + 1).alias("seq"),
+            )
+            apply_changes(spark, tick_env, path, "k", mode="history")
+            feed_tick = _steady(
+                lambda: read_changes(spark, path, from_seq=max_seq).count()
+            )
+            print(f"     tick (1k keys past tip): {feed_tick:6.3f}s")
             # idle-tick cost (round 7): a caught-up follow/sync loop's
             # per-tick work is ONE tip probe. Without a sidecar that is
             # a full-column scan; with _seq stats it is a driver-side

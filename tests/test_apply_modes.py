@@ -1684,3 +1684,130 @@ def test_sync_aggregate_drain_prunes_files(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert got == exp
+
+
+def test_sync_aggregate_minmax_null_group_updates(spark, tmp_path):
+    """NULL is a legitimate group value: the touched-group joins are
+    null-safe, so a change touching the NULL group recomputes its row
+    instead of leaving it permanently stale (plain equality joins
+    never match NULL)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        sync_aggregate_minmax,
+    )
+
+    src = str(tmp_path / "wh_ng_src")
+    agg = str(tmp_path / "wh_ng_agg")
+
+    def trade(i, ticker, price):
+        d = dict(make_trade(i), price=float(price))
+        d["ticker"] = ticker  # may be None
+        return d
+
+    def expected():
+        cur = read_warehouse(spark, src)
+        return sorted(
+            ((r["ticker"], r["n"], float(r["mn"]), float(r["mx"]))
+             for r in cur.groupBy("ticker").agg(
+                F.count("*").alias("n"),
+                F.min(F.col("price").cast("decimal(18,2)")).alias("mn"),
+                F.max(F.col("price").cast("decimal(18,2)")).alias("mx"),
+             ).collect()),
+            key=lambda t: (t[0] is not None, t[0] or ""),
+        )
+
+    def got():
+        return sorted(
+            ((r["ticker"], r["n_keys"], float(r["min_value"]),
+              float(r["max_value"]))
+             for r in spark.read.parquet(agg).collect()),
+            key=lambda t: (t[0] is not None, t[0] or ""),
+        )
+
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", trade(0, None, 10), 1),
+               ("INSERT", trade(1, None, 20), 2),
+               ("INSERT", trade(2, "aa", 5), 3)], "ng1"),
+        src, "id", mode="history",
+    )
+    assert sync_aggregate_minmax(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected()
+
+    # delete the NULL group's min and move a key INTO the NULL group
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("REMOVE", {"id": make_trade(0)["id"]}, 4),
+               ("MODIFY", trade(2, None, 7), 5)], "ng2"),
+        src, "id", mode="history",
+    )
+    assert sync_aggregate_minmax(spark, src, agg, "ticker", "price") is not None
+    assert got() == expected() == [(None, 2, 7.0, 20.0)]
+
+
+def test_read_changes_null_key_rows_survive_window(spark, tmp_path):
+    """NULL-key version rows form their own lag group; the touched-key
+    restriction must not drop their changes when from_seq is set (the
+    semi-join is null-safe)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, read_changes,
+    )
+
+    src = str(tmp_path / "wh_nullkey")
+    env = spark.createDataFrame(
+        [(None, "INSERT", (1, 10.0), 1),
+         ("k1", "INSERT", (2, 20.0), 2),
+         (None, "MODIFY", (1, 11.0), 3)],
+        "key string, op string, after struct<v:long,price:double>, seq long",
+    )
+    apply_changes(spark, env, src, "v", mode="history")
+    win = read_changes(spark, src, from_seq=2)
+    rows = [(r["_key"], int(r["_seq"]), r["_change_type"]) for r in win.collect()]
+    assert rows == [(None, 3, "update")]
+    # and the full feed agrees on the same row
+    full = [
+        (r["_key"], int(r["_seq"]), r["_change_type"])
+        for r in read_changes(spark, src).collect()
+        if int(r["_seq"]) > 2
+    ]
+    assert full == rows
+
+
+def test_seq_pruning_skipped_on_noncanonical_stats(spark, tmp_path):
+    """Mixed-era history tables store UNPADDED _seq strings; their
+    stats record raw values that compare lexicographically wrong
+    against canonical 40-char bounds. Seq-bound file pruning must
+    detect this (_seq_stats_canonical) and fall back to the unpruned
+    read instead of silently dropping files from time travel."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _seq_stats_canonical,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats,
+    )
+
+    path = str(tmp_path / "wh_legacy_seq")
+    spark.createDataFrame(
+        [(1, 10.0, "1", "5", False)],
+        "k long, price double, _key string, _seq string, _deleted boolean",
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(2, 20.0, "2", "12", False)],
+        "k long, price double, _key string, _seq string, _deleted boolean",
+    ).coalesce(1).write.mode("append").parquet(path)
+    collect_file_stats(spark, path, ["_seq", "_key"])
+    assert not _seq_stats_canonical(path)
+    # as-of 7: only seq 5 qualifies; a lexicographic prune against the
+    # raw '5' stats would have dropped its file entirely
+    rows = read_warehouse(spark, path, as_of_seq=7).collect()
+    assert [(r["k"], r["price"]) for r in rows] == [(1, 10.0)]
+    # canonical-era tables still report prunable
+    canon = str(tmp_path / "wh_canon_seq")
+    env = spark.createDataFrame(
+        [("1", "INSERT", (1, 10.0), 5)],
+        "key string, op string, after struct<k:long,price:double>, seq long",
+    )
+    apply_changes(spark, env, canon, "k", mode="history")
+    collect_file_stats(spark, canon, ["_seq"])
+    assert _seq_stats_canonical(canon)

@@ -628,3 +628,34 @@ def test_hot_readers_route_through_sidecar_pruning(spark, tmp_path):
         r["k"] for r in ref.collect()
     )
     assert set(got.inputFiles()) < up_all or len(up_all) == 1
+
+
+def test_bloom_declines_float_unsafe_bigints(spark, tmp_path):
+    """An int64 column with NULLs arrives in pandas as float64; values
+    at or above 2^53 do not round-trip exactly, so hashing their cast
+    would produce bloom FALSE NEGATIVES (files silently pruned that
+    hold the probed value). The build must emit NO bloom for such a
+    (file, column) — conservative include — while files whose values
+    round-trip keep pruning."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+    )
+
+    big = (1 << 53) + 1  # not representable in float64
+    path = str(tmp_path / "bloom_bigint")
+    spark.createDataFrame(
+        [(1, big), (2, None)], "id long, acct long"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(3, 300), (4, None)], "id long, acct long"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    collect_file_blooms(spark, path, ["acct"], num_bits=1 << 10)
+    # the big value's file has no bloom -> conservatively kept
+    kept, total = prune_files(path, [("acct", "=", big)])
+    assert total == 2 and len(kept) >= 1
+    got = read_skipping(spark, path, [("acct", "=", big)]).collect()
+    assert [(r["id"], r["acct"]) for r in got] == [(1, big)]
+    # the safe file still blooms: probing an absent small value prunes it
+    kept, _ = prune_files(path, [("acct", "=", 301)])
+    assert len(kept) <= 1
