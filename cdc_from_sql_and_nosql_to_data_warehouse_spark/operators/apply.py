@@ -99,6 +99,12 @@ _SIDECAR_MARKERS = (
 # manifest exists (tables written by external tools).
 SCHEMA_MANIFEST = "_table_schema.json"
 
+# Above this many touched keys per change-feed window/drain, key
+# discovery stays distributed (semi-join) instead of collecting to the
+# driver for bloom file-pruning + InSet filtering. Micro-batch ticks
+# sit far below it.
+_TOUCHED_KEY_CAP = 10_000
+
 
 def read_table_schema(path: str):
     """The recorded union schema of a table, or None when the table has
@@ -1437,7 +1443,29 @@ def read_changes(
             "can no longer be reconstructed"
         )
     df = df.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL)))
-    if from_seq is not None:
+    restrict = from_seq is not None
+    if restrict:
+        # selectivity gate: the touched-key restriction costs one
+        # discovery pass, which a WIDE window (catch-up/bootstrap —
+        # most keys touched) pays for no pruning. When the sidecar
+        # tracks canonical _seq stats it answers "what fraction of
+        # files hold in-window rows" driver-side; a window spanning
+        # most files skips the restriction. (No usable stats ->
+        # restrict: consumer ticks dominate in practice.)
+        from .layout import _load_sidecar, prune_files
+
+        stats = _load_sidecar(target_path)
+        if (
+            stats is not None
+            and SEQ_COL in stats.get("columns", [])
+            and _seq_stats_canonical(target_path)
+        ):
+            keep, total = prune_files(
+                target_path, [(SEQ_COL, ">", _canonical_seq_py(from_seq))]
+            )
+            if total > 0 and len(keep) / total > 0.5:
+                restrict = False
+    if restrict:
         # Touched-key restriction (the consumer-tick scale lever, same
         # argument as sync_aggregate's drain): only keys with a version
         # INSIDE (from, to] emit changes, and the lag classification of
@@ -1463,7 +1491,13 @@ def read_changes(
             )
         # eqNullSafe: NULL-key version rows form their own lag group
         # and must keep emitting changes — a plain equality semi-join
-        # would silently drop them whenever from_seq is set
+        # would silently drop them whenever from_seq is set. (A
+        # driver-collected InSet + _key-bloom file-pruning variant was
+        # measured and REJECTED here: unlike sync_aggregate's drain,
+        # read_changes must stay lazy, the extra eager discovery job
+        # costs more than the semi-join saves locally, and touched
+        # keys of a feed window are rarely file-clustered enough for
+        # blooms to prune — see COVERAGE.md round-7 probes.)
         touched_keys = in_window.select(
             F.col(KEY_COL).alias("_touched_key")
         ).distinct()

@@ -127,10 +127,9 @@ def incremental_upsert_agg(
 
 AGG_THROUGH_MARKER = "_agg_through_seq"
 
-# Above this many touched keys per drain, key discovery stays
-# distributed (semi-join) instead of collecting to the driver for
-# bloom file-pruning + InSet filtering. Micro-batches sit far below it.
-_TOUCHED_KEY_CAP = 10_000
+# single source of truth for the driver-collection cap lives next to
+# the change-feed reader that shares it
+from .apply import _TOUCHED_KEY_CAP  # noqa: E402
 
 
 def sync_aggregate(

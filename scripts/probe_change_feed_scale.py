@@ -96,10 +96,31 @@ def main() -> None:
             t0 = time.perf_counter()
             max_seq = _build(spark, path, rows)
             build = time.perf_counter() - t0
+            # maintenance-cadence stats opt-in FIRST (timed separately)
+            # so every reader below sees the sidecar: the selectivity
+            # gate skips the touched-key restriction on wide windows,
+            # seq pruning scopes discovery scans, and the tip probe
+            # resolves driver-side.
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+                _read_table,
+                _canonical_seq,
+                current_max_seq,
+            )
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+                SEQ_COL as _SEQ,
+            )
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+                collect_file_stats,
+            )
+
+            t0 = time.perf_counter()
+            collect_file_stats(spark, path, ["_seq", "_key"])
+            stats_wall = time.perf_counter() - t0
             feed_all = _steady(
                 lambda: read_changes(spark, path).count()
             )
-            # a bounded tail window: the last 10% of sequences
+            # a bounded tail window: the last 10% of sequences (wide —
+            # touches ~every key, so the gate skips the restriction)
             frm = max_seq - max(1, max_seq // 10)
             feed_tail = _steady(
                 lambda: read_changes(spark, path, from_seq=frm).count()
@@ -108,16 +129,28 @@ def main() -> None:
             print(
                 f"{mult:3d}x rows {rows:>9,} build {build:6.2f}s "
                 f"feed_all {feed_all:6.2f}s feed_tail {feed_tail:6.2f}s "
-                f"state_read {state:6.2f}s"
+                f"state_read {state:6.2f}s (stats pass {stats_wall:.2f}s)"
             )
-            # narrow consumer tick (round 7): one micro-batch (1k keys)
-            # lands past the tip; a tick reads (tip, new]. The touched-
-            # key restriction makes this window's key shuffle O(1k
-            # keys' history) instead of O(all retained history) — the
-            # per-tick cost class of follow/sync consumers. (Wide
-            # catch-up windows like feed_tail above touch ~every key
-            # in this feed shape, so they pay the discovery pass for
-            # no pruning — the documented trade.)
+            # idle-tick cost: ONE tip probe per caught-up tick — the
+            # full-column scan an unindexed table pays vs the
+            # driver-side sidecar max.
+            tip_scan = _steady(
+                lambda: _read_table(spark, path)
+                .agg(F.max(_canonical_seq(F.col(_SEQ))).alias("m"))
+                .first()
+            )
+            tip_sidecar = _steady(lambda: current_max_seq(spark, path))
+            print(
+                f"     idle tick: scan {tip_scan:6.3f}s  sidecar "
+                f"{tip_sidecar:6.3f}s"
+            )
+            # narrow consumer tick, sidecar in place: one micro-batch
+            # (1k keys) lands past the tip; the tick reads (tip, new].
+            # Touched-key restriction + seq-pruned discovery (only the
+            # new, sidecar-unknown files) make the window's key shuffle
+            # O(1k keys' history); the remaining cost is the one
+            # unavoidable scan of the retained log for those keys'
+            # versions.
             tick_env = spark.range(1_000).select(
                 F.col("id").cast("string").alias("key"),
                 F.lit("MODIFY").alias("op"),
@@ -132,27 +165,6 @@ def main() -> None:
                 lambda: read_changes(spark, path, from_seq=max_seq).count()
             )
             print(f"     tick (1k keys past tip): {feed_tick:6.3f}s")
-            # idle-tick cost (round 7): a caught-up follow/sync loop's
-            # per-tick work is ONE tip probe. Without a sidecar that is
-            # a full-column scan; with _seq stats it is a driver-side
-            # max over the sidecar plus a scan of unknown files only.
-            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
-                current_max_seq,
-            )
-            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
-                collect_file_stats,
-            )
-
-            tip_scan = _steady(lambda: current_max_seq(spark, path))
-            t0 = time.perf_counter()
-            collect_file_stats(spark, path, ["_seq", "_key"])
-            stats_wall = time.perf_counter() - t0
-            tip_sidecar = _steady(lambda: current_max_seq(spark, path))
-            print(
-                f"     idle tick: scan {tip_scan:6.3f}s  sidecar "
-                f"{tip_sidecar:6.3f}s  (stats pass {stats_wall:.2f}s, "
-                "maintenance cadence)"
-            )
             if mult == 100:
                 # fold 90% of the history, then re-read: the compaction
                 # lever in action
