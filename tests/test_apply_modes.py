@@ -1811,3 +1811,41 @@ def test_seq_pruning_skipped_on_noncanonical_stats(spark, tmp_path):
     apply_changes(spark, env, canon, "k", mode="history")
     collect_file_stats(spark, canon, ["_seq"])
     assert _seq_stats_canonical(canon)
+
+
+def test_read_changes_selectivity_gate_toggles_restriction(spark, tmp_path):
+    """The touched-key restriction appears in the plan for NARROW
+    windows (a semi join above the scan) and is skipped for WIDE
+    catch-up windows when canonical _seq stats show the window spans
+    most files (the discovery pass would prune nothing)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, read_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats,
+    )
+
+    src = str(tmp_path / "wh_gate")
+    # 4 seq generations, seq-clustered files (one apply per seq)
+    for s in range(1, 5):
+        env = spark.range(10).select(
+            F.col("id").cast("string").alias("key"),
+            F.lit("MODIFY").alias("op"),
+            F.struct(F.col("id").alias("k"),
+                     (F.col("id") * s).cast("double").alias("v")).alias("after"),
+            F.lit(s).alias("seq"),
+        )
+        apply_changes(spark, env, src, "k", mode="history")
+    collect_file_stats(spark, src, ["_seq", "_key"])
+
+    def plan(from_seq):
+        return read_changes(spark, src, from_seq=from_seq)._jdf.queryExecution().optimizedPlan().toString()
+
+    # narrow window (only the last generation): restriction present
+    assert "Join LeftSemi" in plan(3)
+    # wide window (everything): gate skips the restriction
+    assert "Join LeftSemi" not in plan(0)
+    # results identical semantics regardless of the gate
+    a = sorted((r["_key"], int(r["_seq"])) for r in
+               read_changes(spark, src, from_seq=3).collect())
+    assert a == [(str(i), 4) for i in range(10)]
