@@ -99,12 +99,6 @@ _SIDECAR_MARKERS = (
 # manifest exists (tables written by external tools).
 SCHEMA_MANIFEST = "_table_schema.json"
 
-# Above this many touched keys per change-feed window/drain, key
-# discovery stays distributed (semi-join) instead of collecting to the
-# driver for bloom file-pruning + InSet filtering. Micro-batch ticks
-# sit far below it.
-_TOUCHED_KEY_CAP = 10_000
-
 
 def read_table_schema(path: str):
     """The recorded union schema of a table, or None when the table has
@@ -164,9 +158,20 @@ def _stamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
 
     existing = read_table_schema(path)
     if existing is None:
-        derived = (
-            spark.read.option("mergeSchema", "true").parquet(path).schema
-        )
+        # The stamp runs AFTER the data write committed, so it must
+        # never fail the apply: a legacy table whose footers carry a
+        # cross-file type conflict makes the derivation throw — skip
+        # the manifest then (readers keep the mergeSchema fallback,
+        # which owns surfacing that conflict), matching the
+        # conflict-removes-manifest policy below.
+        try:
+            derived = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(path)
+                .schema
+            )
+        except Exception:
+            return
         batch = {f.name: f for f in new_schema.fields}
         fields = [batch.get(f.name, f) for f in derived.fields]
         have = {f.name for f in fields}
@@ -232,6 +237,7 @@ def _pruned_table_read(
 
     schema = read_table_schema(path)
     stats = _load_sidecar(path)
+    sidecar_schema = None
     if schema is None and stats is not None:
         # manifest-less table: impose the stats pass's recorded schema
         # rather than footer-merging only the KEPT files — a column
@@ -243,12 +249,42 @@ def _pruned_table_read(
         from pyspark.sql.types import StructType
 
         try:
-            schema = StructType.fromJson(json.loads(stats["schema"]))
-        except (KeyError, ValueError):
+            sidecar_schema = StructType.fromJson(
+                json.loads(stats["schema"])
+            )
+            schema = sidecar_schema
+        except (KeyError, ValueError, TypeError):
             schema = None
     if schema is None and stats is None:
         return None
     keep, _total = prune_files(path, predicates)
+    if sidecar_schema is not None and keep:
+        # the sidecar schema predates files written after the stats
+        # pass; footer-merge ONLY those unknown kept files (O(new
+        # files)) and union their fields in, so an evolving append
+        # between stats refreshes stays visible. A type conflict falls
+        # back to the caller's mergeSchema path.
+        known = stats["files"]
+        unknown = [rel for rel in keep if rel not in known]
+        if unknown:
+            from pyspark.sql.types import StructType
+
+            try:
+                newer = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", path)
+                    .parquet(*[os.path.join(path, r) for r in unknown])
+                    .schema
+                )
+            except Exception:
+                return None
+            have = {f.name: f.dataType for f in schema.fields}
+            for f in newer.fields:
+                if f.name in have and f.dataType != have[f.name]:
+                    return None
+            added = [f for f in newer.fields if f.name not in have]
+            if added:
+                schema = StructType(list(schema.fields) + added)
     if schema is None:
         if not keep:
             # cannot synthesize an empty frame without a schema
@@ -410,11 +446,32 @@ def break_table_lock(target_path: str) -> bool:
         return False
 
 
+def _proc_start_time(pid: int) -> str | None:
+    """The kernel's start time for ``pid`` (field 22 of /proc/pid/stat,
+    clock ticks since boot) — the identity token that makes a (host,
+    pid) pair immune to PID REUSE: a recycled pid gets a different
+    start time, so a 'dead' verdict recorded against (pid, starttime)
+    can never flip back to alive. None when /proc is unavailable
+    (non-Linux) — the check then degrades to pid liveness alone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        # comm (field 2) may contain spaces/parens: split after the
+        # LAST ')' as procfs documents
+        rest = data[data.rindex(b")") + 2 :].split()
+        return rest[19].decode()  # field 22 overall, 20th after comm+state
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _lock_owner_is_dead(lock: str) -> bool:
     """True only when the lock PROVABLY belongs to a dead writer: the
-    owner recorded the same host and its pid no longer exists. A lock
-    from another host, an unparseable lock (torn mid-write — the
-    creator is between open and write), or a live pid all read as
+    owner recorded the same host and its (pid, process-start-time) no
+    longer exists — start-time matching makes the verdict STABLE under
+    pid reuse (a recycled pid reads as a different process, so dead
+    stays dead and the adoption path can never misjudge a live owner).
+    A lock from another host, an unparseable lock (torn mid-write —
+    the creator is between open and write), or a live pid all read as
     alive (conservative: a wrong 'dead' verdict re-opens the lost-
     commit window; a wrong 'alive' verdict only makes someone call
     break_table_lock)."""
@@ -426,7 +483,13 @@ def _lock_owner_is_dead(lock: str) -> bool:
             meta = json.loads(f.read())
         if meta.get("host") != socket.gethostname():
             return False
-        os.kill(int(meta["pid"]), 0)
+        pid = int(meta["pid"])
+        os.kill(pid, 0)
+        recorded = meta.get("pid_start")
+        if recorded is not None:
+            current = _proc_start_time(pid)
+            if current is not None and current != recorded:
+                return True  # pid reused by a different process
         return False
     except (ValueError, KeyError, OSError) as e:
         if isinstance(e, ProcessLookupError):
@@ -503,7 +566,9 @@ def _write_lock(target_path: str):
                     pass  # a newer writer got in: leave its lock alone
                 os.remove(stale)
                 raise ConcurrentWriteError(
-                    f"table {target_path!r} is locked by another writer"
+                    f"table {target_path!r} is locked by another writer "
+                    f"({lock}); if its owner is dead on another host, "
+                    "break_table_lock() releases it"
                 )
         if fd is None:
             raise ConcurrentWriteError(
@@ -515,6 +580,7 @@ def _write_lock(target_path: str):
                 json.dumps(
                     {
                         "pid": os.getpid(),
+                        "pid_start": _proc_start_time(os.getpid()),
                         "host": socket.gethostname(),
                         "acquired_unix": time.time(),
                     }
@@ -1450,9 +1516,16 @@ def read_changes(
         # most keys touched) pays for no pruning. When the sidecar
         # tracks canonical _seq stats it answers "what fraction of
         # files hold in-window rows" driver-side; a window spanning
-        # most files skips the restriction. (No usable stats ->
+        # most KNOWN files skips the restriction. Only sidecar-known
+        # files are rated — unknown (post-stats) files are always
+        # conservatively read, and in the steady state they are
+        # exactly the fresh tick files whose presence is evidence of a
+        # NARROW window, not a wide one; counting them would disable
+        # the restriction for every tick between stats refreshes. Both
+        # window bounds participate so a bounded replay deep in
+        # history rates by its true span. (No usable stats ->
         # restrict: consumer ticks dominate in practice.)
-        from .layout import _load_sidecar, prune_files
+        from .layout import _file_matches, _load_sidecar
 
         stats = _load_sidecar(target_path)
         if (
@@ -1460,11 +1533,18 @@ def read_changes(
             and SEQ_COL in stats.get("columns", [])
             and _seq_stats_canonical(target_path)
         ):
-            keep, total = prune_files(
-                target_path, [(SEQ_COL, ">", _canonical_seq_py(from_seq))]
-            )
-            if total > 0 and len(keep) / total > 0.5:
-                restrict = False
+            preds = [(SEQ_COL, ">", _canonical_seq_py(from_seq))]
+            if to_seq is not None:
+                preds.append((SEQ_COL, "<=", _canonical_seq_py(to_seq)))
+            known = stats["files"]
+            if known:
+                matching = sum(
+                    1
+                    for entry in known.values()
+                    if all(_file_matches(entry, *p) for p in preds)
+                )
+                if matching / len(known) > 0.5:
+                    restrict = False
     if restrict:
         # Touched-key restriction (the consumer-tick scale lever, same
         # argument as sync_aggregate's drain): only keys with a version
@@ -1491,19 +1571,23 @@ def read_changes(
             )
         # eqNullSafe: NULL-key version rows form their own lag group
         # and must keep emitting changes — a plain equality semi-join
-        # would silently drop them whenever from_seq is set. (A
+        # would silently drop them whenever from_seq is set. DataFrame
+        # aliases + qualified refs keep the join condition unambiguous
+        # even if a user after-image column shares a name. (A
         # driver-collected InSet + _key-bloom file-pruning variant was
         # measured and REJECTED here: unlike sync_aggregate's drain,
         # read_changes must stay lazy, the extra eager discovery job
         # costs more than the semi-join saves locally, and touched
         # keys of a feed window are rarely file-clustered enough for
         # blooms to prune — see COVERAGE.md round-7 probes.)
-        touched_keys = in_window.select(
-            F.col(KEY_COL).alias("_touched_key")
-        ).distinct()
-        df = df.join(
+        touched_keys = (
+            in_window.select(KEY_COL).distinct().alias("_cdc_touched")
+        )
+        df = df.alias("_cdc_log").join(
             touched_keys,
-            F.col(KEY_COL).eqNullSafe(F.col("_touched_key")),
+            F.col(f"_cdc_log.{KEY_COL}").eqNullSafe(
+                F.col(f"_cdc_touched.{KEY_COL}")
+            ),
             "left_semi",
         )
     live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))

@@ -78,9 +78,13 @@ def incremental_upsert_agg(
     latest = latest_per_key_multi(changes, key, seq_cols)
     # eqNullSafe: a NULL key is a legitimate latest-wins group; a plain
     # equality semi-join would silently skip its retract
-    touched = latest.select(F.col(key).alias("_touched"))
-    old = base_state.join(
-        touched, F.col(key).eqNullSafe(F.col("_touched")), "left_semi"
+    touched = latest.select(key).alias("_ivm_touched")
+    old = base_state.alias("_ivm_state").join(
+        touched,
+        F.col(f"_ivm_state.{key}").eqNullSafe(
+            F.col(f"_ivm_touched.{key}")
+        ),
+        "left_semi",
     )
     retract = old.groupBy(group_col).agg(
         (-F.count("*")).alias("_dn"),
@@ -127,9 +131,10 @@ def incremental_upsert_agg(
 
 AGG_THROUGH_MARKER = "_agg_through_seq"
 
-# single source of truth for the driver-collection cap lives next to
-# the change-feed reader that shares it
-from .apply import _TOUCHED_KEY_CAP  # noqa: E402
+# Above this many touched keys per drain, key discovery stays
+# distributed (semi-join) instead of collecting to the driver for
+# bloom file-pruning + InSet filtering. Micro-batches sit far below it.
+_TOUCHED_KEY_CAP = 10_000
 
 
 def sync_aggregate(
@@ -302,14 +307,18 @@ def _sync_aggregate_locked(
                     & F.col(KEY_COL).isin(touched_vals)
                 )
             else:
-                touched = in_range.select(
-                    F.col(KEY_COL).alias("_touched")
-                ).distinct()
+                touched = in_range.select(KEY_COL).distinct().alias(
+                    "_ivm_touched"
+                )
                 pre = src.withColumn(
                     SEQ_COL, _canonical_seq(F.col(SEQ_COL))
-                ).filter(F.col(SEQ_COL) <= F.lit(through)).join(
+                ).filter(F.col(SEQ_COL) <= F.lit(through)).alias(
+                    "_ivm_log"
+                ).join(
                     touched,
-                    F.col(KEY_COL).eqNullSafe(F.col("_touched")),
+                    F.col(f"_ivm_log.{KEY_COL}").eqNullSafe(
+                        F.col(f"_ivm_touched.{KEY_COL}")
+                    ),
                     "left_semi",
                 )
             state_before = latest_per_key(pre, KEY_COL, SEQ_COL).filter(
@@ -471,14 +480,16 @@ def sync_aggregate_minmax(
                 # name). Prior groups come from the touched keys'
                 # pre-window latest — the same pruned reconstruction
                 # sync_aggregate runs.
-                touched_keys = in_range.select(
-                    F.col(KEY_COL).alias("_tk")
-                ).distinct()
+                touched_keys = in_range.select(KEY_COL).distinct().alias(
+                    "_mm_tk"
+                )
                 pre = all_versions.filter(
                     F.col(SEQ_COL) <= F.lit(through)
-                ).join(
+                ).alias("_mm_pre").join(
                     touched_keys,
-                    F.col(KEY_COL).eqNullSafe(F.col("_tk")),
+                    F.col(f"_mm_pre.{KEY_COL}").eqNullSafe(
+                        F.col(f"_mm_tk.{KEY_COL}")
+                    ),
                     "left_semi",
                 )
                 prior_state = latest_per_key(pre, KEY_COL, SEQ_COL).filter(
@@ -498,30 +509,39 @@ def sync_aggregate_minmax(
                 # state group — plain equality would leave a stale
                 # NULL-group row in the view forever
                 tg = F.broadcast(
-                    touched_groups.select(F.col(group_col).alias("_tg"))
+                    touched_groups.select(group_col).alias("_mm_tg")
                 )
                 cand_keys = (
-                    all_versions.join(
+                    all_versions.alias("_mm_v1")
+                    .join(
                         tg,
-                        F.col(group_col).eqNullSafe(F.col("_tg")),
+                        F.col(f"_mm_v1.{group_col}").eqNullSafe(
+                            F.col(f"_mm_tg.{group_col}")
+                        ),
                         "left_semi",
                     )
-                    .select(F.col(KEY_COL).alias("_ck"))
+                    .select(KEY_COL)
                     .distinct()
+                    .alias("_mm_ck")
                 )
                 cand_latest = latest_per_key(
-                    all_versions.join(
+                    all_versions.alias("_mm_v2").join(
                         cand_keys,
-                        F.col(KEY_COL).eqNullSafe(F.col("_ck")),
+                        F.col(f"_mm_v2.{KEY_COL}").eqNullSafe(
+                            F.col(f"_mm_ck.{KEY_COL}")
+                        ),
                         "left_semi",
                     ),
                     KEY_COL,
                     SEQ_COL,
                 ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
                 recomputed = (
-                    cand_latest.join(
+                    cand_latest.alias("_mm_cl")
+                    .join(
                         tg,
-                        F.col(group_col).eqNullSafe(F.col("_tg")),
+                        F.col(f"_mm_cl.{group_col}").eqNullSafe(
+                            F.col(f"_mm_tg.{group_col}")
+                        ),
                         "left_semi",
                     )
                     .groupBy(group_col)
@@ -542,13 +562,12 @@ def sync_aggregate_minmax(
                             "max_value"
                         ),
                     )
+                    .alias("_mm_base")
                     .join(
-                        F.broadcast(
-                            touched_groups.select(
-                                F.col(group_col).alias("_tg")
-                            )
+                        tg,
+                        F.col(f"_mm_base.{group_col}").eqNullSafe(
+                            F.col(f"_mm_tg.{group_col}")
                         ),
-                        F.col(group_col).eqNullSafe(F.col("_tg")),
                         "left_anti",
                     )
                 )

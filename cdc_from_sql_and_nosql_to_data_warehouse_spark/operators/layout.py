@@ -111,21 +111,39 @@ FILE_STATS_SIDECAR = "_file_stats.json"
 _STATS_VERSION = 1
 
 
+# (path -> ((mtime_ns, size), parsed dict)) — one hot read_changes tick
+# consults the sidecar several times (canonicality guard, selectivity
+# gate, two pruned reads); _dump_sidecar replaces the file atomically
+# (new inode, new mtime), so (mtime_ns, size) is a sound freshness key
+# and the multi-MB json.loads runs once per sidecar version, not per
+# consultation.
+_SIDECAR_CACHE: dict = {}
+
+
 def _load_sidecar(path: str) -> dict | None:
     """The stats sidecar, or None when absent OR unreadable. Stats are
     ADVISORY by contract (a missing sidecar only costs pruning, never
     correctness), so a torn/corrupt file from a legacy non-atomic
     writer degrades to "no stats" instead of failing every pruned
     read; _dump_sidecar writes atomically so new corruption cannot
-    occur."""
+    occur. Parses are memoized per (mtime, size)."""
     sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-    if not os.path.exists(sidecar):
+    try:
+        st = os.stat(sidecar)
+    except OSError:
+        _SIDECAR_CACHE.pop(path, None)
         return None
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _SIDECAR_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
     try:
         with open(sidecar) as f:
-            return json.load(f)
+            parsed = json.load(f)
     except (json.JSONDecodeError, OSError):
         return None
+    _SIDECAR_CACHE[path] = (key, parsed)
+    return parsed
 
 
 def _dump_sidecar(path: str, payload: dict) -> None:
@@ -654,6 +672,11 @@ def collect_file_blooms(
     from pyspark.sql.types import StringType, StructField, StructType
 
     payload = _load_sidecar(path)
+    if payload is not None:
+        import copy
+
+        # _load_sidecar returns the memoized parse — never mutate it
+        payload = copy.deepcopy(payload)
     if payload is None:
         df0 = spark.read.option("mergeSchema", "true").parquet(path)
         payload = {

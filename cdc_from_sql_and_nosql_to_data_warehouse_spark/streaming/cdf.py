@@ -48,7 +48,11 @@ from ..operators.apply import (
 )
 
 
-def stream_changes(spark: SparkSession, source_path: str) -> DataFrame:
+def stream_changes(
+    spark: SparkSession,
+    source_path: str,
+    ignore_missing_files: bool = False,
+) -> DataFrame:
     """Streaming DataFrame of a history-mode table's VERSION ROWS (one
     row per change event, ``_key``/``_seq``/``_deleted`` included) via
     Spark's file streaming source. Requires the table's schema manifest
@@ -72,18 +76,21 @@ def stream_changes(spark: SparkSession, source_path: str) -> DataFrame:
             '(apply_changes(mode="history")); latest-wins tables do not '
             "retain the version history a change feed is derived from"
         )
-    # ignoreMissingFiles: a compaction swap can delete listed-but-
+    # ignore_missing_files: a compaction swap can delete listed-but-
     # unread files under a CONTINUOUS (processingTime) stream mid-
-    # trigger; without this the in-flight batch dies on
-    # FileNotFoundException. The folded content re-appears under the
-    # compaction's NEW file names (re-delivered as fresh input) and
-    # max-seq arbitration makes the re-application a no-op, so
-    # skipping vanished files never loses a change.
-    return (
-        spark.readStream.schema(schema)
-        .option("ignoreMissingFiles", "true")
-        .parquet(source_path)
-    )
+    # trigger; without it the in-flight batch dies on
+    # FileNotFoundException. Skipping vanished files is ONLY sound for
+    # max-seq-convergent state sinks (stream_sync_changes /
+    # stream_sync_aggregate set it): the folded content re-appears
+    # under the compaction's NEW file names and re-applies as a no-op.
+    # An EVENT-granularity consumer of raw stream_changes would
+    # silently lose the superseded version rows compaction folds away,
+    # so the default here FAILS LOUDLY — mirroring the batch path,
+    # where read_changes raises below the compaction horizon.
+    reader = spark.readStream.schema(schema)
+    if ignore_missing_files:
+        reader = reader.option("ignoreMissingFiles", "true")
+    return reader.parquet(source_path)
 
 
 def envelope_from_versions(versions: DataFrame) -> DataFrame:
@@ -142,7 +149,7 @@ def stream_sync_changes(
         )
 
     writer = (
-        stream_changes(spark, source_path)
+        stream_changes(spark, source_path, ignore_missing_files=True)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_path)
     )
@@ -192,7 +199,7 @@ def stream_sync_aggregate(
         )
 
     writer = (
-        stream_changes(spark, source_path)
+        stream_changes(spark, source_path, ignore_missing_files=True)
         .writeStream.foreachBatch(_tick)
         .option("checkpointLocation", checkpoint_path)
     )
