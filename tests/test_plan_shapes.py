@@ -227,9 +227,14 @@ def test_span_stats_shuffles_carry_no_text(spark):
 
 
 def test_read_changes_single_key_shuffle(spark, tmp_path):
-    """The change feed is ONE hash Exchange on the stored key (the lag
-    window); the seq-range filters stay above it and no second shuffle
-    or sort-merge join sneaks in."""
+    """The change-feed WINDOW is one hash Exchange on the stored key
+    (the lag window); the seq-range filters stay above it. Since the
+    round-7 touched-key restriction, a bounded window also plans the
+    touched-key semi-join — its static plan carries one more Exchange
+    pair that AQE converts to a broadcast probe at runtime when the
+    touched set is micro-batch-sized, so the pin is: exactly ONE
+    Window, its partitioning on the stored key, and no Exchange beyond
+    the window's plus the semi-join's."""
     from pyspark.sql import functions as F
 
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
@@ -253,6 +258,18 @@ def test_read_changes_single_key_shuffle(spark, tmp_path):
             "formatted"
         )
     )
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    # the restriction plans as a BROADCAST semi probe (null-safe keys),
+    # so the version log itself never shuffles for the join — its only
+    # hash Exchange remains the lag window's, keyed on the stored key
+    assert "BroadcastHashJoin LeftSemi" in plan
     assert "_key" in " ".join(re.findall(r"hashpartitioning\(([^)]*)", plan))
+    # the unbounded full-feed read keeps the original single-Exchange
+    # shape (no restriction without a lower bound)
+    full_plan = read_changes(spark, target)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", full_plan)) == 1
     assert df.count() > 0
