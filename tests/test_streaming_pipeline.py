@@ -664,3 +664,82 @@ def test_stream_sync_aggregate_under_streaming_machinery(spark, tmp_path):
     shutil.rmtree(ck1)
     _await(stream_sync_aggregate(spark, src, agg, ck1, "ticker", "price"))
     assert got(agg) == expected()
+
+
+def test_full_pipeline_ingest_replica_and_view_compose(spark, tmp_path):
+    """The whole engine-to-engine story in one flow, every hop under
+    Spark's streaming machinery: envelope feed -> history warehouse
+    (run_envelope_apply) -> downstream replica (stream_sync_changes)
+    AND materialized min/max view (stream_sync_aggregate) tailing the
+    warehouse's own change feed. A crash is simulated between the
+    warehouse apply and the downstream drains (downstream checkpoints
+    wiped mid-flight): everything converges to the same state a serial
+    batch pipeline would produce — the reference's source -> relay ->
+    warehouse chain (cdk_infrastructure/__init__.py:351-359) with the
+    warehouse itself as the tailable middle."""
+    import shutil
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_aggregate,
+        stream_sync_changes,
+    )
+
+    cfg = EngineConfig(apply_mode="history", max_files_per_trigger=1)
+    feed = str(tmp_path / "fp_feed")
+    wh = str(tmp_path / "fp_wh")
+    replica = str(tmp_path / "fp_replica")
+    view = str(tmp_path / "fp_view")
+    cks = {n: str(tmp_path / f"fp_ck_{n}") for n in ("wh", "rep", "mv")}
+
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+    write_envelope_file(feed, "b1.json", [("INSERT", dict(t0, price=10.0), 1),
+                                          ("INSERT", dict(t1, price=20.0), 2)])
+    _await(run_envelope_apply(spark, cfg, feed, wh, cks["wh"], TRADE_SCHEMA))
+    _await(stream_sync_changes(spark, wh, replica, cks["rep"], "id"))
+    _await(stream_sync_aggregate(
+        spark, wh, view, cks["mv"], "ticker", "price", minmax=True
+    ))
+
+    def converged():
+        src = sorted(
+            (r["id"], float(r["price"]))
+            for r in read_warehouse(spark, wh).collect()
+        )
+        rep = sorted(
+            (r["id"], float(r["price"]))
+            for r in read_warehouse(spark, replica).collect()
+        )
+        assert src == rep, (src, rep)
+        exp = sorted(
+            (r["ticker"], r["n"], float(r["mn"]), float(r["mx"]))
+            for r in read_warehouse(spark, wh)
+            .groupBy("ticker")
+            .agg(
+                F.count("*").alias("n"),
+                F.min(F.col("price").cast("decimal(18,2)")).alias("mn"),
+                F.max(F.col("price").cast("decimal(18,2)")).alias("mx"),
+            )
+            .collect()
+        )
+        got = sorted(
+            (r["ticker"], r["n_keys"], float(r["min_value"]),
+             float(r["max_value"]))
+            for r in spark.read.parquet(view).collect()
+        )
+        assert exp == got, (exp, got)
+
+    converged()
+
+    # second wave: update, delete, insert — then CRASH the downstream
+    # (checkpoints wiped) before re-running every hop
+    write_envelope_file(feed, "b2.json", [("MODIFY", dict(t0, price=30.0), 3),
+                                          ("REMOVE", {"id": t1["id"]}, 4),
+                                          ("INSERT", dict(t2, price=5.0), 5)])
+    _await(run_envelope_apply(spark, cfg, feed, wh, cks["wh"], TRADE_SCHEMA))
+    shutil.rmtree(cks["rep"])  # replica consumer loses its progress
+    _await(stream_sync_changes(spark, wh, replica, cks["rep"], "id"))
+    _await(stream_sync_aggregate(
+        spark, wh, view, cks["mv"], "ticker", "price", minmax=True
+    ))
+    converged()
+    assert read_warehouse(spark, wh).count() == 2  # t0@30, t2@5
