@@ -193,6 +193,26 @@ def _stamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
         )
 
 
+def _prestamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
+    """Crash-window guard for writes that do NOT replace the whole
+    table (blind appends, dynamic partition overwrite): union the
+    batch's fields into an EXISTING manifest BEFORE the data write. The
+    post-write stamp alone leaves a window — data committed, stamp not
+    yet run — where a crash strands a manifest permanently missing an
+    evolved column: manifest-imposed hot reads would hide it forever
+    (unlike the mergeSchema fallback, which would surface it), and
+    later non-evolving batches never re-add it. Stamping first inverts
+    the failure into the benign direction: a crash after the stamp but
+    before the write leaves a nullable phantom column every file reads
+    as NULL — exactly what the committed write would have produced for
+    the OLD files — and the batch's at-least-once replay then writes
+    the data. First-ever writes and legacy no-manifest tables keep the
+    post-write stamp only (their footer-union derivation needs the
+    just-written data on disk)."""
+    if read_table_schema(path) is not None:
+        _stamp_schema_union(spark, path, new_schema)
+
+
 def refresh_table_schema(spark: SparkSession, path: str):
     """Re-derive the schema manifest from the table's own footers (one
     mergeSchema pass) and stamp it. For tables appended to by EXTERNAL
@@ -370,7 +390,17 @@ def current_max_seq(spark: SparkSession, path: str) -> str | None:
             best: str | None = None
             ok = True
             known = stats["files"]
-            for entry in known.values():
+            # the sidecar is carried through swaps with entries for
+            # files a purge/vacuum rewrite removed — a max over THOSE
+            # would overstate the feed tip past any stored row, making
+            # follow/sync checkpoints permanently skip a later lower-seq
+            # backfill. Only entries whose file still exists vote; the
+            # listing is already needed for the `unknown` set below.
+            on_disk = _list_data_files(path)
+            on_disk_set = set(on_disk)
+            for rel, entry in known.items():
+                if rel not in on_disk_set:
+                    continue  # stale entry: file swapped/purged away
                 if SEQ_COL not in entry:
                     ok = False
                     break
@@ -384,9 +414,7 @@ def current_max_seq(spark: SparkSession, path: str) -> str | None:
                     best = hi
             if ok:
                 unknown = [
-                    rel
-                    for rel in _list_data_files(path)
-                    if rel not in known
+                    rel for rel in on_disk if rel not in known
                 ]
                 if unknown:
                     schema = read_table_schema(path)
@@ -977,6 +1005,7 @@ def _apply_changes_locked(
         # Reference behavior: INSERT+MODIFY append their after-image, one
         # row per event; REMOVE never reaches the warehouse (README.md:30).
         rows = changes.filter(F.col("op").isin("INSERT", "MODIFY")).select("after.*")
+        _prestamp_schema_union(spark, target_path, rows.schema)
         writer = rows.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -1002,6 +1031,7 @@ def _apply_changes_locked(
             _canonical_seq(F.col("seq")).alias(SEQ_COL),
             (F.col("op") == "REMOVE").alias(DELETED_COL),
         )
+        _prestamp_schema_union(spark, target_path, rows.schema)
         writer = rows.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -1181,6 +1211,7 @@ def overwrite_partitions_dropping_emptied(
             .distinct()
             .collect()
         }
+    _prestamp_schema_union(spark, target_path, df.schema)
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -290,14 +290,19 @@ def _sync_aggregate_locked(
                 len(touched_vals) <= _TOUCHED_KEY_CAP
                 and all(v is not None for v in touched_vals)
             ):
-                pre_scoped = _pruned_table_read(
-                    spark,
-                    source_path,
-                    [
-                        (SEQ_COL, "<=", through),
-                        (KEY_COL, "in", touched_vals),
-                    ],
-                )
+                # the KEY_COL bloom/in predicate is always sound; the
+                # SEQ_COL bound may only reach the pruner when every
+                # recorded _seq stat is canonical (mixed-era tables
+                # record RAW stored forms — comparing a canonical bound
+                # against them would silently prune pre-window state,
+                # or TypeError on long-vs-str), mirroring
+                # _seq_scoped_read's guard
+                from .apply import _seq_stats_canonical
+
+                preds: list[tuple] = [(KEY_COL, "in", touched_vals)]
+                if _seq_stats_canonical(source_path):
+                    preds.insert(0, (SEQ_COL, "<=", through))
+                pre_scoped = _pruned_table_read(spark, source_path, preds)
                 if pre_scoped is not None:
                     pre_src = pre_scoped
                 pre = pre_src.withColumn(
@@ -362,9 +367,11 @@ def _sync_aggregate_locked(
                 value_col="_iv",
                 seq_cols=[SEQ_COL],
             )
-        except ValueError:
-            # offset below the compaction horizon: the incremental
-            # window is gone — one full recompute at the current cut
+        except (ValueError, TypeError):
+            # offset below the compaction horizon, or a prune-layer
+            # comparison across incomparable _seq eras (TypeError):
+            # the incremental window is unusable — one full recompute
+            # at the current cut, which is always correct
             new_agg = None
     if new_agg is None:
         new_agg = _full_recompute()
@@ -572,7 +579,7 @@ def sync_aggregate_minmax(
                     )
                 )
                 new_agg = base_kept.unionByName(recomputed)
-            except ValueError:
+            except (ValueError, TypeError):
                 new_agg = None
         if new_agg is None:
             new_agg = _full_recompute()

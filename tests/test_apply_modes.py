@@ -1849,3 +1849,133 @@ def test_read_changes_selectivity_gate_toggles_restriction(spark, tmp_path):
     a = sorted((r["_key"], int(r["_seq"])) for r in
                read_changes(spark, src, from_seq=3).collect())
     assert a == [(str(i), 4) for i in range(10)]
+
+
+def test_sync_aggregate_inset_path_on_noncanonical_seq_stats(spark, tmp_path):
+    """The drain's InSet fast path may only hand the SEQ_COL bound to
+    the file pruner when the sidecar's recorded _seq stats are
+    canonical (the _seq_stats_canonical guard _seq_scoped_read already
+    applies): mixed-era tables record RAW stored _seq forms, and a
+    canonical 40-char bound compared against an unpadded-string stat
+    silently prunes the files holding pre-window state (corrupting the
+    maintained aggregate), while a raw LONG stat raises TypeError. The
+    KEY_COL in-predicate stays — it is era-independent."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _seq_stats_canonical,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        sync_aggregate,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats,
+    )
+
+    for era, seqs in (
+        ("str", ("5", "6", "12")),  # unpadded strings: silent-prune era
+        ("long", (5, 6, 12)),  # raw longs: TypeError-in-pruner era
+    ):
+        path = str(tmp_path / f"wh_legacy_drain_{era}")
+        agg = str(tmp_path / f"wh_legacy_agg_{era}")
+        seq_t = "string" if era == "str" else "long"
+        schema = (
+            "ticker string, price double, _key string, "
+            f"_seq {seq_t}, _deleted boolean"
+        )
+        spark.createDataFrame(
+            [("aa", 10.0, "1", seqs[0], False),
+             ("bb", 20.0, "2", seqs[1], False)],
+            schema,
+        ).coalesce(1).write.parquet(path)
+        collect_file_stats(spark, path, ["_seq", "_key"])
+        assert not _seq_stats_canonical(path)
+        # first drain: full recompute, marker = canonical tip
+        assert sync_aggregate(spark, path, agg, "ticker", "price") is not None
+        # newer generation lands in its own file; stats stay raw-era
+        spark.createDataFrame(
+            [("aa", 11.0, "1", seqs[2], False)], schema
+        ).coalesce(1).write.mode("append").parquet(path)
+        collect_file_stats(spark, path, ["_seq", "_key"], incremental=True)
+        # incremental drain: without the guard this either prunes away
+        # the pre-window files (str era) or dies in the pruner (long
+        # era); with it the aggregate equals a full recompute
+        assert sync_aggregate(spark, path, agg, "ticker", "price") is not None
+        got = sorted(
+            (r["ticker"], r["n_keys"], float(r["total_value"]))
+            for r in spark.read.parquet(agg).collect()
+        )
+        assert got == [("aa", 1, 11.0), ("bb", 1, 20.0)], era
+
+
+def test_current_max_seq_ignores_stale_sidecar_entries(spark, tmp_path):
+    """The sidecar rides swaps with entries for files a purge/vacuum
+    rewrite removed; the driver-side tip probe must only let ON-DISK
+    entries vote, or the feed tip overstates past any stored row and a
+    later lower-seq backfill is permanently skipped by every
+    follow/sync checkpoint."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        current_max_seq,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        purge_keys,
+    )
+
+    src = str(tmp_path / "wh_tip_stale")
+    for key, seq in (("a", 1), ("b", 9)):
+        env = spark.createDataFrame(
+            [(key, "INSERT", (key, float(seq)), seq)],
+            "key string, op string, after struct<k:string,price:double>, "
+            "seq long",
+        )
+        apply_changes(spark, env, src, "k", mode="history")
+    collect_file_stats(spark, src, ["_seq", "_key"])
+    assert current_max_seq(spark, src) == "0" * 39 + "9"
+    # purge the key holding the global max: the swap carries the
+    # sidecar, whose entry for the removed file is now dead
+    assert purge_keys(spark, src, "_key", ["b"]) >= 1
+    tip = current_max_seq(spark, src)
+    assert tip == "0" * 39 + "1", tip
+
+
+def test_schema_stamp_survives_crash_after_blind_append(spark, tmp_path, monkeypatch):
+    """Evolving blind appends stamp the manifest BEFORE the data write
+    (in addition to after): a crash between data commit and the post-
+    write stamp must not strand a manifest that hides the evolved
+    column from every later manifest-imposed read. Simulated by letting
+    only the FIRST stamp of the evolving apply run (the pre-write one)
+    and 'crashing' the post-write stamp."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import apply as apply_mod
+
+    path = str(tmp_path / "wh_stamp_crash")
+    env1 = spark.createDataFrame(
+        [("1", "INSERT", (1, 10.0), 1)],
+        "key string, op string, after struct<k:long,price:double>, seq long",
+    )
+    apply_changes(spark, env1, path, "k", mode="history")
+    assert apply_mod.read_table_schema(path) is not None
+
+    real = apply_mod._stamp_schema_union
+    calls = []
+
+    def crash_after_first(spark_, path_, schema_):
+        calls.append(1)
+        if len(calls) == 1:
+            real(spark_, path_, schema_)  # the pre-write stamp
+        # later calls: the process died before the post-write stamp
+
+    monkeypatch.setattr(apply_mod, "_stamp_schema_union", crash_after_first)
+    env2 = spark.createDataFrame(
+        [("2", "INSERT", (2, 20.0, "evolved"), 2)],
+        "key string, op string, "
+        "after struct<k:long,price:double,note:string>, seq long",
+    )
+    apply_changes(spark, env2, path, "k", mode="history")
+    assert len(calls) >= 2  # pre-write AND post-write stamps attempted
+    monkeypatch.undo()
+
+    manifest = apply_mod.read_table_schema(path)
+    assert manifest is not None and "note" in manifest.fieldNames()
+    out = {r["k"]: r["note"] for r in read_warehouse(spark, path).collect()}
+    assert out == {1: None, 2: "evolved"}
