@@ -68,19 +68,96 @@ def zorder_sql(col_names: list[str], bits: int = 16) -> str:
     return " | ".join(terms)
 
 
+# tag lists memoized per partition count: one tiny probe job per
+# distinct n per session (maintenance cadence)
+_ROUTING_TAG_CACHE: dict[int, list[int]] = {}
+
+
+def _collision_free_tags(spark, n: int) -> list[int]:
+    """``n`` distinct ints whose shuffle-hash residues mod ``n`` form a
+    permutation of 0..n-1 — the exact-routing trick that lets a plain
+    hash ``repartition(n, tag)`` place bucket ``i`` ALONE in its own
+    output partition (hashing the bucket id directly would merge any
+    two buckets that collide mod n, widening file ranges
+    nondeterministically). Candidates are rated with Spark's own
+    ``F.hash`` — the same Murmur3 the HashPartitioning exchange
+    applies — so the routing is exact by construction, not by a
+    driver-side hash reimplementation."""
+    got = _ROUTING_TAG_CACHE.get(n)
+    if got is not None:
+        return got
+    tags: dict[int, int] = {}
+    lo = 0
+    # coupon-collector: ~n·ln n candidates expected; loop until covered
+    while len(tags) < n:
+        rows = (
+            spark.range(lo, lo + 8 * n + 64)
+            .select(
+                F.col("id").cast("int").alias("t"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("r"),
+            )
+            .collect()
+        )
+        for row in rows:
+            if row["r"] not in tags:
+                tags[row["r"]] = row["t"]
+        lo += 8 * n + 64
+    out = [tags[i] for i in range(n)]
+    _ROUTING_TAG_CACHE[n] = out
+    return out
+
+
 def zorder_repartition(
-    df: DataFrame, cols: list[Column], n_partitions: int, bits: int = 16
+    df: DataFrame,
+    cols: list[Column],
+    n_partitions: int,
+    bits: int = 16,
+    boundary_accuracy: int = 20_000,
 ) -> DataFrame:
-    """Cluster ``df`` into ``n_partitions`` z-ordered output partitions:
-    one range shuffle on the Morton key, rows sorted by it within each
-    partition so per-file column min/max stats stay tight for pruning.
+    """Cluster ``df`` into ``n_partitions`` z-ordered output partitions
+    with DETERMINISTIC bucket boundaries, rows sorted by the Morton key
+    within each partition so per-file column min/max stats stay tight
+    for pruning.
+
+    ``repartitionByRange`` was rejected here: its range boundaries come
+    from reservoir SAMPLING, so the file layout — and with it every
+    downstream prune count — wobbled with session state (the round-7
+    suite flake in tests/test_data_skipping.py). Instead one
+    high-accuracy ``percentile_approx`` pass derives explicit
+    boundaries (error ≤ rows/accuracy — at the default, exact to ~50
+    ppm of the row count, far inside a file's width), each row's bucket
+    is the count of boundaries below its key (a flat codegen comparison
+    tree, no shuffle), and a collision-free tag per bucket
+    (``_collision_free_tags``) routes every bucket to its own shuffle
+    partition. Cost vs the sampled plan: one extra aggregate over the
+    key column — maintenance-cadence work, where reproducible
+    clustering quality is worth a scan.
     """
     z = zorder_value(cols, bits).alias("_z")
+    zdf = df.withColumn("_z", z)
+    if n_partitions <= 1:
+        return zdf.coalesce(1).sortWithinPartitions("_z").drop("_z")
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    row = zdf.select(
+        F.percentile_approx("_z", qs, boundary_accuracy).alias("b")
+    ).first()
+    bounds = sorted({int(b) for b in (row["b"] or []) if b is not None})
+    if not bounds:  # empty input, or a single-valued key: one bucket
+        return zdf.repartition(1).sortWithinPartitions("_z").drop("_z")
+    k = len(bounds) + 1
+    bucket = None
+    for b in bounds:
+        piece = (F.col("_z") > F.lit(b)).cast("int")
+        bucket = piece if bucket is None else bucket + piece
+    tags = _collision_free_tags(df.sparkSession, k)
+    tag = F.element_at(
+        F.array(*[F.lit(t) for t in tags]), bucket + F.lit(1)
+    ).cast("int")
     return (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_partitions, F.col("_z"))
+        zdf.withColumn("_zb_tag", tag)
+        .repartition(k, F.col("_zb_tag"))
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_zb_tag")
     )
 
 

@@ -265,14 +265,18 @@ def _optimize_zorder(
                 zcols.append(F.lit(0))  # constant/all-null: no signal
             else:
                 zcols.append(zorder_scale(F.col(c), lo, hi, bits))
-        keys = [F_col(c) for c in (partition_by or [])] + [F.col("_z")]
-        clustered = (
-            df.withColumn("_z", zorder_value(zcols, bits))
-            .repartitionByRange(n_out, *keys)
-            .sortWithinPartitions(*keys)
-            .drop("_z")
-        )
         if partition_by:
+            # hive layout: partition columns lead the range key so each
+            # task holds whole partitions; the per-partition row order
+            # is still the deterministic in-task sort, and partition
+            # dirs bound file ranges regardless of the sampled split
+            keys = [F_col(c) for c in partition_by] + [F.col("_z")]
+            clustered = (
+                df.withColumn("_z", zorder_value(zcols, bits))
+                .repartitionByRange(n_out, *keys)
+                .sortWithinPartitions(*keys)
+                .drop("_z")
+            )
             (
                 clustered.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -280,6 +284,12 @@ def _optimize_zorder(
                 .parquet(path)
             )
         else:
+            # flat layout: deterministic explicit-boundary clustering
+            # (layout.zorder_repartition) — reproducible file ranges,
+            # reproducible prune counts
+            from .layout import zorder_repartition
+
+            clustered = zorder_repartition(df, zcols, n_out, bits)
             _swap_into(spark, clustered, path, partition_by=None)
     _refresh_stats_if_kept(spark, path)
     return table_stats(spark, path)
