@@ -137,6 +137,20 @@ AGG_THROUGH_MARKER = "_agg_through_seq"
 _TOUCHED_KEY_CAP = 10_000
 
 
+def _capped_distinct(df: DataFrame, col: str) -> list | None:
+    """The column's distinct values when they fit the driver-side cap
+    and contain no NULL (``isin`` cannot express NULL membership and
+    the file pruner's in-predicate is null-rejecting), else None — the
+    caller then stays on the distributed semi-join path."""
+    vals = [
+        r[0]
+        for r in df.select(col).distinct().limit(_TOUCHED_KEY_CAP + 1).collect()
+    ]
+    if len(vals) > _TOUCHED_KEY_CAP or any(v is None for v in vals):
+        return None
+    return vals
+
+
 def sync_aggregate(
     spark,
     source_path: str,
@@ -409,11 +423,21 @@ def sync_aggregate_minmax(
     keys any of whose versions carry a touched group value (a superset
     of the groups' current keys, needed because group values move
     across a key's versions and a group-filtered window cut mid-
-    history would arbitrate wrongly) — discovered by one group-filtered
-    scan; untouched groups' keys never shuffle. Same crash story as
-    ``sync_aggregate``: the feed offset commits inside the aggregate's
-    own swap, re-drains are no-ops, an offset below the compaction
-    horizon falls back to one full recompute.
+    history would arbitrate wrongly). Discovery and the candidate
+    reads are sidecar-pruned like ``sync_aggregate``'s drain: touched
+    keys/groups/candidates collect to the driver under a cap, the
+    group-filtered discovery scan prunes to files whose ``group_col``
+    min/max-or-bloom can hold a touched group (record ``group_col`` in
+    the stats sidecar and OPTIMIZE ZORDER on it to make those files
+    CLUSTER), and candidate history reads prune by ``_key`` bloom —
+    so a steady-state drain is O(candidate files), not O(retained
+    history) (measured flat at 1x/10x/100x retained history,
+    scripts/probe_sync_aggregate_scale.py --minmax). Cap overflows and
+    NULL keys/groups fall back to the distributed null-safe
+    semi-joins. Same crash story as ``sync_aggregate``: the feed
+    offset commits inside the aggregate's own swap, re-drains are
+    no-ops, an offset below the compaction horizon falls back to one
+    full recompute.
     """
     from .apply import (
         DELETED_COL,
@@ -462,13 +486,17 @@ def sync_aggregate_minmax(
         new_agg = None
         if through is not None:
             try:
-                from .apply import _pruned_table_read, latest_per_key
+                from .apply import (
+                    _pruned_table_read,
+                    _seq_scoped_read,
+                    _seq_stats_canonical,
+                    latest_per_key,
+                )
                 from .maintenance import read_history_horizon
 
                 horizon = read_history_horizon(source_path)
                 if horizon is not None and through < horizon:
                     raise ValueError("offset below compaction horizon")
-                from .apply import _seq_scoped_read
 
                 scoped = _seq_scoped_read(spark, source_path, ">", through)
                 versions_new = (
@@ -478,106 +506,209 @@ def sync_aggregate_minmax(
                     (F.col(SEQ_COL) > F.lit(through))
                     & (F.col(SEQ_COL) <= F.lit(cur))
                 )
-                all_versions = src.withColumn(
-                    SEQ_COL, _canonical_seq(F.col(SEQ_COL))
-                ).filter(F.col(SEQ_COL) <= F.lit(cur))
-                # touched groups: new group values in the window, plus
-                # the PRIOR group of every touched key (group moves and
+                seq_ok = _seq_stats_canonical(source_path)
+
+                def _keyed_history(keys: list, bound: str) -> DataFrame:
+                    """Sidecar-pruned read of the named keys' versions
+                    with seq <= bound: the _key bloom/in-stats prune
+                    the file set (the SEQ_COL bound joins only when the
+                    recorded stats are canonical), the row filter
+                    re-applies both — the same scan shape as
+                    sync_aggregate's drain."""
+                    preds: list[tuple] = [(KEY_COL, "in", keys)]
+                    if seq_ok:
+                        preds.insert(0, (SEQ_COL, "<=", bound))
+                    pruned = _pruned_table_read(spark, source_path, preds)
+                    base = pruned if pruned is not None else src
+                    return base.withColumn(
+                        SEQ_COL, _canonical_seq(F.col(SEQ_COL))
+                    ).filter(
+                        (F.col(SEQ_COL) <= F.lit(bound))
+                        & F.col(KEY_COL).isin(keys)
+                    )
+
+                _av_memo: list = []
+
+                def _all_versions() -> DataFrame:
+                    # the distributed fallbacks' full retained-history
+                    # scan — built only when a driver cap overflows or
+                    # a NULL key/group forces the semi-join path
+                    if not _av_memo:
+                        _av_memo.append(
+                            src.withColumn(
+                                SEQ_COL, _canonical_seq(F.col(SEQ_COL))
+                            ).filter(F.col(SEQ_COL) <= F.lit(cur))
+                        )
+                    return _av_memo[0]
+
+                # prior state of the window's touched keys (their
+                # pre-window groups must retract: group moves and
                 # deletes retract from a group the window rows may not
-                # name). Prior groups come from the touched keys'
-                # pre-window latest — the same pruned reconstruction
-                # sync_aggregate runs.
-                touched_keys = in_range.select(KEY_COL).distinct().alias(
-                    "_mm_tk"
-                )
-                pre = all_versions.filter(
-                    F.col(SEQ_COL) <= F.lit(through)
-                ).alias("_mm_pre").join(
-                    touched_keys,
-                    F.col(f"_mm_pre.{KEY_COL}").eqNullSafe(
-                        F.col(f"_mm_tk.{KEY_COL}")
-                    ),
-                    "left_semi",
-                )
+                # name) — InSet + bloom-pruned when the key set fits
+                # the driver cap, so the scan is O(touched files), not
+                # O(retained history)
+                touched_vals = _capped_distinct(in_range, KEY_COL)
+                if touched_vals is not None:
+                    pre = _keyed_history(touched_vals, through)
+                else:
+                    touched_keys = in_range.select(KEY_COL).distinct().alias(
+                        "_mm_tk"
+                    )
+                    pre = _all_versions().filter(
+                        F.col(SEQ_COL) <= F.lit(through)
+                    ).alias("_mm_pre").join(
+                        touched_keys,
+                        F.col(f"_mm_pre.{KEY_COL}").eqNullSafe(
+                            F.col(f"_mm_tk.{KEY_COL}")
+                        ),
+                        "left_semi",
+                    )
                 prior_state = latest_per_key(pre, KEY_COL, SEQ_COL).filter(
                     ~F.coalesce(F.col(DELETED_COL), F.lit(False))
                 )
-                touched_groups = (
-                    in_range.select(group_col)
+                # only LIVE in-window versions name NEW groups; a
+                # tombstone's stored group value (typically NULL — a
+                # key-only REMOVE image) never contributes to state,
+                # and its retraction rides the key's PRIOR group from
+                # prior_state. Including it would both recompute a
+                # never-touched group and — when NULL — force every
+                # delete-bearing window onto the fallback scans.
+                touched_group_frame = (
+                    in_range.filter(
+                        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    )
+                    .select(group_col)
                     .unionByName(prior_state.select(group_col))
-                    .distinct()
                 )
                 # candidate keys: any version carries a touched group
                 # (superset of the groups' current keys — group values
                 # move across versions, so the window must see the
-                # candidates' FULL history, then filter on the latest)
-                # every join here is NULL-SAFE: a NULL group value is a
-                # legitimate aggregate row and a NULL key a legitimate
-                # state group — plain equality would leave a stale
-                # NULL-group row in the view forever
-                tg = F.broadcast(
-                    touched_groups.select(group_col).alias("_mm_tg")
-                )
-                cand_keys = (
-                    all_versions.alias("_mm_v1")
-                    .join(
-                        tg,
-                        F.col(f"_mm_v1.{group_col}").eqNullSafe(
-                            F.col(f"_mm_tg.{group_col}")
-                        ),
-                        "left_semi",
+                # candidates' FULL history, then filter on the latest).
+                # Fast path: touched groups collect to the driver, the
+                # discovery scan prunes to files whose group_col stats/
+                # bloom can hold one (after OPTIMIZE ZORDER on the
+                # group column those files CLUSTER — record group_col
+                # in the stats sidecar to opt in), and the candidates'
+                # history read prunes by _key bloom. Each cap overflow
+                # or NULL value falls back to the null-safe distributed
+                # semi-joins (a NULL group is a legitimate aggregate
+                # row, a NULL key a legitimate state group).
+                group_vals = _capped_distinct(touched_group_frame, group_col)
+                cand_vals = None
+                if group_vals is not None:
+                    disc = _pruned_table_read(
+                        spark, source_path, [(group_col, "in", group_vals)]
                     )
-                    .select(KEY_COL)
-                    .distinct()
-                    .alias("_mm_ck")
-                )
-                cand_latest = latest_per_key(
-                    all_versions.alias("_mm_v2").join(
-                        cand_keys,
-                        F.col(f"_mm_v2.{KEY_COL}").eqNullSafe(
-                            F.col(f"_mm_ck.{KEY_COL}")
-                        ),
-                        "left_semi",
-                    ),
-                    KEY_COL,
-                    SEQ_COL,
-                ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-                recomputed = (
-                    cand_latest.alias("_mm_cl")
-                    .join(
-                        tg,
-                        F.col(f"_mm_cl.{group_col}").eqNullSafe(
-                            F.col(f"_mm_tg.{group_col}")
-                        ),
-                        "left_semi",
+                    disc_base = disc if disc is not None else src
+                    cand_src = disc_base.withColumn(
+                        SEQ_COL, _canonical_seq(F.col(SEQ_COL))
+                    ).filter(
+                        F.col(group_col).isin(group_vals)
+                        & (F.col(SEQ_COL) <= F.lit(cur))
                     )
-                    .groupBy(group_col)
-                    .agg(*aggs)
-                )
-                base_kept = (
-                    spark.read.parquet(agg_path)
-                    .select(
-                        group_col,
-                        "n_keys",
-                        F.col("total_value").cast(value_cast).alias(
-                            "total_value"
-                        ),
-                        F.col("min_value").cast(value_cast).alias(
-                            "min_value"
-                        ),
-                        F.col("max_value").cast(value_cast).alias(
-                            "max_value"
-                        ),
+                    cand_vals = _capped_distinct(cand_src, KEY_COL)
+                if group_vals is not None and cand_vals is not None:
+                    cand_latest = latest_per_key(
+                        _keyed_history(cand_vals, cur), KEY_COL, SEQ_COL
+                    ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                    recomputed = (
+                        cand_latest.filter(
+                            F.col(group_col).isin(group_vals)
+                        )
+                        .groupBy(group_col)
+                        .agg(*aggs)
                     )
-                    .alias("_mm_base")
-                    .join(
-                        tg,
-                        F.col(f"_mm_base.{group_col}").eqNullSafe(
-                            F.col(f"_mm_tg.{group_col}")
-                        ),
-                        "left_anti",
+                    base_kept = (
+                        spark.read.parquet(agg_path)
+                        .select(
+                            group_col,
+                            "n_keys",
+                            F.col("total_value").cast(value_cast).alias(
+                                "total_value"
+                            ),
+                            F.col("min_value").cast(value_cast).alias(
+                                "min_value"
+                            ),
+                            F.col("max_value").cast(value_cast).alias(
+                                "max_value"
+                            ),
+                        )
+                        # NULL-group base rows are untouched by
+                        # construction (a NULL in the touched set takes
+                        # the fallback): keep them through the
+                        # three-valued isin
+                        .filter(
+                            F.coalesce(
+                                ~F.col(group_col).isin(group_vals),
+                                F.lit(True),
+                            )
+                        )
                     )
-                )
+                else:
+                    touched_groups = touched_group_frame.distinct()
+                    tg = F.broadcast(
+                        touched_groups.select(group_col).alias("_mm_tg")
+                    )
+                    cand_keys = (
+                        _all_versions().alias("_mm_v1")
+                        .join(
+                            tg,
+                            F.col(f"_mm_v1.{group_col}").eqNullSafe(
+                                F.col(f"_mm_tg.{group_col}")
+                            ),
+                            "left_semi",
+                        )
+                        .select(KEY_COL)
+                        .distinct()
+                        .alias("_mm_ck")
+                    )
+                    cand_latest = latest_per_key(
+                        _all_versions().alias("_mm_v2").join(
+                            cand_keys,
+                            F.col(f"_mm_v2.{KEY_COL}").eqNullSafe(
+                                F.col(f"_mm_ck.{KEY_COL}")
+                            ),
+                            "left_semi",
+                        ),
+                        KEY_COL,
+                        SEQ_COL,
+                    ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                    recomputed = (
+                        cand_latest.alias("_mm_cl")
+                        .join(
+                            tg,
+                            F.col(f"_mm_cl.{group_col}").eqNullSafe(
+                                F.col(f"_mm_tg.{group_col}")
+                            ),
+                            "left_semi",
+                        )
+                        .groupBy(group_col)
+                        .agg(*aggs)
+                    )
+                    base_kept = (
+                        spark.read.parquet(agg_path)
+                        .select(
+                            group_col,
+                            "n_keys",
+                            F.col("total_value").cast(value_cast).alias(
+                                "total_value"
+                            ),
+                            F.col("min_value").cast(value_cast).alias(
+                                "min_value"
+                            ),
+                            F.col("max_value").cast(value_cast).alias(
+                                "max_value"
+                            ),
+                        )
+                        .alias("_mm_base")
+                        .join(
+                            tg,
+                            F.col(f"_mm_base.{group_col}").eqNullSafe(
+                                F.col(f"_mm_tg.{group_col}")
+                            ),
+                            "left_anti",
+                        )
+                    )
                 new_agg = base_kept.unionByName(recomputed)
             except (ValueError, TypeError):
                 new_agg = None

@@ -112,6 +112,59 @@ def envelope_from_versions(versions: DataFrame) -> DataFrame:
     )
 
 
+APPLIED_MAX_MARKER = "_applied_max_seq"
+
+
+def _already_applied_filter(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    key: str,
+    mode: str,
+) -> DataFrame:
+    """Version rows of ``batch`` NOT already reflected in the replica —
+    the merge-avoiding re-delivery gate. Per-key arbitration against
+    the replica's stored ``_seq`` (tombstones included: deletes
+    arbitrate too): for latest-wins targets a row whose key's stored
+    seq is >= its own would be dropped by the merge anyway, so
+    filtering it here changes nothing observable; for history targets
+    the exact ``(key, seq)`` anti-join drops only version rows the
+    replica already retains. Null-safe on the key (a NULL key is a
+    legitimate latest-wins group)."""
+    from ..operators.apply import _read_table
+
+    tgt = _read_table(spark, target_path)
+    b = batch.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL))).alias(
+        "_cdfb"
+    )
+    if mode == "history":
+        seen = tgt.select(
+            F.col(KEY_COL).alias("_cdft_k"),
+            _canonical_seq(F.col(SEQ_COL)).alias("_cdft_s"),
+        )
+        return b.join(
+            seen,
+            F.col(f"_cdfb.{KEY_COL}").eqNullSafe(F.col("_cdft_k"))
+            & (F.col(f"_cdfb.{SEQ_COL}") == F.col("_cdft_s")),
+            "left_anti",
+        )
+    stored = tgt.groupBy(
+        F.col(key).cast("string").alias("_cdft_k")
+    ).agg(F.max(_canonical_seq(F.col(SEQ_COL))).alias("_cdft_s"))
+    return (
+        b.join(
+            stored,
+            F.col(f"_cdfb.{KEY_COL}").eqNullSafe(F.col("_cdft_k")),
+            "left",
+        )
+        .filter(
+            F.col("_cdft_s").isNull()
+            | (F.col(f"_cdfb.{SEQ_COL}") > F.col("_cdft_s"))
+        )
+        .drop("_cdft_k", "_cdft_s")
+    )
+
+
 def stream_sync_changes(
     spark: SparkSession,
     source_path: str,
@@ -132,21 +185,75 @@ def stream_sync_changes(
     exactly-once-effect posture of ``sync_changes``, now with Spark's
     trigger/checkpoint lifecycle instead of a caller-scheduled loop.
 
+    Re-delivery gate: a compaction swap renames every source file, so
+    the file source re-delivers the ENTIRE retained table as "new"
+    files on the next trigger. The scan is unavoidable under file-
+    source semantics, but the merge is not — each batch's max seq is
+    compared against a monotone applied-through marker (one atomic
+    file in the checkpoint dir, maintained by this sink); a batch that
+    cannot advance the tip is suspected re-delivery and first filtered
+    per-key against the replica's stored seqs
+    (``_already_applied_filter``). A pure re-delivery filters to empty
+    and SKIPS the merge-and-rewrite entirely; mixed batches (the
+    split-delivery edge where maxFilesPerTrigger separates one
+    append's files) apply exactly their unseen rows. Measured:
+    scripts/probe_change_feed_scale.py --stream-compact. Steady-state
+    cost of the gate is one seq-column aggregate per batch; the marker
+    is advisory (a stale-low marker only skips the gate), so a crash
+    between apply and marker write stays convergent.
+
     ``available_now=True`` drains everything currently in the feed and
     stops (the batch-boundary trigger); ``processing_time`` (e.g.
     ``"5 seconds"``) runs continuously at the reference pipeline's
     cadence. Returns the StreamingQuery."""
+    import os
+
+    marker = os.path.join(checkpoint_path, APPLIED_MAX_MARKER)
+
+    def _read_marker() -> str | None:
+        try:
+            with open(marker) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _write_marker(v: str) -> None:
+        os.makedirs(checkpoint_path, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(v)
+        os.replace(tmp, marker)
 
     def _apply(batch: DataFrame, _epoch_id: int) -> None:
+        batch_max = batch.agg(
+            F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")
+        ).first()["m"]
+        if batch_max is None:
+            return  # empty trigger
+        applied = _read_marker()
+        rows = batch
+        if (
+            applied is not None
+            and batch_max <= applied
+            and mode in ("upsert", "history")
+            and os.path.isdir(target_path)
+        ):
+            rows = _already_applied_filter(
+                spark, batch, target_path, key, mode
+            )
+            if rows.isEmpty():
+                return  # pure re-delivery: no merge, no rewrite
         apply_changes(
             spark,
-            envelope_from_versions(batch),
+            envelope_from_versions(rows),
             target_path,
             key,
             mode=mode,
             propagate_deletes=True,
             partition_by=partition_by,
         )
+        if applied is None or batch_max > applied:
+            _write_marker(batch_max)
 
     writer = (
         stream_changes(spark, source_path, ignore_missing_files=True)

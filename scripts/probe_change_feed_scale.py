@@ -11,6 +11,15 @@ Feed shape mirrors the CDC probe: K keys x V versions, 10% REMOVEs,
 applied through the real blind-append history path in 8 scrambled
 batches. Timing: cold then min-of-2 steady, count-forced.
 
+``--stream-compact`` (round 8): a compaction swap renames every file,
+so ``stream_sync_changes``'s file source re-delivers the ENTIRE
+retained table on the next trigger. The seq gate filters the
+re-delivered batch per-key against the replica and skips the
+merge-and-rewrite when nothing is new — this leg records the
+re-delivered drain's wall (scan + gate, no merge) next to the initial
+full drain (scan + merge + rewrite) at 1x/10x/100x, making the
+compaction-cadence trade a measured number.
+
 Run manually: ``python scripts/probe_change_feed_scale.py``. Results
 summarized in COVERAGE.md; nothing here runs in CI.
 """
@@ -185,5 +194,74 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def main_stream_compact() -> None:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_changes,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="cdf_stream_probe_")
+    try:
+        for mult in (1, 10, 100):
+            rows = BASE_ROWS * mult
+            src = os.path.join(work, f"sc_src_{mult}x")
+            dst = os.path.join(work, f"sc_dst_{mult}x")
+            ck = os.path.join(work, f"sc_ck_{mult}x")
+            max_seq = _build(spark, src, rows)
+
+            t0 = time.perf_counter()
+            stream_sync_changes(spark, src, dst, ck, "k").awaitTermination()
+            first = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            compact_history(spark, src, before_seq=max_seq)
+            cwall = time.perf_counter() - t0
+
+            # the re-delivered drain: every retained file is "new" to
+            # the checkpoint; the gate must skip the merge-and-rewrite
+            import glob
+
+            files_before = sorted(
+                glob.glob(os.path.join(dst, "**", "*.parquet"),
+                          recursive=True)
+            )
+            t0 = time.perf_counter()
+            stream_sync_changes(spark, src, dst, ck, "k").awaitTermination()
+            redeliver = time.perf_counter() - t0
+            files_after = sorted(
+                glob.glob(os.path.join(dst, "**", "*.parquet"),
+                          recursive=True)
+            )
+            assert files_before == files_after, "gate failed to skip"
+            a = sorted(
+                (r["k"], r["v"])
+                for r in read_warehouse(spark, src).collect()
+            )
+            b = sorted(
+                (r["k"], r["v"])
+                for r in read_warehouse(spark, dst).collect()
+            )
+            assert a == b, f"divergence at {mult}x"
+            print(
+                f"{mult:3d}x rows {rows:>9,}: first_drain {first:6.2f}s "
+                f"compact {cwall:6.2f}s redelivered_drain(gated) "
+                f"{redeliver:6.2f}s"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--stream-compact" in sys.argv:
+        main_stream_compact()
+    else:
+        main()

@@ -1,11 +1,10 @@
-"""Scale probe for sync_aggregate's touched-key drain (COVERAGE.md
-protocol).
+"""Scale probe for the materialized-view drains (COVERAGE.md protocol).
 
-The round-6 finding: the drain reconstructed pre-window state for ALL
-keys (the semi-join sat above the per-key window, and Catalyst does
-not push a left-semi below row_number().over(partitionBy(key))), so
-every drain paid a full-history key-shuffle. The fix derives touched
-keys from the range-filtered window FIRST and semi-joins the
+Leg 1 (count/sum, round 6): the drain reconstructed pre-window state
+for ALL keys (the semi-join sat above the per-key window, and Catalyst
+does not push a left-semi below row_number().over(partitionBy(key))),
+so every drain paid a full-history key-shuffle. The fix derives
+touched keys from the range-filtered window FIRST and semi-joins the
 pre-window versions to them BEFORE the window. Claim under test:
 drain wall is a function of the TOUCHED keys' history, near-flat
 while untouched retained history grows 10x/100x.
@@ -15,8 +14,21 @@ batch touching 500 keys; measure the sync_aggregate drain that folds
 exactly that batch, at 1x/10x/100x bulk. Equality vs a full recompute
 is asserted every leg.
 
-Run manually: ``python scripts/probe_sync_aggregate_scale.py``.
-Results summarized in COVERAGE.md; nothing here runs in CI.
+Leg 2 (min/max, round 8 — ``--minmax``): sync_aggregate_minmax's
+touched-group recompute previously DISCOVERED candidates by two full
+retained-history scans per drain (the round-7 verdict's weak finding).
+The fix routes discovery through group_col sidecar stats (the table is
+OPTIMIZE-ZORDERed on the group column at maintenance cadence, so a
+touched group's versions cluster into few files) and the candidates'
+history read through _key blooms. Claim under test: with the group
+DOMAIN growing with the table (fixed keys-per-group, the realistic
+shape), a drain touching 5 groups is near-flat while retained history
+grows 10x/100x. Equality vs a full recompute of all four aggregates is
+asserted every leg.
+
+Run manually: ``python scripts/probe_sync_aggregate_scale.py``
+(count/sum) or ``... --minmax``. Results summarized in COVERAGE.md;
+nothing here runs in CI.
 """
 
 from __future__ import annotations
@@ -140,5 +152,138 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bulk_mm(spark, rows: int):
+    """keys = rows/10, 10 versions each; group DOMAIN scales with the
+    keys (10 keys per group, long-typed for the z-order clustering)."""
+    keys = rows // 10
+    groups = keys // 10
+    return spark.range(rows).select(
+        (F.col("id") % keys).cast("string").alias("key"),
+        F.when(F.col("id") < keys, "INSERT").otherwise("MODIFY").alias("op"),
+        F.struct(
+            (F.col("id") % keys).alias("k"),
+            (F.pmod(F.col("id") % keys, F.lit(groups))).alias("grp"),
+            (F.col("id") * 17 % 1000).cast("double").alias("v"),
+        ).alias("after"),
+        (F.floor(F.col("id") / keys) + 1).alias("seq"),
+    )
+
+
+def _touch_mm(spark, groups: int):
+    """One batch over 5 FIXED groups' keys (50 keys): value changes in
+    place, one REMOVE per group, one group MOVE inside the touched set
+    — the steady-state maintenance tick whose cost must not scale with
+    the retained history."""
+    g = F.pmod(F.col("id"), F.lit(5))
+    j = F.floor(F.col("id") / 5)
+    key = g + j * groups
+    return spark.range(50).select(
+        key.cast("string").alias("key"),
+        F.when(j == 9, "REMOVE").otherwise("MODIFY").alias("op"),
+        F.struct(
+            key.alias("k"),
+            F.when(F.col("id") == 0, F.lit(1).cast("long"))
+            .otherwise(g.cast("long"))
+            .alias("grp"),
+            (F.col("id") * 31 % 1000).cast("double").alias("v"),
+        ).alias("after"),
+        F.lit(11).alias("seq"),
+    )
+
+
+def main_minmax() -> None:
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        sync_aggregate_minmax,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+        collect_file_stats,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="sync_mm_probe_")
+    try:
+        for mult in (1, 10, 100):
+            rows = BASE_ROWS * mult
+            groups = rows // 100
+            src = os.path.join(work, f"mm_src_{mult}x")
+            agg = os.path.join(work, f"mm_agg_{mult}x")
+            apply_changes(
+                spark, _bulk_mm(spark, rows), src, "k", mode="history"
+            )
+            t0 = time.perf_counter()
+            sync_aggregate_minmax(spark, src, agg, "grp", "v")
+            full = time.perf_counter() - t0
+            # maintenance-cadence opt-in (untimed): cluster on the
+            # group column so each group's versions live in few files,
+            # then record (_seq, _key, grp) stats + _key blooms — the
+            # sidecar the drain's discovery and candidate reads prune on
+            compact_parquet(
+                spark, src, target_file_bytes=1 << 19, zorder_by=["grp"]
+            )
+            collect_file_stats(spark, src, ["_seq", "_key", "grp"])
+            collect_file_blooms(spark, src, ["_key"], num_bits=1 << 20)
+
+            apply_changes(
+                spark, _touch_mm(spark, groups), src, "k", mode="history"
+            )
+            t0 = time.perf_counter()
+            assert (
+                sync_aggregate_minmax(spark, src, agg, "grp", "v")
+                is not None
+            )
+            drain = time.perf_counter() - t0
+
+            got = {
+                r["grp"]: (
+                    r["n_keys"],
+                    float(r["total_value"]),
+                    float(r["min_value"]),
+                    float(r["max_value"]),
+                )
+                for r in spark.read.parquet(agg).collect()
+            }
+            exp = {
+                r["grp"]: (
+                    r["n"],
+                    float(r["tv"]),
+                    float(r["mn"]),
+                    float(r["mx"]),
+                )
+                for r in read_warehouse(spark, src)
+                .groupBy("grp")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("v").cast("decimal(18,2)")).alias("tv"),
+                    F.min(F.col("v").cast("decimal(18,2)")).alias("mn"),
+                    F.max(F.col("v").cast("decimal(18,2)")).alias("mx"),
+                )
+                .collect()
+            }
+            assert got == exp, f"minmax mismatch at {mult}x"
+            print(
+                f"{mult:3d}x history {rows:>10,} rows ({groups:,} groups):"
+                f" first_full {full:6.2f}s drain(50 keys/5 groups)"
+                f" {drain:6.2f}s"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--minmax" in sys.argv:
+        main_minmax()
+    else:
+        main()

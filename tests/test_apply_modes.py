@@ -1979,3 +1979,87 @@ def test_schema_stamp_survives_crash_after_blind_append(spark, tmp_path, monkeyp
     assert manifest is not None and "note" in manifest.fieldNames()
     out = {r["k"]: r["note"] for r in read_warehouse(spark, path).collect()}
     assert out == {1: None, 2: "evolved"}
+
+
+def test_sync_aggregate_minmax_drain_prunes_files(spark, tmp_path, monkeypatch):
+    """The minmax drain's discovery and candidate reads route through
+    the stats sidecar (the round-7 verdict's O(retained-history) gap):
+    the in-range scan prunes on the _seq range, candidate-KEY discovery
+    prunes on group_col stats (group-clustered files — here one group
+    per batch file), and the candidates' history read prunes via _key
+    blooms — pinned by a prune_files spy recording strictly-positive
+    pruning for all three predicate shapes, with the maintained table
+    still equal to a full recompute on all four aggregates."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import layout
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.incremental import (
+        sync_aggregate_minmax,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_blooms,
+        collect_file_stats,
+    )
+
+    src = str(tmp_path / "wh_mm_spy_src")
+    agg = str(tmp_path / "wh_mm_spy_agg")
+    # 4 history batches, one GROUP per batch -> group-clustered files
+    for b in range(4):
+        env = spark.range(10).select(
+            (F.col("id") + b * 10).cast("string").alias("key"),
+            F.lit("INSERT").alias("op"),
+            F.struct(
+                (F.col("id") + b * 10).alias("k"),
+                F.lit(f"g{b}").alias("grp"),
+                (F.col("id") * 2 + b).cast("double").alias("v"),
+            ).alias("after"),
+            (F.col("id") + 1 + b * 10).alias("seq"),
+        )
+        apply_changes(spark, env, src, "k", mode="history")
+    collect_file_stats(spark, src, ["_seq", "_key", "grp"])
+    collect_file_blooms(spark, src, ["_key"], num_bits=1 << 12)
+    assert sync_aggregate_minmax(spark, src, agg, "grp", "v") is not None
+
+    # one touched key in group g0 (no group move): the drain must only
+    # re-read g0's file + the new batch file
+    env = spark.createDataFrame(
+        [("5", "MODIFY", (5, "g0", 99.0), 41)],
+        "key string, op string, after struct<k:long,grp:string,v:double>, seq long",
+    )
+    apply_changes(spark, env, src, "k", mode="history")
+
+    calls = []
+    orig = layout.prune_files
+
+    def spy(path, preds):
+        keep, total = orig(path, preds)
+        calls.append((tuple(p[:2] for p in preds), len(keep), total))
+        return keep, total
+
+    monkeypatch.setattr(layout, "prune_files", spy)
+    assert sync_aggregate_minmax(spark, src, agg, "grp", "v") is not None
+    monkeypatch.undo()
+
+    seq_calls = [c for c in calls if c[0] == (("_seq", ">"),)]
+    grp_calls = [c for c in calls if c[0] == (("grp", "in"),)]
+    key_calls = [c for c in calls if ("_key", "in") in c[0]]
+    assert seq_calls and all(kept < total for _, kept, total in seq_calls)
+    assert grp_calls and all(kept < total for _, kept, total in grp_calls)
+    assert key_calls and all(kept < total for _, kept, total in key_calls)
+
+    got = sorted(
+        (r["grp"], r["n_keys"], float(r["total_value"]),
+         float(r["min_value"]), float(r["max_value"]))
+        for r in spark.read.parquet(agg).collect()
+    )
+    exp = sorted(
+        (r["grp"], r["n"], float(r["tv"]), float(r["mn"]), float(r["mx"]))
+        for r in read_warehouse(spark, src)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("tv"),
+            F.min(F.col("v").cast("decimal(18,2)")).alias("mn"),
+            F.max(F.col("v").cast("decimal(18,2)")).alias("mx"),
+        )
+        .collect()
+    )
+    assert got == exp

@@ -743,3 +743,116 @@ def test_full_pipeline_ingest_replica_and_view_compose(spark, tmp_path):
     ))
     converged()
     assert read_warehouse(spark, wh).count() == 2  # t0@30, t2@5
+
+
+def test_stream_sync_redelivery_gate_skips_rewrite(spark, tmp_path):
+    """Post-compaction re-delivery is seq-gated: a compaction swap
+    makes the file source re-deliver the whole retained table, and the
+    gate (applied-through marker + per-key filter against the
+    replica's stored seqs) must SKIP the merge-and-rewrite when
+    nothing in the batch is new — the replica's data files stay
+    byte-identical — while a later real change still applies."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, read_warehouse as _rw,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_changes,
+    )
+
+    src = str(tmp_path / "gate_src")
+    dst = str(tmp_path / "gate_dst")
+    ck = str(tmp_path / "gate_ck")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    def replica_files():
+        out = {}
+        for cur, _dirs, names in os.walk(dst):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(cur, n)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    t0, t1 = make_trade(0), make_trade(1)
+    apply_changes(
+        spark,
+        feed([("INSERT", t0, 1), ("INSERT", t1, 2),
+              ("MODIFY", dict(t0, shares=9), 3)], "g1"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    before = replica_files()
+    assert before
+
+    # compaction renames every source file; with NO new changes the
+    # re-delivered batch must filter to empty and skip the apply
+    compact_history(spark, src, before_seq=3)
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    assert replica_files() == before  # no rewrite happened
+    assert sorted(
+        (r["id"], r["shares"]) for r in _rw(spark, dst).collect()
+    ) == sorted((r["id"], r["shares"]) for r in _rw(spark, src).collect())
+
+    # a real change after the compaction still applies through the gate
+    apply_changes(
+        spark, feed([("MODIFY", dict(t1, shares=42), 4)], "g2"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    assert replica_files() != before
+    assert sorted(
+        (r["id"], r["shares"]) for r in _rw(spark, dst).collect()
+    ) == sorted((r["id"], r["shares"]) for r in _rw(spark, src).collect())
+
+
+def test_already_applied_filter_keeps_unseen_rows(spark, tmp_path):
+    """The gate's per-key filter is exact on the split-delivery edge: a
+    suspected-re-delivery batch holding one already-applied row and one
+    UNSEEN row (its seq below the marker but newer than its key's
+    stored state — maxFilesPerTrigger can split one append's files
+    across triggers) must keep exactly the unseen row, for both replica
+    layouts."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        _already_applied_filter,
+    )
+
+    # upsert replica: key "a" stored at seq 5, key "b" never seen
+    ups = str(tmp_path / "aaf_ups")
+    env = spark.createDataFrame(
+        [("a", "MODIFY", ("a", 5.0), 5)],
+        "key string, op string, after struct<k:string,v:double>, seq long",
+    )
+    apply_changes(spark, env, ups, "k", mode="upsert", propagate_deletes=True)
+    batch = spark.createDataFrame(
+        [("a", 5.0, "a", "0" * 39 + "5", False),   # already applied
+         ("a", 4.0, "a", "0" * 39 + "4", False),   # superseded: drop too
+         ("b", 7.0, "b", "0" * 39 + "3", False)],  # unseen key, low seq
+        "k string, v double, _key string, _seq string, _deleted boolean",
+    )
+    kept = _already_applied_filter(spark, batch, ups, "k", "upsert")
+    assert [(r["_key"], float(r["v"])) for r in kept.collect()] == [("b", 7.0)]
+
+    # history replica: exact (key, seq) anti-join keeps the missing
+    # version row even though the key's newer version is stored
+    hist = str(tmp_path / "aaf_hist")
+    apply_changes(spark, env, hist, "k", mode="history")
+    kept_h = _already_applied_filter(spark, batch, hist, "k", "history")
+    assert sorted(
+        (r["_key"], int(r["_seq"])) for r in kept_h.collect()
+    ) == [("a", 4), ("b", 3)]
