@@ -85,7 +85,7 @@ HEADLINE = [
     "cdc_time_travel_read",
     "text_unigram_logprob",
     "training_dsir_importance",
-    "cdc_change_feed_read",
+    "cdc_streaming_classified_feed",
 ]
 
 

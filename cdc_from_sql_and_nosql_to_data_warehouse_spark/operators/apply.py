@@ -454,6 +454,28 @@ class ConcurrentWriteError(RuntimeError):
 # Sibling lock file (not inside the table dir — swaps rename that dir).
 _LOCK_SUFFIX = "__lock"
 
+# Opt-in lease for CROSS-HOST dead-writer recovery: same-host crashes
+# are detected by (pid, start-time) liveness and adopted automatically,
+# but a writer that died on another host leaves no liveness signal this
+# host can read — by default its lock stays until an operator calls
+# break_table_lock. Setting a lease (seconds) makes a FOREIGN-host lock
+# whose recorded acquired_unix is older than the lease adoptable
+# through the same TOCTOU-free rename path. The lease must comfortably
+# exceed the longest write the deployment runs (there is no heartbeat —
+# acquired_unix is stamped once at acquisition), which is why the
+# default stays manual: a too-short lease re-opens the lost-commit
+# window the fence exists to close. Same-host locks never lease out —
+# pid liveness is strictly better evidence.
+LOCK_LEASE_SECONDS: float | None = None
+
+# read_changes' touched-key restriction engages only when the window
+# covers at most this fraction of the sidecar-known files (wider
+# windows would pay the discovery pass for little pruning). The value
+# is MEASURED, not guessed: scripts/probe_change_feed_scale.py
+# --gate-sweep times restricted vs unrestricted reads across window
+# spans at 10x scale; see COVERAGE.md for the recorded crossover.
+READ_CHANGES_RESTRICT_GATE = 0.5
+
 
 def _lock_path(target_path: str) -> str:
     return target_path.rstrip("/") + _LOCK_SUFFIX
@@ -498,18 +520,28 @@ def _lock_owner_is_dead(lock: str) -> bool:
     longer exists — start-time matching makes the verdict STABLE under
     pid reuse (a recycled pid reads as a different process, so dead
     stays dead and the adoption path can never misjudge a live owner).
-    A lock from another host, an unparseable lock (torn mid-write —
-    the creator is between open and write), or a live pid all read as
+    A lock from another host (unless it has aged past the opt-in
+    LOCK_LEASE_SECONDS), an unparseable lock (torn mid-write — the
+    creator is between open and write), or a live pid all read as
     alive (conservative: a wrong 'dead' verdict re-opens the lost-
     commit window; a wrong 'alive' verdict only makes someone call
     break_table_lock)."""
     import json
     import socket
+    import time
 
     try:
         with open(lock) as f:
             meta = json.loads(f.read())
         if meta.get("host") != socket.gethostname():
+            lease = LOCK_LEASE_SECONDS
+            acquired = meta.get("acquired_unix")
+            if (
+                lease is not None
+                and isinstance(acquired, (int, float))
+                and time.time() - acquired > lease
+            ):
+                return True  # foreign lock past the opt-in lease
             return False
         pid = int(meta["pid"])
         os.kill(pid, 0)
@@ -1574,7 +1606,7 @@ def read_changes(
                     for entry in known.values()
                     if all(_file_matches(entry, *p) for p in preds)
                 )
-                if matching / len(known) > 0.5:
+                if matching / len(known) > READ_CHANGES_RESTRICT_GATE:
                     restrict = False
     if restrict:
         # Touched-key restriction (the consumer-tick scale lever, same

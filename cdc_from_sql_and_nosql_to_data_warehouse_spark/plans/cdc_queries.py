@@ -573,11 +573,25 @@ def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range bounds, and replay collapse (the duplicated batch must not
 # duplicate or re-type any change).
 # ---------------------------------------------------------------------------
+# (A "cdc_change_feed_read" query — the batch classified change feed
+# over a bounded (from, to] window, scrambled batches + an in-window
+# replay — lived here through round 7; retired in round 8 under the
+# registry size budget when cdc_streaming_classified_feed was added.
+# The surviving certificate drives the SAME read_changes classification
+# through follow_changes windows under Spark's streaming machinery and
+# covers strictly more: classification over the whole feed, BOTH replay
+# forms (in-window duplicate collapse and below-marker re-delivery),
+# and from/to-bounded windows per drain. Interior to_seq bounds,
+# upper-bound file pruning, and the selectivity gate stay pinned by
+# tests/test_apply_modes.py::test_read_changes_range_bounds_use_full_history
+# and ::test_read_changes_selectivity_gate_toggles_restriction.)
+
+
 @register_query(
-    "cdc_change_feed_read",
+    "cdc_streaming_classified_feed",
     oracle=f"""
     WITH feed AS (
-      SELECT user_id, event_id, ts, value,
+      SELECT user_id, event_id, value,
              {_OP_SQL} AS op,
              coalesce(lag({_OP_SQL} <> 'REMOVE') OVER (
                PARTITION BY user_id ORDER BY ts, event_id
@@ -590,22 +604,28 @@ def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'delete' END AS change_type,
            value
     FROM feed
-    WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
-      AND ts < TIMESTAMP '2024-01-21 00:00:00'
-      AND (op <> 'REMOVE' OR prev_live)
+    WHERE op <> 'REMOVE' OR prev_live
     ORDER BY user_id, event_id
     """,
 )
-def cdc_change_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lakehouse-standard change feed (Delta ``table_changes`` shape)
-    over the history apply mode. Window bounds use the same DST-safe
-    seq encoding as cdc_time_travel_read: seq > from-cut == ts >=
-    2024-01-11, seq <= to-cut == ts < 2024-01-21 (event_ids start at 1,
-    so no event collides with either midnight cut)."""
+def cdc_streaming_classified_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-granularity classified CDF under Spark's OWN streaming
+    machinery (round-8 verdict item; reference tie: the eventName-
+    bearing relay, write_dynamodb_stream_to_s3_lambda/handler.py:27-31):
+    the events feed becomes a history-mode table in two ts-split waves;
+    ``streaming/cdf.stream_classified_changes`` — the pacing file
+    stream bridged into follow_changes windows — delivers every change
+    tagged insert/update/delete. Replays land twice: once INSIDE the
+    first window (duplicate version rows must collapse to one emitted
+    change) and once BELOW the marker before the second drain (stale
+    re-delivery must never re-emit). The oracle classifies the entire
+    feed from scratch, so hash-equality proves the union of the
+    streamed windows IS the batch-exact classified feed."""
     import shutil
     import tempfile
 
-    from ..operators.apply import apply_changes, read_changes
+    from ..operators.apply import apply_changes
+    from ..streaming.cdf import stream_classified_changes
 
     ev = _t(spark, sf_dir, "events")
     env = ev.select(
@@ -620,35 +640,39 @@ def cdc_change_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
             F.lpad(F.col("event_id").cast("string"), 12, "0"),
         ).alias("seq"),
-        (F.col("event_id") % 3).alias("_batch"),
+        (F.col("ts") < "2024-01-21 00:00:00").alias("_early"),
     )
-    frm = "20240111000000000000" + "0" * 12
-    to = "20240121000000000000" + "0" * 12
-    wh = tempfile.mkdtemp(prefix="cdc_changefeed_")
-    try:
-        # scrambled on purpose; batch 0 applied twice = a replay whose
-        # duplicate version rows the feed must collapse
-        for b in (2, 0, 1, 0):
-            apply_changes(
-                spark,
-                env.filter(F.col("_batch") == b).drop("_batch"),
-                wh,
-                "user_id",
-                mode="history",
-            )
-        out = (
-            read_changes(spark, wh, from_seq=frm, to_seq=to)
-            .select(
+    work = tempfile.mkdtemp(prefix="cdc_classified_")
+    src, ck = f"{work}/src", f"{work}/ck"
+    windows: list[DataFrame] = []
+
+    def proc(df: DataFrame, _frm, _to) -> None:
+        windows.append(
+            df.select(
                 "user_id",
                 "event_id",
                 F.col("_change_type").alias("change_type"),
                 "value",
-            )
-            .orderBy("user_id", "event_id")
-            .localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)
         )
+
+    try:
+        early = env.filter(F.col("_early")).drop("_early")
+        late = env.filter(~F.col("_early")).drop("_early")
+        apply_changes(spark, early, src, "user_id", mode="history")
+        # in-window replay: duplicate (key, seq) version rows collapse
+        apply_changes(spark, early, src, "user_id", mode="history")
+        stream_classified_changes(spark, src, ck, proc).awaitTermination()
+        apply_changes(spark, late, src, "user_id", mode="history")
+        # below-marker replay: already-consumed seqs never re-emit
+        apply_changes(spark, early, src, "user_id", mode="history")
+        stream_classified_changes(spark, src, ck, proc).awaitTermination()
+        out = windows[0]
+        for w in windows[1:]:
+            out = out.unionByName(w)
+        out = out.orderBy("user_id", "event_id").localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
     return out.orderBy("user_id", "event_id")
 
 

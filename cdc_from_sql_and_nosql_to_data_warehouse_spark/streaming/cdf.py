@@ -267,6 +267,65 @@ def stream_sync_changes(
     return writer.start()
 
 
+def stream_classified_changes(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    process,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """EVENT-GRANULARITY classified change feed (insert/update/delete,
+    the ``read_changes`` contract) under Spark's streaming machinery —
+    the streaming analogue of the reference's eventName-bearing relay
+    (``write_dynamodb_stream_to_s3_lambda/handler.py:27-31``), which
+    previously existed only as the caller-scheduled ``follow_changes``
+    poll loop.
+
+    Design: classification needs each key's PRIOR LIVENESS, which
+    lives in the table, not the stream — and one append's files can
+    split across triggers with interleaved per-file seq ranges, so
+    classifying raw stream rows per trigger could mis-order a key's
+    versions and replays would re-emit events. The honest bridge: the
+    file stream is the PACING signal only (its batch content is never
+    acted on — lazily listed, not read), and each trigger drains one
+    ``follow_changes`` tick, which reads the (marker, tip] window
+    through the batch classifier and advances the marker only after
+    ``process`` returns. Delivery is therefore at-least-once on crash
+    between process and marker, each change classified exactly as the
+    batch feed would (replayed duplicate version rows below the marker
+    never re-emit — their seqs left the window), and a consumer that
+    lapses below the compaction horizon fails LOUDLY in
+    ``read_changes`` — which is also why ``ignoreMissingFiles`` on the
+    pacing stream is sound here: the raw stream rows compaction
+    vanishes are never the delivered events.
+
+    ``process(window_df, from_seq, to_seq)`` — ``follow_changes``'s
+    contract; the window carries ``_change_type``. Returns the
+    StreamingQuery."""
+    import os
+
+    from ..operators.apply import follow_changes
+
+    bridge_ck = os.path.join(checkpoint_path, "classified_offset")
+
+    def _tick(_batch: DataFrame, _epoch_id: int) -> None:
+        follow_changes(spark, source_path, bridge_ck, process, max_ticks=1)
+
+    writer = (
+        stream_changes(spark, source_path, ignore_missing_files=True)
+        .writeStream.foreachBatch(_tick)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_path, "stream")
+        )
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_sync_aggregate(
     spark: SparkSession,
     source_path: str,

@@ -260,8 +260,93 @@ def main_stream_compact() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def main_gate_sweep() -> None:
+    """Sweep read_changes' selectivity-gate threshold: at 10x scale,
+    time the feed read with the touched-key restriction FORCED ON vs
+    FORCED OFF across window spans (fraction of seq generations in the
+    window). The crossover span — where restriction stops paying for
+    its discovery pass — is what READ_CHANGES_RESTRICT_GATE should sit
+    near; results recorded in COVERAGE.md."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        apply as apply_mod,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+        collect_file_stats,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="cdf_gate_probe_")
+    try:
+        keys = 1_000_000  # 10x key scale
+        gens = 20
+        path = os.path.join(work, "hist_gate")
+        # seq-CLUSTERED files (one apply per generation — the real
+        # append shape the gate rates): generation 1 inserts every key,
+        # each later generation modifies a 5% hash-slice of the keys,
+        # so a window over k generations touches ~1-0.95^k of the keys
+        base = spark.range(keys).select(
+            F.col("id").cast("string").alias("key"),
+            F.lit("INSERT").alias("op"),
+            F.struct(
+                F.col("id").alias("k"),
+                (F.col("id") * 17 % 1000).alias("v"),
+            ).alias("after"),
+            F.lit(1).alias("seq"),
+        )
+        apply_changes(spark, base, path, "k", mode="history")
+        for s in range(2, gens + 1):
+            env = (
+                spark.range(keys)
+                .filter(F.pmod(F.xxhash64("id", F.lit(s)), F.lit(20)) == 0)
+                .select(
+                    F.col("id").cast("string").alias("key"),
+                    F.lit("MODIFY").alias("op"),
+                    F.struct(
+                        F.col("id").alias("k"),
+                        (F.col("id") * s % 1000).alias("v"),
+                    ).alias("after"),
+                    F.lit(s).alias("seq"),
+                )
+            )
+            apply_changes(spark, env, path, "k", mode="history")
+        collect_file_stats(spark, path, ["_seq", "_key"])
+        print("span(gens)  touched~  restricted  unrestricted")
+        for g_back in (2, 4, 6, 8, 10, 12, 14, 16, 18):
+            frm = gens - g_back
+            touched = 1 - 0.95 ** g_back
+            walls = {}
+            for label, gate in (("restricted", 1.01), ("unrestricted", -1.0)):
+                apply_mod.READ_CHANGES_RESTRICT_GATE = gate
+                try:
+                    walls[label] = _steady(
+                        lambda: read_changes(
+                            spark, path, from_seq=frm
+                        ).count()
+                    )
+                finally:
+                    apply_mod.READ_CHANGES_RESTRICT_GATE = 0.5
+            print(
+                f"{g_back:3d}/{gens}    {touched:7.0%}  "
+                f"{walls['restricted']:9.3f}s "
+                f"{walls['unrestricted']:11.3f}s"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--stream-compact" in sys.argv:
         main_stream_compact()
+    elif "--gate-sweep" in sys.argv:
+        main_gate_sweep()
     else:
         main()

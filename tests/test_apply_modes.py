@@ -2063,3 +2063,50 @@ def test_sync_aggregate_minmax_drain_prunes_files(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert got == exp
+
+
+def test_foreign_host_lock_lease_recovery(spark, tmp_path):
+    """Cross-host dead writers: by default a foreign-host lock blocks
+    until break_table_lock; with the opt-in LOCK_LEASE_SECONDS a
+    foreign lock older than the lease is adopted through the same
+    TOCTOU-free rename path, while a FRESH foreign lock keeps
+    blocking (the lease never shortcuts a live writer)."""
+    import json
+    import time
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import apply as apply_mod
+
+    target = str(tmp_path / "wh_lease")
+    env = spark.createDataFrame(
+        [("1", "INSERT", (1, 10.0), 1)],
+        "key string, op string, after struct<k:long,price:double>, seq long",
+    )
+
+    def plant(age_seconds):
+        with open(apply_mod._lock_path(target), "w") as f:
+            f.write(json.dumps({
+                "pid": 12345,
+                "pid_start": "99999",
+                "host": "some-other-host",
+                "acquired_unix": time.time() - age_seconds,
+            }))
+
+    # default (no lease): foreign locks block regardless of age
+    plant(3600)
+    with pytest.raises(apply_mod.ConcurrentWriteError):
+        apply_changes(spark, env, target, "k", mode="history")
+    assert apply_mod.break_table_lock(target)
+
+    # lease set: a FRESH foreign lock still blocks...
+    plant(1)
+    apply_mod.LOCK_LEASE_SECONDS = 300.0
+    try:
+        with pytest.raises(apply_mod.ConcurrentWriteError):
+            apply_changes(spark, env, target, "k", mode="history")
+        # ...but a stale one past the lease is adopted automatically
+        assert apply_mod.break_table_lock(target)
+        plant(3600)
+        apply_changes(spark, env, target, "k", mode="history")
+        assert read_warehouse(spark, target).count() == 1
+    finally:
+        apply_mod.LOCK_LEASE_SECONDS = None

@@ -856,3 +856,81 @@ def test_already_applied_filter_keeps_unseen_rows(spark, tmp_path):
     assert sorted(
         (r["_key"], int(r["_seq"])) for r in kept_h.collect()
     ) == [("a", 4), ("b", 3)]
+
+
+def test_stream_classified_changes_matches_batch_feed(spark, tmp_path):
+    """The streaming classified CDF (pacing stream bridged into
+    follow_changes windows) delivers exactly the batch read_changes
+    output: insert/update/delete tags, replays collapsed in-window and
+    ignored below the marker, and a consumer that lapses below the
+    compaction horizon fails loudly instead of emitting a gapped
+    feed."""
+    import pytest as _pytest
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, read_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_classified_changes,
+    )
+
+    src = str(tmp_path / "cls_src")
+    ck = str(tmp_path / "cls_ck")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    t0, t1 = make_trade(0), make_trade(1)
+    b1 = feed([("INSERT", t0, 1), ("INSERT", t1, 2)], "k1")
+    apply_changes(spark, b1, src, "id", mode="history")
+    apply_changes(spark, b1, src, "id", mode="history")  # in-window replay
+
+    got = []
+
+    def proc(df, frm, to):
+        got.extend(
+            (r["id"], int(r["_seq"]), r["_change_type"])
+            for r in df.collect()
+        )
+
+    _await(stream_classified_changes(spark, src, ck, proc))
+    assert sorted(got) == [(t0["id"], 1, "insert"), (t1["id"], 2, "insert")]
+
+    # second wave: update + delete; plus a below-marker replay of b1
+    apply_changes(
+        spark,
+        feed([("MODIFY", dict(t0, shares=9), 3),
+              ("REMOVE", {"id": t1["id"]}, 4)], "k2"),
+        src, "id", mode="history",
+    )
+    apply_changes(spark, b1, src, "id", mode="history")
+    got.clear()
+    _await(stream_classified_changes(spark, src, ck, proc))
+    assert sorted(got) == [(t0["id"], 3, "update"), (t1["id"], 4, "delete")]
+
+    # the union of delivered windows equals the batch classified feed
+    batch = sorted(
+        (r["id"], int(r["_seq"]), r["_change_type"])
+        for r in read_changes(spark, src).collect()
+    )
+    assert batch == [
+        (t0["id"], 1, "insert"), (t0["id"], 3, "update"),
+        (t1["id"], 2, "insert"), (t1["id"], 4, "delete"),
+    ]
+
+    # consumer lapse below the compaction horizon: loud failure
+    apply_changes(
+        spark, feed([("MODIFY", dict(t0, shares=10), 5)], "k3"),
+        src, "id", mode="history",
+    )
+    compact_history(spark, src, before_seq=5)
+    with _pytest.raises(Exception, match="horizon"):
+        _await(stream_classified_changes(spark, src, ck, proc))
