@@ -1,0 +1,133 @@
+"""The coordination layer's filesystem primitives — in ONE place.
+
+Every piece of engine coordination state (writer locks, schema
+manifests, stats sidecars, compaction-horizon and feed-offset markers,
+the staging/old table-swap protocol) ultimately needs only FOUR
+storage primitives. The operator modules used to call ``os.*``
+directly at ~20 sites, welding the POSIX assumption into each; this
+module is the single seam an object-store port swaps out. Data-plane
+I/O (parquet reads/writes, file listing for scans) stays with Spark
+and ``os.walk`` — those already ride Hadoop filesystem connectors on a
+real cluster; THIS seam is for the engine's own control files, which
+Spark never touches.
+
+The primitives and their object-store equivalents:
+
+=====================  ==========================================
+primitive              object-store mapping
+=====================  ==========================================
+``create_exclusive``   conditional create: S3 ``PUT`` with
+                       ``If-None-Match: *`` (CAS since 2024-08),
+                       GCS ``x-goog-if-generation-match: 0``,
+                       ADLS ``Create`` with conflict failure.
+                       This is the writer-fence acquire — the same
+                       primitive a lakehouse transaction log's
+                       optimistic commit uses.
+``atomic_write_text``  plain single-key ``PUT``: object stores
+                       replace a key atomically, so the POSIX
+                       tmp-file + ``rename`` dance degenerates to
+                       one request. Readers see old or new bytes,
+                       never torn ones.
+``read_text``          ``GET`` (miss -> None). Read-after-write
+                       consistency is required and is provided by
+                       S3/GCS/ADLS today.
+``remove`` / ``move``  ``DELETE``; and for ``move``: object stores
+                       have NO atomic rename — single-FILE moves
+                       become copy+delete (used only in the lock
+                       adoption dance, where the create_exclusive
+                       CAS, not the rename, carries the atomicity),
+                       while the DIRECTORY swap (``_swap_into``)
+                       must become a transaction-log commit (Delta/
+                       Iceberg metadata pointer flip) rather than a
+                       physical move. ``move`` callers are annotated
+                       accordingly.
+=====================  ==========================================
+
+Reference tie: the reference delegates all of this to managed services
+(S3 keys written once by the Lambda relay, Redshift's own txn layer —
+``write_dynamodb_stream_to_s3_lambda/handler.py``,
+``load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py``);
+a self-hosted engine owns the primitives explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def makedirs(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+
+
+def create_exclusive(path: str, data: bytes) -> bool:
+    """Create ``path`` with ``data`` iff it does not already exist —
+    the atomic compare-and-swap every lock acquire rides. Returns False
+    when the path already exists (somebody else holds it). The create
+    and the content write are two steps on POSIX; a reader catching the
+    in-between sees an EMPTY file and must treat it as held-but-torn
+    (the lock code's conservative 'alive' verdict). On an object store
+    the conditional PUT carries the content atomically."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    try:
+        os.write(fd, data)
+    finally:
+        os.close(fd)
+    return True
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    """Replace ``path``'s content atomically: a crash mid-write must
+    never leave torn bytes that poison later reads (markers, manifests
+    and sidecars are all parsed). POSIX: UNIQUELY-named sibling tmp +
+    rename — a shared tmp name would let two concurrent writers tear
+    each other (one replaces while the other is still writing); object
+    store: one PUT. A crash can orphan a tmp sibling; every
+    coordination file is underscore-prefixed or lives outside Spark's
+    listing, so orphans are invisible junk, not phantom data."""
+    import uuid
+
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def read_text(path: str) -> str | None:
+    """The file's text, or None when it does not exist. Torn content is
+    impossible for files written via ``atomic_write_text``; callers of
+    files written by ``create_exclusive`` own the torn-read case."""
+    try:
+        with open(path) as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
+def remove(path: str) -> bool:
+    """Delete a control file; True if it existed. Never raises on a
+    concurrent delete (idempotent, like an object-store DELETE)."""
+    try:
+        os.remove(path)
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def move(src: str, dst: str) -> None:
+    """Rename ``src`` onto ``dst`` (atomic on POSIX, clobbering).
+    Object-store ports: for single FILES this is copy+delete — callers
+    must not rely on its atomicity for correctness (the lock adoption
+    dance doesn't: exactly-one-adopter comes from the rename-away of a
+    uniquely-named source, which copy+delete-if-source-matches can
+    emulate, and the final re-create rides ``create_exclusive``'s CAS).
+    For DIRECTORIES (the table swap) there is no equivalent at all —
+    that call site becomes a transaction-log pointer flip on a
+    lakehouse format, as its docstring notes."""
+    os.rename(src, dst)

@@ -42,6 +42,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .. import fsio
 from ..sources.change_feed import VALID_OPS
 
 SEQ_COL = "_seq"
@@ -108,11 +109,10 @@ def read_table_schema(path: str):
 
     from pyspark.sql.types import StructType
 
-    p = os.path.join(path, SCHEMA_MANIFEST)
-    if not os.path.exists(p):
+    raw = fsio.read_text(os.path.join(path, SCHEMA_MANIFEST))
+    if raw is None:
         return None
-    with open(p) as f:
-        return StructType.fromJson(json.loads(f.read()))
+    return StructType.fromJson(json.loads(raw))
 
 
 def _nullable_schema(schema):
@@ -128,10 +128,9 @@ def _nullable_schema(schema):
 
 
 def _write_table_schema(path: str, schema) -> None:
-    tmp = os.path.join(path, SCHEMA_MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(_nullable_schema(schema).json())
-    os.replace(tmp, os.path.join(path, SCHEMA_MANIFEST))
+    fsio.atomic_write_text(
+        os.path.join(path, SCHEMA_MANIFEST), _nullable_schema(schema).json()
+    )
 
 
 def _stamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
@@ -181,10 +180,7 @@ def _stamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
     have = {f.name: f.dataType for f in existing.fields}
     for f in new_schema.fields:
         if f.name in have and f.dataType != have[f.name]:
-            try:
-                os.remove(os.path.join(path, SCHEMA_MANIFEST))
-            except FileNotFoundError:
-                pass
+            fsio.remove(os.path.join(path, SCHEMA_MANIFEST))
             return
     added = [f for f in new_schema.fields if f.name not in have]
     if added:
@@ -469,12 +465,18 @@ _LOCK_SUFFIX = "__lock"
 LOCK_LEASE_SECONDS: float | None = None
 
 # read_changes' touched-key restriction engages only when the window
-# covers at most this fraction of the sidecar-known files (wider
-# windows would pay the discovery pass for little pruning). The value
-# is MEASURED, not guessed: scripts/probe_change_feed_scale.py
-# --gate-sweep times restricted vs unrestricted reads across window
-# spans at 10x scale; see COVERAGE.md for the recorded crossover.
-READ_CHANGES_RESTRICT_GATE = 0.5
+# covers at most this fraction of the sidecar-known files. MEASURED,
+# not guessed (scripts/probe_change_feed_scale.py --gate-sweep, 10x
+# AND 100x, COVERAGE.md round-8): the restriction wins only the
+# consumer-tick regime — windows confined to fresh post-stats files
+# (known-file fraction ~0; 0.1% keys touched: 37% faster at 100x) —
+# is a wash by ~1% of keys touched, and LOSES at every measured
+# known-file span >= 10% at both scales (e.g. 7.5s vs 5.5s at 100x),
+# because a catch-up window's touched-key set approaches the key
+# space, making the discovery pass + semi-join pure overhead. The
+# round-7 default of 0.5 was a guess; 0.05 keeps the restriction on
+# ticks and off everything the sweep showed losing.
+READ_CHANGES_RESTRICT_GATE = 0.05
 
 
 def _lock_path(target_path: str) -> str:
@@ -489,11 +491,7 @@ def break_table_lock(target_path: str) -> bool:
     lost-commit window the fence exists to close; the caller owns that
     judgment, as with any lease-break. Returns True if a lock file was
     removed."""
-    try:
-        os.remove(_lock_path(target_path))
-        return True
-    except FileNotFoundError:
-        return False
+    return fsio.remove(_lock_path(target_path))
 
 
 def _proc_start_time(pid: int) -> str | None:
@@ -563,8 +561,9 @@ def _lock_owner_is_dead(lock: str) -> bool:
 
 def _write_lock(target_path: str):
     """Context manager: the single-writer fence every table mutation
-    runs under. Acquisition is one atomic O_CREAT|O_EXCL create of the
-    sibling lock file (the portable file-system mutex); the owner
+    runs under. Acquisition is one atomic create-exclusive of the
+    sibling lock file (``fsio.create_exclusive`` — the portable
+    file-system mutex, a conditional PUT on object stores); the owner
     records pid+host so a writer that DIED on this host is adopted
     automatically instead of deadlocking crash recovery. A live
     concurrent writer raises ConcurrentWriteError immediately — no
@@ -582,80 +581,62 @@ def _write_lock(target_path: str):
     @contextlib.contextmanager
     def _cm():
         lock = _lock_path(target_path)
-        parent = os.path.dirname(os.path.abspath(lock))
-        os.makedirs(parent, exist_ok=True)
-        fd = None
+        fsio.makedirs(os.path.dirname(os.path.abspath(lock)))
+        payload = json.dumps(
+            {
+                "pid": os.getpid(),
+                "pid_start": _proc_start_time(os.getpid()),
+                "host": socket.gethostname(),
+                "acquired_unix": time.time(),
+            }
+        ).encode()
+        acquired = False
         for _ in range(3):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            if fsio.create_exclusive(lock, payload):
+                acquired = True
                 break
-            except FileExistsError:
-                if not _lock_owner_is_dead(lock):
-                    raise ConcurrentWriteError(
-                        f"table {target_path!r} is locked by another "
-                        f"writer ({lock}); if its owner is dead on "
-                        "another host, break_table_lock() releases it"
-                    )
-                # Adopt WITHOUT a delete-then-create TOCTOU: rename the
-                # stale lock to a unique name first — rename is atomic,
-                # so of N adopters exactly ONE owns the renamed file
-                # (the rest race back to the O_EXCL create) and a live
-                # lock created in between is never deleted out from
-                # under its owner. Re-verify on the file we now own
-                # (pid-reuse edge: judged dead, now alive) and restore
-                # it non-clobberingly if the owner is alive after all.
-                import uuid as _uuid
-
-                stale = f"{lock}.adopt-{_uuid.uuid4().hex[:8]}"
-                try:
-                    os.rename(lock, stale)
-                except FileNotFoundError:
-                    continue  # released or adopted by someone else
-                if _lock_owner_is_dead(stale):
-                    os.remove(stale)
-                    continue  # truly dead: retry the atomic create
-                try:
-                    with open(stale, "rb") as sf:
-                        content = sf.read()
-                    rfd = os.open(
-                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                    )
-                    os.write(rfd, content)
-                    os.close(rfd)
-                except FileExistsError:
-                    pass  # a newer writer got in: leave its lock alone
-                os.remove(stale)
+            if not _lock_owner_is_dead(lock):
                 raise ConcurrentWriteError(
-                    f"table {target_path!r} is locked by another writer "
-                    f"({lock}); if its owner is dead on another host, "
-                    "break_table_lock() releases it"
+                    f"table {target_path!r} is locked by another "
+                    f"writer ({lock}); if its owner is dead on "
+                    "another host, break_table_lock() releases it"
                 )
-        if fd is None:
+            # Adopt WITHOUT a delete-then-create TOCTOU: rename the
+            # stale lock to a unique name first — of N adopters exactly
+            # ONE owns the renamed file (the rest race back to the
+            # create_exclusive CAS) and a live lock created in between
+            # is never deleted out from under its owner. Re-verify on
+            # the file we now own (pid-reuse edge: judged dead, now
+            # alive) and restore it non-clobberingly if the owner is
+            # alive after all.
+            import uuid as _uuid
+
+            stale = f"{lock}.adopt-{_uuid.uuid4().hex[:8]}"
+            try:
+                fsio.move(lock, stale)
+            except FileNotFoundError:
+                continue  # released or adopted by someone else
+            if _lock_owner_is_dead(stale):
+                fsio.remove(stale)
+                continue  # truly dead: retry the atomic create
+            content = fsio.read_text(stale)
+            if content is not None:
+                # a newer writer's own lock wins the CAS; leave it alone
+                fsio.create_exclusive(lock, content.encode())
+            fsio.remove(stale)
+            raise ConcurrentWriteError(
+                f"table {target_path!r} is locked by another writer "
+                f"({lock}); if its owner is dead on another host, "
+                "break_table_lock() releases it"
+            )
+        if not acquired:
             raise ConcurrentWriteError(
                 f"could not acquire writer lock for {target_path!r}"
             )
         try:
-            os.write(
-                fd,
-                json.dumps(
-                    {
-                        "pid": os.getpid(),
-                        "pid_start": _proc_start_time(os.getpid()),
-                        "host": socket.gethostname(),
-                        "acquired_unix": time.time(),
-                    }
-                ).encode(),
-            )
-            os.close(fd)
-            fd = None
             yield
         finally:
-            if fd is not None:
-                os.close(fd)
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            fsio.remove(lock)
 
     return _cm()
 
@@ -811,21 +792,22 @@ def _swap_into(
     # any swap (a file-size compaction must not erase the horizon)
     carried = dict(extra_files or {})
     for fname in _SIDECAR_MARKERS:
-        src = os.path.join(target_path, fname)
-        if fname not in carried and os.path.exists(src):
-            with open(src) as fh:
-                carried[fname] = fh.read()
+        if fname not in carried:
+            content = fsio.read_text(os.path.join(target_path, fname))
+            if content is not None:
+                carried[fname] = content
     # the swap replaces the WHOLE table with df, so the schema manifest
     # is re-stamped fresh from the written frame (a carried copy would
     # go stale the moment a swap narrowed or evolved the schema)
     carried[SCHEMA_MANIFEST] = _nullable_schema(df.schema).json()
     for fname, content in carried.items():
-        with open(os.path.join(tmp, fname), "w") as fh:
-            fh.write(content)
+        fsio.atomic_write_text(os.path.join(tmp, fname), content)
     old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
     if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(tmp, target_path)
+        # on a lakehouse format these two moves are ONE transaction-log
+        # pointer flip (see fsio.move's object-store note)
+        fsio.move(target_path, old)
+    fsio.move(tmp, target_path)
     if os.path.exists(old):
         shutil.rmtree(old)
 
@@ -853,12 +835,12 @@ def _recover_swap(target_path: str) -> bool:
         if os.path.exists(os.path.join(p, "_SUCCESS"))
     ]
     if stagings:
-        os.rename(max(stagings, key=os.path.getmtime), target_path)
+        fsio.move(max(stagings, key=os.path.getmtime), target_path)
         _clean_stale()
         return True
     olds = _glob.glob(f"{target_path}__old_*")
     if olds:
-        os.rename(max(olds, key=os.path.getmtime), target_path)
+        fsio.move(max(olds, key=os.path.getmtime), target_path)
         _clean_stale()
         return True
     return False
@@ -1715,19 +1697,14 @@ def follow_changes(
     the checkpoint is one seq string — no per-key consumer state.
     """
     ck = os.path.join(checkpoint_path, "_change_feed_offset")
-    os.makedirs(checkpoint_path, exist_ok=True)
+    fsio.makedirs(checkpoint_path)
 
     def _read_ck() -> str | None:
-        if not os.path.exists(ck):
-            return None
-        with open(ck) as f:
-            return f.read().strip() or None
+        raw = fsio.read_text(ck)
+        return (raw.strip() or None) if raw is not None else None
 
     def _write_ck(seq: str) -> None:
-        tmp = ck + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(seq)
-        os.replace(tmp, ck)  # atomic on POSIX: never a torn offset
+        fsio.atomic_write_text(ck, seq)  # never a torn offset
 
     delivered = 0
     ticks = 0

@@ -1070,10 +1070,11 @@ def build_minhash_index(
         "seed": seed,
         "bucket_cap": bucket_cap,
     }
-    tmp = os.path.join(index_path, f"meta.json.tmp.{os.getpid()}")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(index_path, "meta.json"))
+    from .. import fsio
+
+    fsio.atomic_write_text(
+        os.path.join(index_path, "meta.json"), json.dumps(meta)
+    )
     return meta
 
 

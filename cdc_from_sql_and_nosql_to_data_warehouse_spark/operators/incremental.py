@@ -221,11 +221,10 @@ def _sync_aggregate_locked(
     _recover_swap(agg_path)
     import os
 
-    marker_path = os.path.join(agg_path, AGG_THROUGH_MARKER)
-    through = None
-    if os.path.exists(marker_path):
-        with open(marker_path) as f:
-            through = f.read().strip() or None
+    from .. import fsio
+
+    raw = fsio.read_text(os.path.join(agg_path, AGG_THROUGH_MARKER))
+    through = (raw.strip() or None) if raw is not None else None
 
     src = _read_table(spark, source_path)
     if KEY_COL not in src.columns:
@@ -456,11 +455,10 @@ def sync_aggregate_minmax(
         _recover_swap(agg_path)
         import os
 
-        marker_path = os.path.join(agg_path, AGG_THROUGH_MARKER)
-        through = None
-        if os.path.exists(marker_path):
-            with open(marker_path) as f:
-                through = f.read().strip() or None
+        from .. import fsio
+
+        raw = fsio.read_text(os.path.join(agg_path, AGG_THROUGH_MARKER))
+        through = (raw.strip() or None) if raw is not None else None
 
         src = _read_table(spark, source_path)
         if KEY_COL not in src.columns:

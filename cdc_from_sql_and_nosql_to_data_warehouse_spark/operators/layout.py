@@ -224,13 +224,13 @@ def _load_sidecar(path: str) -> dict | None:
 
 
 def _dump_sidecar(path: str, payload: dict) -> None:
-    """Atomic sidecar replace (tmp + rename): a crash mid-write must
+    """Atomic sidecar replace (fsio seam): a crash mid-write must
     never leave a torn JSON that poisons later reads."""
-    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-    tmp = sidecar + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, sidecar)
+    from .. import fsio
+
+    fsio.atomic_write_text(
+        os.path.join(path, FILE_STATS_SIDECAR), json.dumps(payload)
+    )
 
 
 def _enc_stat(v):

@@ -561,21 +561,24 @@ HISTORY_HORIZON_MARKER = "_history_horizon"
 
 
 def _write_history_horizon(path: str, before_seq: int | str) -> None:
-    """Persist the compaction horizon (canonical form, monotone)."""
+    """Persist the compaction horizon (canonical form, monotone,
+    atomic — a torn marker would poison every later horizon check)."""
+    from .. import fsio
+
     new = _canonical_seq_str(before_seq)
     cur = read_history_horizon(path)
     if cur is None or new > cur:
-        with open(os.path.join(path, HISTORY_HORIZON_MARKER), "w") as f:
-            f.write(new)
+        fsio.atomic_write_text(
+            os.path.join(path, HISTORY_HORIZON_MARKER), new
+        )
 
 
 def read_history_horizon(path: str) -> str | None:
     """Canonical horizon seq below which time travel is unavailable."""
-    p = os.path.join(path, HISTORY_HORIZON_MARKER)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return f.read().strip() or None
+    from .. import fsio
+
+    raw = fsio.read_text(os.path.join(path, HISTORY_HORIZON_MARKER))
+    return (raw.strip() or None) if raw is not None else None
 
 
 def _canonical_seq_str(seq: int | str) -> str:

@@ -492,11 +492,10 @@ def train_ivf_centroids(
             # atomic write (tmp + rename) so concurrent builders never
             # read a torn file
             try:
-                os.makedirs(_index_cache_dir(), exist_ok=True)
-                tmp = disk_path + f".tmp.{os.getpid()}"
-                with open(tmp, "w") as fh:
-                    json.dump(result, fh)
-                os.replace(tmp, disk_path)
+                from .. import fsio
+
+                fsio.makedirs(_index_cache_dir())
+                fsio.atomic_write_text(disk_path, json.dumps(result))
             except OSError:
                 pass  # cache dir unavailable: training still succeeded
     return result
@@ -680,11 +679,10 @@ def train_pq_codebooks(
         _CENTROID_CACHE[memo] = books
         if disk_path is not None:
             try:
-                os.makedirs(_index_cache_dir(), exist_ok=True)
-                tmp = disk_path + f".tmp.{os.getpid()}"
-                with open(tmp, "w") as fh:
-                    json.dump(books, fh)
-                os.replace(tmp, disk_path)
+                from .. import fsio
+
+                fsio.makedirs(_index_cache_dir())
+                fsio.atomic_write_text(disk_path, json.dumps(books))
             except OSError:
                 pass
     return books

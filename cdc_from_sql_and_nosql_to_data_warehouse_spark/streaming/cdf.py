@@ -208,21 +208,17 @@ def stream_sync_changes(
     cadence. Returns the StreamingQuery."""
     import os
 
+    from .. import fsio
+
     marker = os.path.join(checkpoint_path, APPLIED_MAX_MARKER)
 
     def _read_marker() -> str | None:
-        try:
-            with open(marker) as f:
-                return f.read().strip() or None
-        except FileNotFoundError:
-            return None
+        raw = fsio.read_text(marker)
+        return (raw.strip() or None) if raw is not None else None
 
     def _write_marker(v: str) -> None:
-        os.makedirs(checkpoint_path, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(v)
-        os.replace(tmp, marker)
+        fsio.makedirs(checkpoint_path)
+        fsio.atomic_write_text(marker, v)
 
     def _apply(batch: DataFrame, _epoch_id: int) -> None:
         batch_max = batch.agg(

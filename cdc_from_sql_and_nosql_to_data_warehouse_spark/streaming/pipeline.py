@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import fsio
 from ..config import EngineConfig
 from ..functions.dynamodb_json import _unwrap  # typed tag-stripping
 from ..operators.apply import apply_changes
@@ -126,7 +127,8 @@ def run_stream_to_staging(
         # single staging object per micro-batch = reference parity
         decoded.coalesce(1).write.mode("overwrite").json(tmp)
         parts = glob.glob(f"{tmp}/part-*.json") or glob.glob(f"{tmp}/part-*")
-        os.rename(parts[0], os.path.join(staging_dir, name))
+        # the K8 file-handoff commit: one single-file move (fsio seam)
+        fsio.move(parts[0], os.path.join(staging_dir, name))
         shutil.rmtree(tmp, ignore_errors=True)
 
     return (
@@ -578,10 +580,9 @@ def run_streaming_dedup(
                 "seed": seed,
                 "bucket_cap": bucket_cap,
             }
-            tmp = os.path.join(index_path, f"meta.json.tmp.{os.getpid()}")
-            with open(tmp, "w") as fh:
-                json.dump(meta, fh)
-            os.replace(tmp, os.path.join(index_path, "meta.json"))
+            fsio.atomic_write_text(
+                os.path.join(index_path, "meta.json"), json.dumps(meta)
+            )
         elif (
             rebuild_bigbuckets_every_n_batches
             and (epoch_id + 1) % rebuild_bigbuckets_every_n_batches == 0

@@ -1814,10 +1814,12 @@ def test_seq_pruning_skipped_on_noncanonical_stats(spark, tmp_path):
 
 
 def test_read_changes_selectivity_gate_toggles_restriction(spark, tmp_path):
-    """The touched-key restriction appears in the plan for NARROW
-    windows (a semi join above the scan) and is skipped for WIDE
-    catch-up windows when canonical _seq stats show the window spans
-    most files (the discovery pass would prune nothing)."""
+    """The touched-key restriction appears in the plan for the
+    CONSUMER-TICK regime — a window confined to fresh (sidecar-unknown)
+    files, the only regime the round-8 gate sweep measured it winning —
+    and is skipped for catch-up windows spanning the known files (the
+    discovery pass + semi-join measured as pure overhead there at both
+    10x and 100x; see READ_CHANGES_RESTRICT_GATE)."""
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
         apply_changes, read_changes,
     )
@@ -1837,18 +1839,28 @@ def test_read_changes_selectivity_gate_toggles_restriction(spark, tmp_path):
         )
         apply_changes(spark, env, src, "k", mode="history")
     collect_file_stats(spark, src, ["_seq", "_key"])
+    # the steady-state tick: one fresh batch past the stats pass
+    env = spark.range(10).select(
+        F.col("id").cast("string").alias("key"),
+        F.lit("MODIFY").alias("op"),
+        F.struct(F.col("id").alias("k"),
+                 (F.col("id") * 5).cast("double").alias("v")).alias("after"),
+        F.lit(5).alias("seq"),
+    )
+    apply_changes(spark, env, src, "k", mode="history")
 
     def plan(from_seq):
         return read_changes(spark, src, from_seq=from_seq)._jdf.queryExecution().optimizedPlan().toString()
 
-    # narrow window (only the last generation): restriction present
-    assert "Join LeftSemi" in plan(3)
-    # wide window (everything): gate skips the restriction
+    # tick window (fresh files only; 0 known files in-window): restricted
+    assert "Join LeftSemi" in plan(4)
+    # catch-up windows spanning known files: gate skips the restriction
+    assert "Join LeftSemi" not in plan(2)
     assert "Join LeftSemi" not in plan(0)
     # results identical semantics regardless of the gate
     a = sorted((r["_key"], int(r["_seq"])) for r in
-               read_changes(spark, src, from_seq=3).collect())
-    assert a == [(str(i), 4) for i in range(10)]
+               read_changes(spark, src, from_seq=4).collect())
+    assert a == [(str(i), 5) for i in range(10)]
 
 
 def test_sync_aggregate_inset_path_on_noncanonical_seq_stats(spark, tmp_path):
