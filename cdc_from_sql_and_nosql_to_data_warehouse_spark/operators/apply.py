@@ -325,6 +325,14 @@ def _is_canonical_seq_str(v) -> bool:
     return isinstance(v, str) and len(v) == 40 and v.isdigit()
 
 
+# path -> (sidecar (mtime_ns, size), verdict): the canonicality walk
+# iterates every sidecar entry, and one hot read_changes tick consults
+# it several times — memoized per sidecar VERSION, the same freshness
+# key the sidecar parse cache uses (_dump_sidecar replaces the file,
+# so the key changes whenever the content can).
+_SEQ_CANONICAL_CACHE: dict = {}
+
+
 def _seq_stats_canonical(path: str) -> bool:
     """True when every recorded _seq bound in the stats sidecar is in
     the canonical 40-char form — the precondition for comparing a
@@ -336,18 +344,34 @@ def _seq_stats_canonical(path: str) -> bool:
     seq-bound pruning must be skipped entirely for them. True also
     when the sidecar does not track _seq (prune_files is then
     conservative by itself)."""
-    from .layout import _load_sidecar
+    from .layout import FILE_STATS_SIDECAR, _load_sidecar
 
-    stats = _load_sidecar(path)
-    if stats is None or SEQ_COL not in stats.get("columns", []):
+    try:
+        st = os.stat(os.path.join(path, FILE_STATS_SIDECAR))
+        key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _SEQ_CANONICAL_CACHE.get(path)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+
+    def _walk() -> bool:
+        stats = _load_sidecar(path)
+        if stats is None or SEQ_COL not in stats.get("columns", []):
+            return True
+        for entry in stats["files"].values():
+            if SEQ_COL not in entry:
+                continue
+            for bound in entry[SEQ_COL]:
+                if bound is not None and not _is_canonical_seq_str(bound):
+                    return False
         return True
-    for entry in stats["files"].values():
-        if SEQ_COL not in entry:
-            continue
-        for bound in entry[SEQ_COL]:
-            if bound is not None and not _is_canonical_seq_str(bound):
-                return False
-    return True
+
+    verdict = _walk()
+    if key is not None:
+        _SEQ_CANONICAL_CACHE[path] = (key, verdict)
+    return verdict
 
 
 def _seq_scoped_read(

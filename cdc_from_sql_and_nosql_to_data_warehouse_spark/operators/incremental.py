@@ -539,13 +539,25 @@ def sync_aggregate_minmax(
                         )
                     return _av_memo[0]
 
+                # the staged discovery below costs eager driver jobs
+                # (one capped collect per stage); they only pay when a
+                # stats sidecar exists for the pruner to act on —
+                # without one the distributed semi-join plans are
+                # strictly better (measured ~+2s per certificate drain
+                # on a sidecar-less table)
+                from .layout import _load_sidecar
+
+                has_stats = _load_sidecar(source_path) is not None
+
                 # prior state of the window's touched keys (their
                 # pre-window groups must retract: group moves and
                 # deletes retract from a group the window rows may not
                 # name) — InSet + bloom-pruned when the key set fits
                 # the driver cap, so the scan is O(touched files), not
                 # O(retained history)
-                touched_vals = _capped_distinct(in_range, KEY_COL)
+                touched_vals = (
+                    _capped_distinct(in_range, KEY_COL) if has_stats else None
+                )
                 if touched_vals is not None:
                     pre = _keyed_history(touched_vals, through)
                 else:
@@ -591,7 +603,11 @@ def sync_aggregate_minmax(
                 # or NULL value falls back to the null-safe distributed
                 # semi-joins (a NULL group is a legitimate aggregate
                 # row, a NULL key a legitimate state group).
-                group_vals = _capped_distinct(touched_group_frame, group_col)
+                group_vals = (
+                    _capped_distinct(touched_group_frame, group_col)
+                    if has_stats
+                    else None
+                )
                 cand_vals = None
                 if group_vals is not None:
                     disc = _pruned_table_read(
