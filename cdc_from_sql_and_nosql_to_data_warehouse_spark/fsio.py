@@ -55,10 +55,6 @@ from __future__ import annotations
 import os
 
 
-def exists(path: str) -> bool:
-    return os.path.exists(path)
-
-
 def makedirs(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 

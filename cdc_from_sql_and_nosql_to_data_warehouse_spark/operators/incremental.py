@@ -291,18 +291,9 @@ def _sync_aggregate_locked(
             # pruner) and replaces the semi-join with an InSet filter
             # (no shuffle at all). Past the cap, fall back to the
             # distributed semi-join over the full pre-window scan.
-            touched_vals = [
-                r[0]
-                for r in in_range.select(KEY_COL)
-                .distinct()
-                .limit(_TOUCHED_KEY_CAP + 1)
-                .collect()
-            ]
+            touched_vals = _capped_distinct(in_range, KEY_COL)
             pre_src = src
-            if (
-                len(touched_vals) <= _TOUCHED_KEY_CAP
-                and all(v is not None for v in touched_vals)
-            ):
+            if touched_vals is not None:
                 # the KEY_COL bloom/in predicate is always sound; the
                 # SEQ_COL bound may only reach the pruner when every
                 # recorded _seq stat is canonical (mixed-era tables
@@ -603,6 +594,24 @@ def sync_aggregate_minmax(
                 # or NULL value falls back to the null-safe distributed
                 # semi-joins (a NULL group is a legitimate aggregate
                 # row, a NULL key a legitimate state group).
+                def _stored_agg() -> DataFrame:
+                    # the maintained table, value columns re-cast to
+                    # the exact-arithmetic type (shared by both keep
+                    # paths below so the projection cannot drift)
+                    return spark.read.parquet(agg_path).select(
+                        group_col,
+                        "n_keys",
+                        F.col("total_value").cast(value_cast).alias(
+                            "total_value"
+                        ),
+                        F.col("min_value").cast(value_cast).alias(
+                            "min_value"
+                        ),
+                        F.col("max_value").cast(value_cast).alias(
+                            "max_value"
+                        ),
+                    )
+
                 group_vals = (
                     _capped_distinct(touched_group_frame, group_col)
                     if has_stats
@@ -632,30 +641,14 @@ def sync_aggregate_minmax(
                         .groupBy(group_col)
                         .agg(*aggs)
                     )
-                    base_kept = (
-                        spark.read.parquet(agg_path)
-                        .select(
-                            group_col,
-                            "n_keys",
-                            F.col("total_value").cast(value_cast).alias(
-                                "total_value"
-                            ),
-                            F.col("min_value").cast(value_cast).alias(
-                                "min_value"
-                            ),
-                            F.col("max_value").cast(value_cast).alias(
-                                "max_value"
-                            ),
-                        )
-                        # NULL-group base rows are untouched by
-                        # construction (a NULL in the touched set takes
-                        # the fallback): keep them through the
-                        # three-valued isin
-                        .filter(
-                            F.coalesce(
-                                ~F.col(group_col).isin(group_vals),
-                                F.lit(True),
-                            )
+                    # NULL-group base rows are untouched by
+                    # construction (a NULL in the touched set takes
+                    # the fallback): keep them through the
+                    # three-valued isin
+                    base_kept = _stored_agg().filter(
+                        F.coalesce(
+                            ~F.col(group_col).isin(group_vals),
+                            F.lit(True),
                         )
                     )
                 else:
@@ -699,29 +692,12 @@ def sync_aggregate_minmax(
                         .groupBy(group_col)
                         .agg(*aggs)
                     )
-                    base_kept = (
-                        spark.read.parquet(agg_path)
-                        .select(
-                            group_col,
-                            "n_keys",
-                            F.col("total_value").cast(value_cast).alias(
-                                "total_value"
-                            ),
-                            F.col("min_value").cast(value_cast).alias(
-                                "min_value"
-                            ),
-                            F.col("max_value").cast(value_cast).alias(
-                                "max_value"
-                            ),
-                        )
-                        .alias("_mm_base")
-                        .join(
-                            tg,
-                            F.col(f"_mm_base.{group_col}").eqNullSafe(
-                                F.col(f"_mm_tg.{group_col}")
-                            ),
-                            "left_anti",
-                        )
+                    base_kept = _stored_agg().alias("_mm_base").join(
+                        tg,
+                        F.col(f"_mm_base.{group_col}").eqNullSafe(
+                            F.col(f"_mm_tg.{group_col}")
+                        ),
+                        "left_anti",
                     )
                 new_agg = base_kept.unionByName(recomputed)
             except (ValueError, TypeError):

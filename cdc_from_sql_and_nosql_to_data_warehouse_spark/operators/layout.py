@@ -107,12 +107,45 @@ def _collision_free_tags(spark, n: int) -> list[int]:
     return out
 
 
+def _deterministic_quantiles(
+    zdf: DataFrame, n_partitions: int, target_sample: int = 200_000
+) -> list[int]:
+    """Explicit z-key bucket boundaries from a DETERMINISTIC
+    computation: a hash-membership sample (``xxhash64(_z, seed) % m ==
+    0`` — a pure function of the DATA, unlike reservoir sampling or
+    ``percentile_approx``, whose sketch merges are shuffle-order-
+    sensitive) collected to the driver, exact quantiles taken there.
+    Same data in → same boundaries out, on any cluster, any run. The
+    sample is ~``target_sample`` values (one count + one filtered
+    collect of longs — maintenance-cadence cost next to the full
+    rewrite this feeds); small inputs collect whole."""
+    n = zdf.count()
+    if n == 0:
+        return []
+    m = max(1, n // target_sample)
+    sample = [
+        r[0]
+        for r in zdf.select("_z")
+        .filter(F.pmod(F.xxhash64(F.col("_z"), F.lit(41)), F.lit(m)) == 0)
+        .collect()
+        if r[0] is not None
+    ]
+    if not sample:
+        return []
+    sample.sort()
+    return sorted(
+        {
+            int(sample[min(len(sample) - 1, (i * len(sample)) // n_partitions)])
+            for i in range(1, n_partitions)
+        }
+    )
+
+
 def zorder_repartition(
     df: DataFrame,
     cols: list[Column],
     n_partitions: int,
     bits: int = 16,
-    boundary_accuracy: int = 20_000,
 ) -> DataFrame:
     """Cluster ``df`` into ``n_partitions`` z-ordered output partitions
     with DETERMINISTIC bucket boundaries, rows sorted by the Morton key
@@ -122,26 +155,23 @@ def zorder_repartition(
     ``repartitionByRange`` was rejected here: its range boundaries come
     from reservoir SAMPLING, so the file layout — and with it every
     downstream prune count — wobbled with session state (the round-7
-    suite flake in tests/test_data_skipping.py). Instead one
-    high-accuracy ``percentile_approx`` pass derives explicit
-    boundaries (error ≤ rows/accuracy — at the default, exact to ~50
-    ppm of the row count, far inside a file's width), each row's bucket
-    is the count of boundaries below its key (a flat codegen comparison
-    tree, no shuffle), and a collision-free tag per bucket
-    (``_collision_free_tags``) routes every bucket to its own shuffle
-    partition. Cost vs the sampled plan: one extra aggregate over the
-    key column — maintenance-cadence work, where reproducible
-    clustering quality is worth a scan.
+    suite flake in tests/test_data_skipping.py). ``percentile_approx``
+    was rejected too: its sketch merges are shuffle-order-sensitive, so
+    boundaries can drift inside the rank-error window run to run.
+    Instead ``_deterministic_quantiles`` derives explicit boundaries
+    from a hash-membership sample (a pure function of the data), each
+    row's bucket is the count of boundaries below its key (a flat
+    codegen comparison tree, no shuffle), and a collision-free tag per
+    bucket (``_collision_free_tags``) routes every bucket to its own
+    shuffle partition. Cost vs the sampled plan: one count + one
+    sample collect over the key column — maintenance-cadence work,
+    where reproducible clustering quality is worth a scan.
     """
     z = zorder_value(cols, bits).alias("_z")
     zdf = df.withColumn("_z", z)
     if n_partitions <= 1:
         return zdf.coalesce(1).sortWithinPartitions("_z").drop("_z")
-    qs = [i / n_partitions for i in range(1, n_partitions)]
-    row = zdf.select(
-        F.percentile_approx("_z", qs, boundary_accuracy).alias("b")
-    ).first()
-    bounds = sorted({int(b) for b in (row["b"] or []) if b is not None})
+    bounds = _deterministic_quantiles(zdf, n_partitions)
     if not bounds:  # empty input, or a single-valued key: one bucket
         return zdf.repartition(1).sortWithinPartitions("_z").drop("_z")
     k = len(bounds) + 1

@@ -234,9 +234,11 @@ def stream_sync_changes(
             and mode in ("upsert", "history")
             and os.path.isdir(target_path)
         ):
+            # materialized once: the emptiness probe and the apply
+            # below must not each re-run the batch-vs-replica join
             rows = _already_applied_filter(
                 spark, batch, target_path, key, mode
-            )
+            ).localCheckpoint(eager=True)
             if rows.isEmpty():
                 return  # pure re-delivery: no merge, no rewrite
         apply_changes(

@@ -320,6 +320,7 @@ def main_gate_sweep() -> None:
             apply_changes(spark, env, path, "k", mode="history")
         collect_file_stats(spark, path, ["_seq", "_key"])
         print("span(gens)  touched~  restricted  unrestricted")
+        orig_gate = apply_mod.READ_CHANGES_RESTRICT_GATE
         for g_back in (2, 4, 6, 8, 10, 12, 14, 16, 18):
             frm = gens - g_back
             touched = 1 - 0.95 ** g_back
@@ -333,7 +334,7 @@ def main_gate_sweep() -> None:
                         ).count()
                     )
                 finally:
-                    apply_mod.READ_CHANGES_RESTRICT_GATE = 0.5
+                    apply_mod.READ_CHANGES_RESTRICT_GATE = orig_gate
             print(
                 f"{g_back:3d}/{gens}    {touched:7.0%}  "
                 f"{walls['restricted']:9.3f}s "
