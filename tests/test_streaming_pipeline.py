@@ -934,3 +934,139 @@ def test_stream_classified_changes_matches_batch_feed(spark, tmp_path):
     compact_history(spark, src, before_seq=5)
     with _pytest.raises(Exception, match="horizon"):
         _await(stream_classified_changes(spark, src, ck, proc))
+
+
+def test_round8_machinery_composes_through_compaction(spark, tmp_path):
+    """All round-8 machinery in one flow: a history warehouse feeds a
+    CLASSIFIED streaming consumer, a seq-GATED streaming replica, and a
+    PRUNED minmax view; a compaction lands mid-stream. Afterward: the
+    classified consumer saw each change exactly once (no re-emission
+    from the compaction's re-listed files), the replica converged
+    WITHOUT rewriting on the pure re-delivery, and the minmax view
+    equals a from-scratch recompute."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, read_warehouse as _rw,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_classified_changes,
+        stream_sync_aggregate,
+        stream_sync_changes,
+    )
+
+    wh = str(tmp_path / "r8_wh")
+    replica = str(tmp_path / "r8_replica")
+    view = str(tmp_path / "r8_view")
+    cks = {n: str(tmp_path / f"r8_ck_{n}") for n in ("cls", "rep", "mv")}
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    def drain_all():
+        _await(stream_classified_changes(spark, wh, cks["cls"], on_window))
+        _await(stream_sync_changes(spark, wh, replica, cks["rep"], "id"))
+        _await(stream_sync_aggregate(
+            spark, wh, view, cks["mv"], "ticker", "price", minmax=True,
+        ))
+
+    classified = []
+
+    def on_window(df, frm, to):
+        classified.extend(
+            (r["id"], int(r["_seq"]), r["_change_type"]) for r in df.collect()
+        )
+
+    def trade(i, ticker, price):
+        return dict(make_trade(i), ticker=ticker, price=float(price))
+
+    # wave 1: three keys across two groups
+    apply_changes(
+        spark,
+        feed([("INSERT", trade(0, "aa", 10), 1),
+              ("INSERT", trade(1, "aa", 20), 2),
+              ("INSERT", trade(2, "bb", 5), 3)], "r8f1"),
+        wh, "id", mode="history",
+    )
+    drain_all()
+
+    # mid-stream maintenance: fold superseded versions; every file is
+    # renamed, so all three consumers face a full re-delivery
+    compact_history(spark, wh, before_seq=3)
+    replica_files_before = {}
+    for cur, _dirs, names in os.walk(replica):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(cur, n)
+                replica_files_before[p] = os.stat(p).st_mtime_ns
+    n_classified_before = len(classified)
+    drain_all()
+    # exactly-once classified feed: nothing re-emitted
+    assert len(classified) == n_classified_before
+    # gated replica: pure re-delivery skipped the rewrite entirely
+    replica_files_after = {}
+    for cur, _dirs, names in os.walk(replica):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(cur, n)
+                replica_files_after[p] = os.stat(p).st_mtime_ns
+    assert replica_files_after == replica_files_before
+
+    # wave 2 after the compaction: group move (t0 aa->bb), delete of
+    # bb's minimum holder (t2), new group cc
+    apply_changes(
+        spark,
+        feed([("MODIFY", dict(trade(0, "bb", 11)), 4),
+              ("REMOVE", {"id": make_trade(2)["id"]}, 5),
+              ("INSERT", trade(3, "cc", 7), 6)], "r8f2"),
+        wh, "id", mode="history",
+    )
+    drain_all()
+
+    # classified feed = the batch feed, exactly once, in key order
+    assert sorted(classified) == sorted([
+        (make_trade(0)["id"], 1, "insert"),
+        (make_trade(1)["id"], 2, "insert"),
+        (make_trade(2)["id"], 3, "insert"),
+        (make_trade(0)["id"], 4, "update"),
+        (make_trade(2)["id"], 5, "delete"),
+        (make_trade(3)["id"], 6, "insert"),
+    ])
+    # replica converged to the source's live state
+    assert sorted(
+        (r["id"], r["ticker"], r["price"]) for r in _rw(spark, replica).collect()
+    ) == sorted(
+        (r["id"], r["ticker"], r["price"]) for r in _rw(spark, wh).collect()
+    )
+    # minmax view equals a from-scratch recompute (aa emptied by the
+    # group move, bb recomputed through delete of its old min, cc new)
+    got = sorted(
+        (r["ticker"], r["n_keys"], float(r["total_value"]),
+         float(r["min_value"]), float(r["max_value"]))
+        for r in spark.read.parquet(view).collect()
+    )
+    exp = sorted(
+        (r["ticker"], r["n"], float(r["tv"]), float(r["mn"]), float(r["mx"]))
+        for r in _rw(spark, wh).groupBy("ticker").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("tv"),
+            F.min(F.col("price").cast("decimal(18,2)")).alias("mn"),
+            F.max(F.col("price").cast("decimal(18,2)")).alias("mx"),
+        ).collect()
+    )
+    assert got == exp
+    # and concretely: t1 stayed in aa, t0 moved into bb, t2's delete
+    # left bb's min at t0's 11, cc is the new group
+    assert got == [
+        ("aa", 1, 20.0, 20.0, 20.0),
+        ("bb", 1, 11.0, 11.0, 11.0),
+        ("cc", 1, 7.0, 7.0, 7.0),
+    ]
