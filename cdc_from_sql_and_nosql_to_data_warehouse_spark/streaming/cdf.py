@@ -52,6 +52,7 @@ def stream_changes(
     spark: SparkSession,
     source_path: str,
     ignore_missing_files: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of a history-mode table's VERSION ROWS (one
     row per change event, ``_key``/``_seq``/``_deleted`` included) via
@@ -87,9 +88,18 @@ def stream_changes(
     # silently lose the superseded version rows compaction folds away,
     # so the default here FAILS LOUDLY — mirroring the batch path,
     # where read_changes raises below the compaction horizon.
+    # max_files_per_trigger: the catch-up pacing lever — a consumer
+    # bootstrapping against a large retained table (or facing a
+    # post-compaction full re-delivery) processes bounded micro-batches
+    # instead of one table-sized batch, keeping per-trigger memory and
+    # the downstream merge bounded. availableNow honors it as batch
+    # slicing; per-key correctness is unaffected (the convergent merge
+    # and the re-delivery gate arbitrate per (key, seq), not per batch).
     reader = spark.readStream.schema(schema)
     if ignore_missing_files:
         reader = reader.option("ignoreMissingFiles", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(source_path)
 
 
@@ -175,6 +185,7 @@ def stream_sync_changes(
     partition_by: list[str] | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Maintain a downstream replica of a history-mode table UNDER
     SPARK'S STREAMING MACHINERY: ``stream_changes`` feeds micro-batches
@@ -254,7 +265,12 @@ def stream_sync_changes(
             _write_marker(batch_max)
 
     writer = (
-        stream_changes(spark, source_path, ignore_missing_files=True)
+        stream_changes(
+            spark,
+            source_path,
+            ignore_missing_files=True,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_path)
     )
