@@ -83,6 +83,123 @@ _SIDECAR_MARKERS = (
     "_table_schema.json",
 )
 
+# --- Version-pointer table layout: the object-store commit -----------------
+#
+# ``_swap_into`` used to replace a table by two directory renames — a
+# primitive object stores do not have (S3/GCS/ADLS renames are
+# copy+delete per key, non-atomic). The pointer layout removes the last
+# POSIX-only dependency from the engine's commit path: a swapped table's
+# root holds a ``_current`` control file naming the live version
+# directory (``v_<counter>_<hex>``), and a commit is (1) write the new
+# fileset into a fresh version dir, (2) atomically replace ``_current``
+# (one PUT on an object store — fsio.atomic_write_text), (3) garbage-
+# collect superseded versions past a grace period. Readers resolve the
+# pointer through ``table_data_dir`` — they see the old version or the
+# new one, never a mix, and never depend on a rename. This is the same
+# shape as a Delta/Iceberg metadata-pointer flip, reduced to the one
+# bit of state plain parquet needs (reference tie: the reference's
+# warehouse handoff lives entirely on S3 objects written once,
+# load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py:96).
+#
+# Tables are born in the LEGACY layout (data files at the root):
+# blind appends and dynamic partition overwrites are already
+# object-store-native (new keys / per-partition commit), so only the
+# first whole-table swap upgrades a table to the pointer layout.
+# ``table_data_dir`` returns the root unchanged for legacy tables, so
+# every reader works on both layouts.
+CURRENT_POINTER = "_current"
+_VERSION_PREFIX = "v_"
+
+# Superseded version dirs (and, after an upgrade commit, legacy root
+# files) younger than this many seconds survive the commit-time GC so
+# in-flight readers that resolved the old pointer can finish their
+# scan. The default 0 matches the pre-pointer behavior (the old dir was
+# removed right after the rename); production object-store deployments
+# should set it above the longest-running read (Delta's VACUUM
+# retention knob, in miniature).
+VERSION_GC_GRACE_SECONDS: float = 0.0
+
+
+def table_data_dir(path: str) -> str:
+    """The physical directory holding a table's CURRENT data fileset:
+    the version dir named by the ``_current`` pointer, or ``path``
+    itself for legacy (never-swapped) tables. Idempotent — a version
+    dir contains no pointer — so defensive resolution at every
+    physical-read site is safe."""
+    raw = fsio.read_text(os.path.join(path, CURRENT_POINTER))
+    if raw is None:
+        return path
+    name = raw.strip()
+    if not name:
+        return path
+    return os.path.join(path, name)
+
+
+def _next_version_name(root: str) -> str:
+    """A fresh version-dir name whose counter exceeds every version the
+    root has ever seen — the pointer (authoritative) AND any orphan
+    staging dirs a crash left (counter monotonicity keeps 'newest
+    committed' recoverable by name alone)."""
+    best = 0
+    raw = fsio.read_text(os.path.join(root, CURRENT_POINTER))
+    names = [raw.strip()] if raw else []
+    try:
+        names += os.listdir(root)
+    except FileNotFoundError:
+        pass
+    for name in names:
+        if name.startswith(_VERSION_PREFIX):
+            part = name[len(_VERSION_PREFIX):].split("_", 1)[0]
+            if part.isdigit():
+                best = max(best, int(part))
+    return f"{_VERSION_PREFIX}{best + 1:010d}_{uuid.uuid4().hex[:8]}"
+
+
+def _gc_superseded(root: str, keep: str) -> None:
+    """Commit-time GC: every root entry other than the pointer and the
+    just-committed version dir is superseded state — old version dirs,
+    orphan stagings from crashed commits, and (after the upgrade
+    commit) the legacy root fileset. Entries younger than
+    ``VERSION_GC_GRACE_SECONDS`` survive for in-flight readers.
+    Deleting a directory tree is DATA-plane cleanup (a batch of
+    object-store DELETEs), not a coordination primitive — atomicity is
+    carried entirely by the pointer flip that precedes it."""
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except FileNotFoundError:
+        return
+    now = time.time()
+    for entry in entries:
+        if entry in (CURRENT_POINTER, keep):
+            continue
+        p = os.path.join(root, entry)
+        try:
+            if now - os.path.getmtime(p) < VERSION_GC_GRACE_SECONDS:
+                continue
+        except OSError:
+            continue
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            _drop_path_caches(p)
+        else:
+            fsio.remove(p)
+
+
+def _drop_path_caches(data_dir: str) -> None:
+    """Evict per-version memo entries for a deleted version dir —
+    without this, every swap would strand one parsed-sidecar copy in
+    the process-lifetime caches."""
+    _SEQ_CANONICAL_CACHE.pop(data_dir, None)
+    try:
+        from .layout import _SIDECAR_CACHE
+
+        _SIDECAR_CACHE.pop(data_dir, None)
+    except ImportError:  # pragma: no cover - layout always importable
+        pass
+
+
 # Write-time schema manifest: the union schema of the table's data
 # files, recorded by every engine write path (swap, blind append,
 # dynamic partition overwrite) and IMPOSED by the hot readers
@@ -109,7 +226,7 @@ def read_table_schema(path: str):
 
     from pyspark.sql.types import StructType
 
-    raw = fsio.read_text(os.path.join(path, SCHEMA_MANIFEST))
+    raw = fsio.read_text(os.path.join(table_data_dir(path), SCHEMA_MANIFEST))
     if raw is None:
         return None
     return StructType.fromJson(json.loads(raw))
@@ -129,7 +246,8 @@ def _nullable_schema(schema):
 
 def _write_table_schema(path: str, schema) -> None:
     fsio.atomic_write_text(
-        os.path.join(path, SCHEMA_MANIFEST), _nullable_schema(schema).json()
+        os.path.join(table_data_dir(path), SCHEMA_MANIFEST),
+        _nullable_schema(schema).json(),
     )
 
 
@@ -155,6 +273,7 @@ def _stamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
     footer pass over their own just-written files."""
     from pyspark.sql.types import StructType
 
+    path = table_data_dir(path)
     existing = read_table_schema(path)
     if existing is None:
         # The stamp runs AFTER the data write committed, so it must
@@ -216,6 +335,7 @@ def refresh_table_schema(spark: SparkSession, path: str):
     manifest only reflects engine writes, so an external evolving
     append would otherwise be invisible to manifest-imposed hot reads.
     Engine-managed tables never need this."""
+    path = table_data_dir(path)
     schema = (
         spark.read.option("mergeSchema", "true").parquet(path).schema
     )
@@ -230,6 +350,7 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     them to the end of the output schema); files missing a manifest
     column read NULL in it — exactly the mergeSchema result, minus the
     per-read footer union."""
+    path = table_data_dir(path)
     schema = read_table_schema(path)
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
@@ -251,6 +372,7 @@ def _pruned_table_read(
     manifest-schema frame when every file was pruned."""
     from .layout import _load_sidecar, prune_files
 
+    path = table_data_dir(path)
     schema = read_table_schema(path)
     stats = _load_sidecar(path)
     sidecar_schema = None
@@ -346,6 +468,7 @@ def _seq_stats_canonical(path: str) -> bool:
     conservative by itself)."""
     from .layout import FILE_STATS_SIDECAR, _load_sidecar
 
+    path = table_data_dir(path)
     try:
         st = os.stat(os.path.join(path, FILE_STATS_SIDECAR))
         key = (st.st_mtime_ns, st.st_size)
@@ -402,6 +525,7 @@ def current_max_seq(spark: SparkSession, path: str) -> str | None:
 
     from .layout import FILE_STATS_SIDECAR, _dec_stat, _list_data_files
 
+    path = table_data_dir(path)
     sidecar = os.path.join(path, FILE_STATS_SIDECAR)
     if os.path.exists(sidecar):
         with open(sidecar) as f:
@@ -792,32 +916,41 @@ def _swap_into(
     partition_by: list[str] | None = None,
     extra_files: dict[str, str] | None = None,
 ) -> None:
-    """Materialize df then replace target_path by rename (parquet has no
-    MERGE; a lakehouse table format would do this transactionally).
+    """Materialize df, then commit it as the table's next VERSION via
+    the pointer flip (parquet has no MERGE; this is the plain-parquet
+    reduction of a lakehouse transaction-log commit).
 
-    The two renames are NOT one atomic step: a crash between them
-    leaves target_path momentarily missing with the fully-committed new
-    fileset in ``__staging_*`` (and the previous one in ``__old_*``).
-    ``_recover_swap`` — invoked at the start of every apply, compact,
-    vacuum, and warehouse read — adopts the newest staging dir whose
-    ``_SUCCESS`` marker proves its write committed (or, failing that,
-    restores the old fileset), so a replayed micro-batch after a crash
-    merges against the full table instead of rebuilding from one
-    batch."""
-    tmp = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    Protocol: (1) write the new fileset into a fresh
+    ``{target_path}/v_<counter>_<hex>`` directory, sidecar markers
+    included, (2) atomically replace the ``_current`` pointer
+    (``fsio.atomic_write_text`` — one conditional-free PUT on an
+    object store; readers resolving through ``table_data_dir`` see the
+    old version or the new, never a mix), (3) GC superseded versions
+    past ``VERSION_GC_GRACE_SECONDS``. No step renames a directory, so
+    the commit runs unchanged on stores with no atomic rename. A crash
+    before (2) leaves an orphan version dir the next commit's GC
+    removes — the table still serves its previous version, and the
+    replayed batch re-merges convergently; a crash after (2) only
+    defers the GC. The first swap of a legacy (root-layout) table
+    upgrades it: the new version commits beside the legacy files,
+    which become superseded state the GC clears."""
+    src = table_data_dir(target_path)
+    ver = _next_version_name(target_path)
+    tmp = os.path.join(target_path, ver)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     # underscore-prefixed sidecar files (markers a table carries along,
-    # e.g. the history-compaction horizon) land in the staging dir
-    # BEFORE the rename so a crash in the swap window cannot separate
-    # the data from its marker; markers already on the table survive
-    # any swap (a file-size compaction must not erase the horizon)
+    # e.g. the history-compaction horizon) land in the version dir
+    # BEFORE the pointer flip so a crash in the commit window cannot
+    # separate the data from its marker; markers already on the table
+    # survive any swap (a file-size compaction must not erase the
+    # horizon)
     carried = dict(extra_files or {})
     for fname in _SIDECAR_MARKERS:
         if fname not in carried:
-            content = fsio.read_text(os.path.join(target_path, fname))
+            content = fsio.read_text(os.path.join(src, fname))
             if content is not None:
                 carried[fname] = content
     # the swap replaces the WHOLE table with df, so the schema manifest
@@ -826,24 +959,29 @@ def _swap_into(
     carried[SCHEMA_MANIFEST] = _nullable_schema(df.schema).json()
     for fname, content in carried.items():
         fsio.atomic_write_text(os.path.join(tmp, fname), content)
-    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(target_path):
-        # on a lakehouse format these two moves are ONE transaction-log
-        # pointer flip (see fsio.move's object-store note)
-        fsio.move(target_path, old)
-    fsio.move(tmp, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    fsio.atomic_write_text(
+        os.path.join(target_path, CURRENT_POINTER), ver
+    )
+    _gc_superseded(target_path, ver)
 
 
 def _recover_swap(target_path: str) -> bool:
-    """Crash recovery for ``_swap_into``'s rename window: if the table
-    directory is missing, adopt the newest fully-written ``__staging_*``
-    (its ``_SUCCESS`` marker proves the write committed before the old
-    table was moved aside) or, with no committed staging, restore the
-    newest ``__old_*``. Stale siblings are cleaned up once the table is
-    present again. Returns True if a recovery rename happened."""
+    """Crash recovery at the start of every apply/compact/read.
+
+    Pointer-layout tables need NONE: the ``_current`` pointer is
+    replaced atomically after the version dir is fully written, so
+    every crash window leaves the table serving a complete version
+    (orphan stagings are junk the next commit GCs). What remains is
+    recovery for tables last written by the PRE-POINTER protocol (two
+    directory renames): if the table directory is missing, adopt the
+    newest fully-written ``__staging_*`` sibling (its ``_SUCCESS``
+    marker proves the write committed before the old table was moved
+    aside) or, failing that, restore the newest ``__old_*``. Returns
+    True if a recovery rename happened."""
     import glob as _glob
+
+    if fsio.read_text(os.path.join(target_path, CURRENT_POINTER)) is not None:
+        return False  # pointer layout: every crash window is consistent
 
     def _clean_stale() -> None:
         for p in _glob.glob(f"{target_path}__old_*") + _glob.glob(
@@ -1016,6 +1154,11 @@ def _apply_changes_locked(
     partition_by: list[str] | None,
 ) -> None:
     _recover_swap(target_path)  # adopt a swap a previous crash left undone
+    # physical location of the current fileset: the pointer-named
+    # version dir after the table's first swap, the root before it.
+    # Blind appends and partition overwrites land THERE; the whole-
+    # table swap below commits a NEW version against the root.
+    data_dir = table_data_dir(target_path)
 
     def _table_exists(path: str) -> bool:
         # a directory without data files (e.g. left by a REMOVE-only
@@ -1047,7 +1190,7 @@ def _apply_changes_locked(
         writer = rows.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(target_path)
+        writer.parquet(data_dir)
         _stamp_schema_union(spark, target_path, rows.schema)
         return
 
@@ -1073,7 +1216,7 @@ def _apply_changes_locked(
         writer = rows.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(target_path)
+        writer.parquet(data_dir)
         _stamp_schema_union(spark, target_path, rows.schema)
         return
 
@@ -1099,7 +1242,7 @@ def _apply_changes_locked(
         "seq",
     )
 
-    exists = _table_exists(target_path)
+    exists = _table_exists(data_dir)
 
     touched: list[tuple] | None = None
     if partition_by and exists:
@@ -1135,7 +1278,7 @@ def _apply_changes_locked(
         dirs: list[str] | None = None
         if touched is not None:
             dirs = _touched_partition_dirs(
-                target_path,
+                data_dir,
                 partition_by,
                 touched,
                 include_all_null=propagate_deletes,
@@ -1144,7 +1287,7 @@ def _apply_changes_locked(
         if dirs:
             existing = (
                 spark.read.option("mergeSchema", "true")
-                .option("basePath", target_path)
+                .option("basePath", data_dir)
                 .parquet(*dirs)
             )
         elif dirs is not None:
@@ -1208,7 +1351,7 @@ def _apply_changes_locked(
         )
         return
     if partition_by:
-        result.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
+        result.write.mode("overwrite").partitionBy(*partition_by).parquet(data_dir)
         _write_table_schema(target_path, result.schema)
         return
     # cache-free swap: the merged plan reads the old files, the swap
@@ -1241,6 +1384,7 @@ def overwrite_partitions_dropping_emptied(
     table-level swap — the standard exposure of every dynamic-partition
     MERGE on plain parquet (a lakehouse table format makes it
     transactional)."""
+    data_dir = table_data_dir(target_path)
     remaining: set[tuple] = set()
     if candidates:
         remaining = {
@@ -1254,7 +1398,7 @@ def overwrite_partitions_dropping_emptied(
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_by)
-        .parquet(target_path)
+        .parquet(data_dir)
     )
     # dynamic overwrite replaces only matched partitions: untouched
     # ones keep their (possibly narrower) column set, so the manifest
@@ -1265,11 +1409,11 @@ def overwrite_partitions_dropping_emptied(
     stale = [tuple(v) for v in candidates if tuple(v) not in remaining]
     if not stale:
         return
-    subs = _touched_partition_dirs(target_path, partition_by, stale, False)
+    subs = _touched_partition_dirs(data_dir, partition_by, stale, False)
     if subs is None:
         subs = [
             os.path.join(
-                target_path,
+                data_dir,
                 *[f"{c}={v}" for c, v in zip(partition_by, vals)],
             )
             for vals in stale

@@ -223,7 +223,11 @@ def _sync_aggregate_locked(
 
     from .. import fsio
 
-    raw = fsio.read_text(os.path.join(agg_path, AGG_THROUGH_MARKER))
+    from .apply import table_data_dir as _tdd
+
+    raw = fsio.read_text(
+        os.path.join(_tdd(agg_path), AGG_THROUGH_MARKER)
+    )
     through = (raw.strip() or None) if raw is not None else None
 
     src = _read_table(spark, source_path)
@@ -334,7 +338,7 @@ def _sync_aggregate_locked(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
             )
             base_agg = (
-                spark.read.parquet(agg_path)
+                _read_table(spark, agg_path)
                 .select(group_col, "n_keys", "total_value")
             )
             # in-range version rows ARE the change envelope: tombstone
@@ -448,7 +452,11 @@ def sync_aggregate_minmax(
 
         from .. import fsio
 
-        raw = fsio.read_text(os.path.join(agg_path, AGG_THROUGH_MARKER))
+        from .apply import table_data_dir as _tdd
+
+        raw = fsio.read_text(
+            os.path.join(_tdd(agg_path), AGG_THROUGH_MARKER)
+        )
         through = (raw.strip() or None) if raw is not None else None
 
         src = _read_table(spark, source_path)
@@ -598,7 +606,7 @@ def sync_aggregate_minmax(
                     # the maintained table, value columns re-cast to
                     # the exact-arithmetic type (shared by both keep
                     # paths below so the projection cannot drift)
-                    return spark.read.parquet(agg_path).select(
+                    return _read_table(spark, agg_path).select(
                         group_col,
                         "n_keys",
                         F.col("total_value").cast(value_cast).alias(

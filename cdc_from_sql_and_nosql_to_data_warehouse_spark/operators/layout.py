@@ -34,6 +34,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .apply import table_data_dir
+
 
 def zorder_value(cols: list[Column], bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of each column (non-negative
@@ -234,6 +236,7 @@ def _load_sidecar(path: str) -> dict | None:
     writer degrades to "no stats" instead of failing every pruned
     read; _dump_sidecar writes atomically so new corruption cannot
     occur. Parses are memoized per (mtime, size)."""
+    path = table_data_dir(path)
     sidecar = os.path.join(path, FILE_STATS_SIDECAR)
     try:
         st = os.stat(sidecar)
@@ -259,7 +262,8 @@ def _dump_sidecar(path: str, payload: dict) -> None:
     from .. import fsio
 
     fsio.atomic_write_text(
-        os.path.join(path, FILE_STATS_SIDECAR), json.dumps(payload)
+        os.path.join(table_data_dir(path), FILE_STATS_SIDECAR),
+        json.dumps(payload),
     )
 
 
@@ -367,6 +371,7 @@ def collect_file_stats(
     scanned) result rows collected to the driver, the same order of
     driver state every lakehouse keeps per snapshot.
     """
+    path = table_data_dir(path)
     existing = _load_sidecar(path)
     bloom_meta = existing.get("bloom") if existing else None
     prior = existing if incremental else None
@@ -545,6 +550,7 @@ def _list_data_files(path: str, preds: list[tuple] | None = None) -> list[str]:
     — on an object store the listing itself is O(matching partitions),
     the same lever ``apply._touched_partition_dirs`` gives the merge.
     Non-hive dirs and unparseable values always descend."""
+    path = table_data_dir(path)
     out = []
     for cur, dirs, names in os.walk(path):
         if preds:
@@ -573,6 +579,7 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple[list[str], int]:
     has never seen (written after the last stats pass) are always
     included: skipping must stay an optimization, not a correctness
     bet."""
+    path = table_data_dir(path)
     preds = [
         (p[0], "in", [_coerce_bound(v) for v in p[2]])
         if p[1] == "in"
@@ -650,6 +657,7 @@ def read_skipping(
     planning cost skipping exists to avoid. Refresh stats after a
     schema-evolving write (the conservative-include rule already covers
     files newer than the sidecar)."""
+    path = table_data_dir(path)
     keep, _total = prune_files(path, predicates)
     cond = None
     for p in predicates:
@@ -697,6 +705,7 @@ def refresh_file_stats(spark: SparkSession, path: str) -> dict | None:
     Merge/append paths deliberately do NOT refresh per micro-batch:
     stats are a maintenance-time product, and the conservative-include
     rule keeps the window between refreshes correct."""
+    path = table_data_dir(path)
     prior = _load_sidecar(path)
     if prior is None:
         return None
@@ -778,6 +787,7 @@ def collect_file_blooms(
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
+    path = table_data_dir(path)
     payload = _load_sidecar(path)
     if payload is not None:
         import copy

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import col as F_col
 
-from .apply import _swap_into
+from .apply import _swap_into, table_data_dir
 
 
 @dataclass(frozen=True)
@@ -35,6 +35,7 @@ def table_stats(spark: SparkSession, path: str) -> TableStats:
     Hidden path segments ('.'/'_' prefixes: staging dirs, markers) are
     invisible, mirroring Spark's own listing rules. The row count is a
     parquet count-star — footer metadata, no column data read."""
+    path = table_data_dir(path)
     files = []
     for dp, dns, fs in os.walk(path):
         dns[:] = [d for d in dns if not d.startswith((".", "_"))]
@@ -55,6 +56,7 @@ def _leaf_partition_stats(
     rules: segments starting with '.' or '_' are invisible (a crashed
     dynamic overwrite's ``.spark-staging-*`` must never be mistaken for
     a partition), and only ``col=value`` segments descend."""
+    path = table_data_dir(path)
     leaves: list[tuple[str, int, int]] = []
     total_files = 0
     total_bytes = 0
@@ -164,6 +166,7 @@ def compact_parquet(
     from .apply import _recover_swap
 
     _recover_swap(path)  # adopt a swap a previous crash left undone
+    data = table_data_dir(path)  # physical fileset (pointer-resolved)
 
     if zorder_by:
         return _optimize_zorder(
@@ -186,12 +189,12 @@ def compact_parquet(
         ]
         if n_files < min_files_to_compact or not frag_dirs:
             return TableStats(
-                n_files, total_bytes, spark.read.parquet(path).count()
+                n_files, total_bytes, spark.read.parquet(data).count()
             )
         with _no_partition_type_inference(spark):
             sub = (
                 spark.read.option("mergeSchema", "true")
-                .option("basePath", path)
+                .option("basePath", data)
                 .parquet(*frag_dirs)
                 .repartition(*[F_col(c) for c in partition_by])
             )
@@ -199,7 +202,7 @@ def compact_parquet(
                 sub.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_by)
-                .parquet(path)
+                .parquet(data)
             )
         _refresh_stats_if_kept(spark, path)
         return table_stats(spark, path)
@@ -210,7 +213,7 @@ def compact_parquet(
     n_out = max(1, math.ceil(before.total_bytes / target_file_bytes))
     if n_out >= before.n_files:
         return before
-    df = spark.read.option("mergeSchema", "true").parquet(path).repartition(n_out)
+    df = spark.read.option("mergeSchema", "true").parquet(data).repartition(n_out)
     _swap_into(spark, df, path, partition_by=None)
     _refresh_stats_if_kept(spark, path)
     return table_stats(spark, path)
@@ -238,11 +241,12 @@ def _optimize_zorder(
 
     from .layout import zorder_scale, zorder_value
 
+    data = table_data_dir(path)
     guard = (
         _no_partition_type_inference(spark) if partition_by else nullcontext()
     )
     with guard:
-        df = spark.read.option("mergeSchema", "true").parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(data)
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
             raise ValueError(f"zorder_by columns not in table: {missing}")
@@ -281,7 +285,7 @@ def _optimize_zorder(
                 clustered.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_by)
-                .parquet(path)
+                .parquet(data)
             )
         else:
             # flat layout: deterministic explicit-boundary clustering
@@ -378,11 +382,12 @@ def vacuum_tombstones(
     )
 
     _recover_swap(path)  # adopt a swap a previous crash left undone
+    data = table_data_dir(path)
     is_dead = _dead_tombstone_pred(before_seq)
 
     if partition_by:
         with _no_partition_type_inference(spark):
-            df = spark.read.option("mergeSchema", "true").parquet(path)
+            df = spark.read.option("mergeSchema", "true").parquet(data)
             if DELETED_COL not in df.columns:
                 return 0
             # one pass yields both the dead count and the touched set
@@ -396,11 +401,11 @@ def vacuum_tombstones(
             if n == 0:
                 return 0
             touched = [tuple(r[c] for c in partition_by) for r in dead_groups]
-            dirs = _touched_partition_dirs(path, partition_by, touched, False)
+            dirs = _touched_partition_dirs(data, partition_by, touched, False)
             if dirs:
                 sub = (
                     spark.read.option("mergeSchema", "true")
-                    .option("basePath", path)
+                    .option("basePath", data)
                     .parquet(*dirs)
                 )
                 overwrite_partitions_dropping_emptied(
@@ -412,7 +417,7 @@ def vacuum_tombstones(
             )
             return n
 
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(data)
     if DELETED_COL not in df.columns:
         return 0
     n = df.filter(is_dead).count()
@@ -519,6 +524,7 @@ def compact_history(
     from contextlib import nullcontext
 
     _recover_swap(path)
+    data = table_data_dir(path)
     # inference off for partitioned rewrites so partition dir names
     # round-trip exactly (see _no_partition_type_inference: a re-typed
     # value re-renders into a DIFFERENT directory than later appends)
@@ -526,7 +532,7 @@ def compact_history(
         _no_partition_type_inference(spark) if partition_by else nullcontext()
     )
     with guard:
-        df = spark.read.option("mergeSchema", "true").parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(data)
         if KEY_COL not in df.columns:
             raise ValueError(
                 "compact_history requires a history-mode table "
@@ -569,7 +575,7 @@ def _write_history_horizon(path: str, before_seq: int | str) -> None:
     cur = read_history_horizon(path)
     if cur is None or new > cur:
         fsio.atomic_write_text(
-            os.path.join(path, HISTORY_HORIZON_MARKER), new
+            os.path.join(table_data_dir(path), HISTORY_HORIZON_MARKER), new
         )
 
 
@@ -577,7 +583,9 @@ def read_history_horizon(path: str) -> str | None:
     """Canonical horizon seq below which time travel is unavailable."""
     from .. import fsio
 
-    raw = fsio.read_text(os.path.join(path, HISTORY_HORIZON_MARKER))
+    raw = fsio.read_text(
+        os.path.join(table_data_dir(path), HISTORY_HORIZON_MARKER)
+    )
     return (raw.strip() or None) if raw is not None else None
 
 
@@ -630,9 +638,15 @@ def analyze_tables(
     out: dict[str, AnalyzedTable] = {}
     for name, path in tables.items():
         qname = quote_ident(name)
+        # the registered LOCATION must track the pointer-resolved data
+        # dir (a swap moves the fileset to a new version dir, which
+        # would strand a once-registered location) — drop+recreate per
+        # ANALYZE tick; the statistics are recomputed right after, so
+        # nothing durable is lost
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {qname} USING parquet "
-            f"LOCATION {quote_literal(os.path.abspath(path))}"
+            f"CREATE TABLE {qname} USING parquet "
+            f"LOCATION {quote_literal(os.path.abspath(table_data_dir(path)))}"
         )
         spark.sql(f"ANALYZE TABLE {qname} COMPUTE STATISTICS")
         cols = (columns or {}).get(name) or []
@@ -739,7 +753,7 @@ def validate_warehouse(
     from .apply import DELETED_COL, KEY_COL, SEQ_COL, _recover_swap
 
     _recover_swap(path)
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(table_data_dir(path))
     history = KEY_COL in df.columns
     key_col = F.col(KEY_COL) if history else F.col(key)
     live = (
@@ -833,6 +847,7 @@ def purge_keys(
     if not values:
         return 0
     _recover_swap(path)
+    data = table_data_dir(path)
 
     def _pred(df):
         # NULL-safe: isin() on a NULL key yields NULL, and ~NULL is NULL,
@@ -848,7 +863,7 @@ def purge_keys(
 
     if partition_by:
         with _no_partition_type_inference(spark):
-            df = spark.read.option("mergeSchema", "true").parquet(path)
+            df = spark.read.option("mergeSchema", "true").parquet(data)
             doomed = _pred(df)
             groups = (
                 df.filter(doomed)
@@ -860,11 +875,11 @@ def purge_keys(
             if n == 0:
                 return 0
             touched = [tuple(r[c] for c in partition_by) for r in groups]
-            dirs = _touched_partition_dirs(path, partition_by, touched, False)
+            dirs = _touched_partition_dirs(data, partition_by, touched, False)
             if dirs:
                 sub = (
                     spark.read.option("mergeSchema", "true")
-                    .option("basePath", path)
+                    .option("basePath", data)
                     .parquet(*dirs)
                 )
                 overwrite_partitions_dropping_emptied(
@@ -877,7 +892,7 @@ def purge_keys(
             _refresh_stats_if_kept(spark, path)
             return n
 
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(data)
     n = df.filter(_pred(df)).count()
     if n == 0:
         return 0

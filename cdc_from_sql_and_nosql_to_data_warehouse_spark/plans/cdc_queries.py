@@ -819,8 +819,10 @@ def cdc_minmax_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, src, agg, "event_type", "value",
             value_cast="decimal(12,2)",
         ) is not None
+        from ..operators.apply import _read_table as _rt
+
         out = (
-            spark.read.parquet(agg)
+            _rt(spark, agg)
             .select(
                 F.col("event_type").alias("gtype"),
                 "n_keys",

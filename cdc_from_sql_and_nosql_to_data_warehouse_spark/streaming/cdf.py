@@ -45,7 +45,24 @@ from ..operators.apply import (
     _canonical_seq,
     apply_changes,
     read_table_schema,
+    table_data_dir,
 )
+
+
+def _is_hive_partitioned(data_dir: str) -> bool:
+    """True when the physical fileset routes rows into ``col=value``
+    partition directories (first level is enough: hive layouts nest
+    uniformly)."""
+    import os
+
+    try:
+        with os.scandir(data_dir) as it:
+            return any(
+                e.is_dir(follow_symlinks=False) and "=" in e.name
+                for e in it
+            )
+    except FileNotFoundError:
+        return False
 
 
 def stream_changes(
@@ -100,7 +117,77 @@ def stream_changes(
         reader = reader.option("ignoreMissingFiles", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # Source path across TABLE LAYOUTS: a swapped table keeps its
+    # fileset in a pointer-named version dir under the root
+    # (apply.table_data_dir), and a compaction commit moves it to a NEW
+    # version dir mid-stream. A stream pinned to one physical dir would
+    # silently starve after that flip, so unpartitioned sources stream
+    # the one-level glob ``root/*`` — it matches legacy root files AND
+    # version dirs, the file source re-expands it every trigger (new
+    # version dirs picked up live, verified by
+    # test_stream_survives_pointer_upgrade), and vanished old-version
+    # files are the ignoreMissingFiles story above. Hive-PARTITIONED
+    # sources cannot ride the glob (multiple glob roots break partition
+    # value discovery — Spark raises CONFLICTING_DIRECTORY_STRUCTURES),
+    # so they stream their current physical dir directly; under the
+    # pointer layout that pin starves at the next compaction swap, so
+    # we refuse it up front: consume partitioned feeds through the
+    # batch classifiers (follow_changes / sync_changes) or the pacing
+    # bridge (stream_classified_changes), which are layout-proof.
+    phys = table_data_dir(source_path)
+    if not _is_hive_partitioned(phys):
+        import os
+
+        return reader.parquet(os.path.join(source_path, "*"))
+    if phys != source_path:
+        raise ValueError(
+            "stream_changes cannot follow a hive-partitioned table in "
+            "the version-pointer layout: a compaction swap moves the "
+            "fileset to a new version dir and a partition-aware file "
+            "stream cannot glob across version dirs. Consume this feed "
+            "via follow_changes / sync_changes / "
+            "stream_classified_changes instead."
+        )
     return reader.parquet(source_path)
+
+
+def _pacing_stream(spark: SparkSession, source_path: str) -> DataFrame:
+    """A files-appeared WAKE-UP stream over a history table for
+    consumers that never act on the batch content (the classified-feed
+    bridge and the aggregate drains — their effect comes from a batch
+    classifier / swap-atomic offset, the stream only paces triggers).
+    Layout- and partition-proof by construction: ``recursiveFileLookup``
+    lists every data file under the table root each trigger — legacy
+    root files, pointer version dirs, and hive partition dirs alike
+    ('_'-prefixed control files stay hidden) — with partition inference
+    off, and the imposed schema carries only ``_seq``, a physical
+    column of every history file, so no batch plan ever needs
+    partition values. Survives the legacy->pointer upgrade and every
+    compaction swap without re-pinning."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = read_table_schema(source_path)
+    if schema is None:
+        raise ValueError(
+            "streaming over a change feed requires the table's schema "
+            "manifest (_table_schema.json); run apply.refresh_table_schema "
+            "once for tables written outside the engine"
+        )
+    if KEY_COL not in schema.fieldNames():
+        raise ValueError(
+            "streaming over a change feed requires a history-mode table "
+            '(apply_changes(mode="history"))'
+        )
+    seq_fields = [f for f in schema.fields if f.name == SEQ_COL]
+    pace_schema = StructType(
+        seq_fields or [StructField(SEQ_COL, StringType())]
+    )
+    return (
+        spark.readStream.schema(pace_schema)
+        .option("ignoreMissingFiles", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(source_path)
+    )
 
 
 def envelope_from_versions(versions: DataFrame) -> DataFrame:
@@ -243,7 +330,7 @@ def stream_sync_changes(
             applied is not None
             and batch_max <= applied
             and mode in ("upsert", "history")
-            and os.path.isdir(target_path)
+            and os.path.isdir(table_data_dir(target_path))
         ):
             # materialized once: the emptiness probe and the apply
             # below must not each re-run the batch-vs-replica join
@@ -327,7 +414,7 @@ def stream_classified_changes(
         follow_changes(spark, source_path, bridge_ck, process, max_ticks=1)
 
     writer = (
-        stream_changes(spark, source_path, ignore_missing_files=True)
+        _pacing_stream(spark, source_path)
         .writeStream.foreachBatch(_tick)
         .option(
             "checkpointLocation", os.path.join(checkpoint_path, "stream")
@@ -379,7 +466,7 @@ def stream_sync_aggregate(
         )
 
     writer = (
-        stream_changes(spark, source_path, ignore_missing_files=True)
+        _pacing_stream(spark, source_path)
         .writeStream.foreachBatch(_tick)
         .option("checkpointLocation", checkpoint_path)
     )

@@ -175,11 +175,15 @@ def run_staging_to_warehouse(
 
     def load_batch(batch: DataFrame, epoch_id: int) -> None:
         if cfg.apply_mode == "append":
-            # reference bug-compat: straight COPY-append of each staged row
+            # reference bug-compat: straight COPY-append of each staged
+            # row (pointer-resolved: appends land in the table's
+            # current version dir once a swap has upgraded it)
+            from ..operators.apply import table_data_dir
+
             writer = batch.drop("_seq", "_ts_ms").write.mode("append")
             if cfg.partition_by:
                 writer = writer.partitionBy(*cfg.partition_by)
-            writer.parquet(warehouse_path)
+            writer.parquet(table_data_dir(warehouse_path))
             return
         envelope = batch.select(
             F.lit("MODIFY").alias("op"),
@@ -272,7 +276,11 @@ def run_envelope_apply(
                 collect_file_stats,
             )
 
-            sidecar = _os.path.join(warehouse_path, FILE_STATS_SIDECAR)
+            from ..operators.apply import table_data_dir as _tdd
+
+            sidecar = _os.path.join(
+                _tdd(warehouse_path), FILE_STATS_SIDECAR
+            )
             if _os.path.exists(sidecar):
                 import json as _json
 
@@ -304,9 +312,10 @@ def run_envelope_apply(
                 from ..operators.apply import SEQ_COL
                 from ..operators.maintenance import compact_history
 
+                from ..operators.apply import _read_table
+
                 top = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(warehouse_path)
+                    _read_table(spark, warehouse_path)
                     .agg(F.max(SEQ_COL).alias("m"))
                     .first()["m"]
                 )

@@ -2,6 +2,7 @@
 REMOVE handling, replay convergence (R4/R8)."""
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import pytest
 from pyspark.sql import functions as F
@@ -32,7 +33,7 @@ def test_append_mode_one_row_per_event(spark, tmp_path):
     changes = _feed(spark, tmp_path, events)
     target = str(tmp_path / "wh_append")
     apply_changes(spark, changes, target, "id", mode="append")
-    out = spark.read.parquet(target)
+    out = spark.read.parquet(tdd(target))
     # 3 INSERT/MODIFY rows land; REMOVE never reaches the warehouse
     assert out.count() == 3
     assert out.filter(F.col("id") == t1["id"]).count() == 2  # both images
@@ -314,7 +315,7 @@ def test_vacuum_tombstones_gc(spark, tmp_path):
     assert read_warehouse(spark, target).count() == 0
     # horizon 5: only t0's tombstone (seq 3) is old enough to drop
     assert vacuum_tombstones(spark, target, before_seq=5) == 1
-    raw = spark.read.option("mergeSchema", "true").parquet(target)
+    raw = spark.read.option("mergeSchema", "true").parquet(tdd(target))
     assert raw.filter("_deleted").count() == 1  # t1's seq-10 tombstone kept
     # t1 still protected against a late older image; t0 no longer is
     apply_changes(
@@ -422,7 +423,7 @@ def test_vacuum_tombstones_partitioned_preserves_layout(spark, tmp_path):
         spark, wh, before_seq=10, partition_by=["region"]
     ) == 1
     assert os.path.isdir(f"{wh}/region=eu")  # hive layout preserved
-    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    raw = spark.read.option("mergeSchema", "true").parquet(tdd(wh))
     assert raw.count() == 1 and raw.first()["id"] == "a"
 
 
@@ -444,9 +445,9 @@ def test_vacuum_retains_null_seq_tombstones(spark, tmp_path):
             (4, "dead_new", "9", True),
         ],
         "id long, name string, _seq string, _deleted boolean",
-    ).write.parquet(target)
+    ).write.parquet(tdd(target))
     assert vacuum_tombstones(spark, target, before_seq=5) == 1
-    raw = spark.read.parquet(target)
+    raw = spark.read.parquet(tdd(target))
     assert raw.count() == 3
     kept = {r["name"] for r in raw.collect()}
     assert kept == {"live", "dead_null_seq", "dead_new"}
@@ -472,14 +473,14 @@ def test_vacuum_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
             ("d", "apac", "4", True),  # dead, only row -> apac removed
         ],
         "id string, region string, _seq string, _deleted boolean",
-    ).write.partitionBy("region").parquet(wh)
-    us_files = sorted(glob.glob(f"{wh}/region=us/*"))
+    ).write.partitionBy("region").parquet(tdd(wh))
+    us_files = sorted(glob.glob(f"{tdd(wh)}/region=us/*"))
     assert vacuum_tombstones(
         spark, wh, before_seq=10, partition_by=["region"]
     ) == 2
-    assert sorted(glob.glob(f"{wh}/region=us/*")) == us_files  # untouched
+    assert sorted(glob.glob(f"{tdd(wh)}/region=us/*")) == us_files  # untouched
     assert not os.path.isdir(f"{wh}/region=apac")  # dead-only dir removed
-    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    raw = spark.read.option("mergeSchema", "true").parquet(tdd(wh))
     assert {r["id"] for r in raw.collect()} == {"a", "c"}
 
 
@@ -502,13 +503,13 @@ def test_vacuum_numeric_string_partitions_round_trip(spark, tmp_path):
             ("c", "10", "3", False),   # live, other partition
         ],
         "id string, month string, _seq string, _deleted boolean",
-    ).write.partitionBy("month").parquet(wh)
+    ).write.partitionBy("month").parquet(tdd(wh))
     assert vacuum_tombstones(
         spark, wh, before_seq=10, partition_by=["month"]
     ) == 1
-    dirs = sorted(d for d in os.listdir(wh) if d.startswith("month="))
+    dirs = sorted(d for d in os.listdir(tdd(wh)) if d.startswith("month="))
     assert dirs == ["month=01", "month=10"], dirs  # no month=1 re-render
-    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    raw = spark.read.option("mergeSchema", "true").parquet(tdd(wh))
     assert {r["id"] for r in raw.collect()} == {"a", "c"}  # live rows kept
 
 
@@ -531,10 +532,10 @@ def test_partitioned_compaction_numeric_string_partitions(spark, tmp_path):
     for i in range(6):  # fragment month=01
         df.filter((F.col("month") == "01") & (F.col("id") % 6 == i)).coalesce(
             1
-        ).write.mode("append").partitionBy("month").parquet(path)
+        ).write.mode("append").partitionBy("month").parquet(tdd(path))
     df.filter(F.col("month") == "10").coalesce(1).write.mode(
         "append"
-    ).partitionBy("month").parquet(path)
+    ).partitionBy("month").parquet(tdd(path))
     # hidden staging leftover from a hypothetical crashed write: must be
     # invisible to the fragmentation walk
     staged = os.path.join(path, ".spark-staging-test", "month=01")
@@ -543,16 +544,16 @@ def test_partitioned_compaction_numeric_string_partitions(spark, tmp_path):
         f.write(b"junk")
 
     rows_before = sorted(
-        (r["id"], r["month"]) for r in spark.read.parquet(path).collect()
+        (r["id"], r["month"]) for r in spark.read.parquet(tdd(path)).collect()
     )
     compact_parquet(spark, path, target_file_bytes=1 << 30, partition_by=["month"])
     dirs = sorted(
-        d for d in os.listdir(path) if d.startswith("month=")
+        d for d in os.listdir(tdd(path)) if d.startswith("month=")
     )
     assert dirs == ["month=01", "month=10"], dirs
-    assert len(glob.glob(f"{path}/month=01/*.parquet")) == 1
+    assert len(glob.glob(f"{tdd(path)}/month=01/*.parquet")) == 1
     rows_after = sorted(
-        (r["id"], r["month"]) for r in spark.read.parquet(path).collect()
+        (r["id"], r["month"]) for r in spark.read.parquet(tdd(path)).collect()
     )
     assert rows_after == rows_before  # no duplication, no loss
 
@@ -663,11 +664,11 @@ def test_compact_history_folds_below_horizon(spark, tmp_path):
     assert before[None] == sorted([(t0["id"], 60.0), (t2["id"], t2["price"])])
     assert before[5] == sorted([(t0["id"], 30.0), (t2["id"], t2["price"])])
 
-    n_rows_before = spark.read.parquet(target).count()
+    n_rows_before = spark.read.parquet(tdd(target)).count()
     removed = compact_history(spark, target, before_seq=5)
     # {t0@1,t0@3} fold to t0@3 and {t1@2,t1@4} to the t1@4 tombstone
     assert removed == 2
-    assert spark.read.parquet(target).count() == n_rows_before - 2
+    assert spark.read.parquet(tdd(target)).count() == n_rows_before - 2
     assert {a: snap(a) for a in (None, 5, 6)} == before
     with pytest.raises(ValueError, match="compaction horizon"):
         read_warehouse(spark, target, as_of_seq=4)
@@ -708,7 +709,7 @@ def test_compact_history_partitioned_numeric_string_partitions(spark, tmp_path):
             mode="history", partition_by=["ticker"],
         )
     assert sorted(
-        d.rsplit("=", 1)[1] for d in glob.glob(f"{target}/ticker=*")
+        d.rsplit("=", 1)[1] for d in glob.glob(f"{tdd(target)}/ticker=*")
     ) == ["01", "1"]
 
     def snap(as_of=None):
@@ -723,7 +724,7 @@ def test_compact_history_partitioned_numeric_string_partitions(spark, tmp_path):
     )
     assert removed == 1  # t0@1,t0@3 -> t0@3; t1@2 alone below the cut
     assert sorted(
-        d.rsplit("=", 1)[1] for d in glob.glob(f"{target}/ticker=*")
+        d.rsplit("=", 1)[1] for d in glob.glob(f"{tdd(target)}/ticker=*")
     ) == ["01", "1"]
     assert {a: snap(a) for a in (None, 4, 5)} == before
 
@@ -953,8 +954,8 @@ def test_validate_warehouse_audit(spark, tmp_path):
     assert h.n_duplicate_keys == 2
 
     # corrupt an upsert table: append a duplicate live row for t0's key
-    extra = spark.read.parquet(up).filter(F.col("id") == t0["id"])
-    extra.write.mode("append").parquet(up)
+    extra = spark.read.parquet(tdd(up)).filter(F.col("id") == t0["id"])
+    extra.write.mode("append").parquet(tdd(up))
     bad = validate_warehouse(spark, up, "id")
     assert bad.n_duplicate_keys == 1
 
@@ -1025,7 +1026,7 @@ def test_purge_keys_hard_deletes_everywhere(spark, tmp_path):
     )
     # t0 is a stored tombstone; purge must remove it too
     assert purge_keys(spark, up, "id", [t0["id"]]) == 1
-    stored = spark.read.parquet(up)
+    stored = spark.read.parquet(tdd(up))
     assert stored.count() == 1 and stored.first()["id"] == t1["id"]
     assert purge_keys(spark, up, "id", [t0["id"]]) == 0  # idempotent
 
@@ -1065,20 +1066,20 @@ def test_purge_keys_partitioned_rewrites_only_touched(spark, tmp_path):
     )
     untouched = {
         f: os.stat(f).st_mtime_ns
-        for f in glob.glob(f"{target}/ticker=tk1/*.parquet")
-        + glob.glob(f"{target}/ticker=tk2/*.parquet")
+        for f in glob.glob(f"{tdd(target)}/ticker=tk1/*.parquet")
+        + glob.glob(f"{tdd(target)}/ticker=tk2/*.parquet")
     }
     assert untouched
     # purge both tk0 keys: the tk0 partition empties and disappears
     doomed = [t["id"] for i, t in enumerate(trades) if i % 3 == 0]
     assert purge_keys(spark, target, "id", doomed, partition_by=["ticker"]) == 2
-    assert not glob.glob(f"{target}/ticker=tk0")
+    assert not glob.glob(f"{tdd(target)}/ticker=tk0")
     assert {
         f: os.stat(f).st_mtime_ns
-        for f in glob.glob(f"{target}/ticker=tk1/*.parquet")
-        + glob.glob(f"{target}/ticker=tk2/*.parquet")
+        for f in glob.glob(f"{tdd(target)}/ticker=tk1/*.parquet")
+        + glob.glob(f"{tdd(target)}/ticker=tk2/*.parquet")
     } == untouched
-    assert spark.read.parquet(target).count() == 4
+    assert spark.read.parquet(tdd(target)).count() == 4
 
 
 def test_read_changes_partitioned_history(spark, tmp_path):
@@ -1213,7 +1214,7 @@ def test_sync_aggregate_materialized_view_over_cdf(spark, tmp_path):
     def got():
         return sorted(
             (r["ticker"], r["n_keys"], float(r["total_value"]))
-            for r in spark.read.parquet(agg).collect()
+            for r in spark.read.parquet(tdd(agg)).collect()
         )
 
     apply_changes(
@@ -1264,10 +1265,10 @@ def test_purge_keys_null_key_rows_survive(spark, tmp_path):
     path = str(tmp_path / "wh_purge_null")
     spark.createDataFrame(
         [("k1", 1.0), (None, 2.0), ("k2", 3.0)], "id string, price double"
-    ).write.parquet(path)
+    ).write.parquet(tdd(path))
     assert purge_keys(spark, path, "id", ["k1"]) == 1
     left = sorted(
-        ((r["id"], r["price"]) for r in spark.read.parquet(path).collect()),
+        ((r["id"], r["price"]) for r in spark.read.parquet(tdd(path)).collect()),
         key=lambda t: (t[0] is not None, t[0] or ""),
     )
     assert left == [(None, 2.0), ("k2", 3.0)]
@@ -1276,10 +1277,10 @@ def test_purge_keys_null_key_rows_survive(spark, tmp_path):
     spark.createDataFrame(
         [("k1", "aa", 1.0), (None, "aa", 2.0), ("k2", "bb", 3.0)],
         "id string, ticker string, price double",
-    ).write.partitionBy("ticker").parquet(part)
+    ).write.partitionBy("ticker").parquet(tdd(part))
     assert purge_keys(spark, part, "id", ["k1"], partition_by=["ticker"]) == 1
     left = sorted(
-        ((r["id"], r["ticker"]) for r in spark.read.parquet(part).collect()),
+        ((r["id"], r["ticker"]) for r in spark.read.parquet(tdd(part)).collect()),
         key=lambda t: (t[0] is not None, t[0] or ""),
     )
     assert left == [(None, "aa"), ("k2", "bb")]
@@ -1316,11 +1317,12 @@ def test_agg_offset_marker_survives_table_swaps(spark, tmp_path):
     assert through is not None
     import os
 
-    marker = os.path.join(agg, AGG_THROUGH_MARKER)
+    marker = os.path.join(tdd(agg), AGG_THROUGH_MARKER)
     with open(marker) as f:
         assert f.read() == through
     compact_parquet(spark, agg, target_file_bytes=1 << 30)
-    with open(marker) as f:
+    # the swap committed a NEW version dir: re-resolve the marker
+    with open(os.path.join(tdd(agg), AGG_THROUGH_MARKER)) as f:
         assert f.read() == through  # swap carried the offset
     # and the next drain still sees "nothing new" instead of recomputing
     assert sync_aggregate(spark, src, agg, "ticker", "price") is None
@@ -1350,7 +1352,7 @@ def test_schema_manifest_replaces_mergeschema_on_hot_reads(spark, tmp_path, monk
         _feed(spark, tmp_path, [("INSERT", t0, 1)], "sm1"),
         target, "id", mode="history",
     )
-    assert os.path.exists(os.path.join(target, SCHEMA_MANIFEST))
+    assert os.path.exists(os.path.join(tdd(target), SCHEMA_MANIFEST))
 
     # evolving batch: new column via an evolved envelope schema
     import pyspark.sql.types as T
@@ -1394,14 +1396,14 @@ def test_schema_manifest_replaces_mergeschema_on_hot_reads(spark, tmp_path, monk
     assert latest["venue"] == "NYSE"
 
     # equality with the footer-union read (sorted columns)
-    ref = spark.read.option("mergeSchema", "true").parquet(target)
-    imposed = spark.read.schema(manifest).parquet(target)
+    ref = spark.read.option("mergeSchema", "true").parquet(tdd(target))
+    imposed = spark.read.schema(manifest).parquet(tdd(target))
     assert sorted(
         map(tuple, ref.select(*sorted(ref.columns)).collect())
     ) == sorted(map(tuple, imposed.select(*sorted(imposed.columns)).collect()))
 
     # manifest-less fallback: delete it, reads still work (mergeSchema)
-    os.remove(os.path.join(target, SCHEMA_MANIFEST))
+    os.remove(os.path.join(tdd(target), SCHEMA_MANIFEST))
     assert read_warehouse(spark, target).first()["venue"] == "NYSE"
     # external-writer escape hatch re-derives and stamps
     s = refresh_table_schema(spark, target)
@@ -1553,7 +1555,7 @@ def test_sync_aggregate_minmax_touched_group_recompute(spark, tmp_path):
         return sorted(
             (r["ticker"], r["n_keys"], float(r["total_value"]),
              float(r["min_value"]), float(r["max_value"]))
-            for r in spark.read.parquet(agg).collect()
+            for r in spark.read.parquet(tdd(agg)).collect()
         )
 
     apply_changes(
@@ -1671,7 +1673,7 @@ def test_sync_aggregate_drain_prunes_files(spark, tmp_path, monkeypatch):
 
     got = sorted(
         (r["grp"], r["n_keys"], float(r["total_value"]))
-        for r in spark.read.parquet(agg).collect()
+        for r in spark.read.parquet(tdd(agg)).collect()
     )
     exp = sorted(
         (r["grp"], r["n"], float(r["tv"]))
@@ -1719,7 +1721,7 @@ def test_sync_aggregate_minmax_null_group_updates(spark, tmp_path):
         return sorted(
             ((r["ticker"], r["n_keys"], float(r["min_value"]),
               float(r["max_value"]))
-             for r in spark.read.parquet(agg).collect()),
+             for r in spark.read.parquet(tdd(agg)).collect()),
             key=lambda t: (t[0] is not None, t[0] or ""),
         )
 
@@ -1791,11 +1793,11 @@ def test_seq_pruning_skipped_on_noncanonical_stats(spark, tmp_path):
     spark.createDataFrame(
         [(1, 10.0, "1", "5", False)],
         "k long, price double, _key string, _seq string, _deleted boolean",
-    ).coalesce(1).write.parquet(path)
+    ).coalesce(1).write.parquet(tdd(path))
     spark.createDataFrame(
         [(2, 20.0, "2", "12", False)],
         "k long, price double, _key string, _seq string, _deleted boolean",
-    ).coalesce(1).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(tdd(path))
     collect_file_stats(spark, path, ["_seq", "_key"])
     assert not _seq_stats_canonical(path)
     # as-of 7: only seq 5 qualifies; a lexicographic prune against the
@@ -1897,7 +1899,7 @@ def test_sync_aggregate_inset_path_on_noncanonical_seq_stats(spark, tmp_path):
             [("aa", 10.0, "1", seqs[0], False),
              ("bb", 20.0, "2", seqs[1], False)],
             schema,
-        ).coalesce(1).write.parquet(path)
+        ).coalesce(1).write.parquet(tdd(path))
         collect_file_stats(spark, path, ["_seq", "_key"])
         assert not _seq_stats_canonical(path)
         # first drain: full recompute, marker = canonical tip
@@ -1905,7 +1907,7 @@ def test_sync_aggregate_inset_path_on_noncanonical_seq_stats(spark, tmp_path):
         # newer generation lands in its own file; stats stay raw-era
         spark.createDataFrame(
             [("aa", 11.0, "1", seqs[2], False)], schema
-        ).coalesce(1).write.mode("append").parquet(path)
+        ).coalesce(1).write.mode("append").parquet(tdd(path))
         collect_file_stats(spark, path, ["_seq", "_key"], incremental=True)
         # incremental drain: without the guard this either prunes away
         # the pre-window files (str era) or dies in the pruner (long
@@ -1913,7 +1915,7 @@ def test_sync_aggregate_inset_path_on_noncanonical_seq_stats(spark, tmp_path):
         assert sync_aggregate(spark, path, agg, "ticker", "price") is not None
         got = sorted(
             (r["ticker"], r["n_keys"], float(r["total_value"]))
-            for r in spark.read.parquet(agg).collect()
+            for r in spark.read.parquet(tdd(agg)).collect()
         )
         assert got == [("aa", 1, 11.0), ("bb", 1, 20.0)], era
 
@@ -2060,7 +2062,7 @@ def test_sync_aggregate_minmax_drain_prunes_files(spark, tmp_path, monkeypatch):
     got = sorted(
         (r["grp"], r["n_keys"], float(r["total_value"]),
          float(r["min_value"]), float(r["max_value"]))
-        for r in spark.read.parquet(agg).collect()
+        for r in spark.read.parquet(tdd(agg)).collect()
     )
     exp = sorted(
         (r["grp"], r["n"], float(r["tv"]), float(r["mn"]), float(r["mx"]))

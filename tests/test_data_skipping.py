@@ -7,6 +7,7 @@ ranges tight — the measured synergy with ``zorder_repartition``.
 """
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import datetime
 import os
@@ -41,7 +42,7 @@ def table(spark, tmp_path_factory):
         F.date_add(F.lit(datetime.date(2024, 1, 1)), (F.col("id") % 365).cast("int")).alias("d"),
         F.concat(F.lit("k"), F.lpad((F.col("id") % 50).cast("string"), 4, "0")).alias("s"),
     )
-    df.repartitionByRange(16, "a").write.parquet(path)
+    df.repartitionByRange(16, "a").write.parquet(tdd(path))
     collect_file_stats(spark, path, ["a", "b", "c", "d", "s"])
     return path
 
@@ -60,7 +61,7 @@ PREDICATES = [
 
 @pytest.mark.parametrize("preds", PREDICATES)
 def test_skipping_read_equals_full_filter(spark, table, preds):
-    full = spark.read.parquet(table)
+    full = spark.read.parquet(tdd(table))
     cond = None
     for p in preds:
         c = (
@@ -97,22 +98,22 @@ def test_empty_selection_returns_schema_without_scanning(spark, table):
 
 def test_files_written_after_stats_are_conservatively_included(spark, table, tmp_path):
     path = str(tmp_path / "tbl_growing")
-    spark.range(100).select(F.col("id").alias("a")).write.parquet(path)
+    spark.range(100).select(F.col("id").alias("a")).write.parquet(tdd(path))
     collect_file_stats(spark, path, ["a"])
     # append out-of-range rows AFTER the stats pass
     spark.range(1000, 1100).select(F.col("id").alias("a")).write.mode(
         "append"
-    ).parquet(path)
+    ).parquet(tdd(path))
     got = read_skipping(spark, path, [("a", ">=", 1000)])
     assert got.count() == 100  # the unknown files were read
 
 
 def test_all_null_file_skips_range_predicates(spark, tmp_path):
     path = str(tmp_path / "tbl_nulls")
-    spark.createDataFrame([(None,), (None,)], "v double").coalesce(1).write.parquet(path)
+    spark.createDataFrame([(None,), (None,)], "v double").coalesce(1).write.parquet(tdd(path))
     spark.createDataFrame([(1.0,), (2.0,)], "v double").coalesce(1).write.mode(
         "append"
-    ).parquet(path)
+    ).parquet(tdd(path))
     collect_file_stats(spark, path, ["v"])
     keep, total = prune_files(path, [("v", ">=", 0.0)])
     assert total == 2 and len(keep) == 1  # the all-null file skips
@@ -124,7 +125,7 @@ def test_partition_columns_participate_and_survive(spark, tmp_path):
     df = spark.range(400).select(
         (F.col("id") % 4).alias("p"), F.col("id").alias("a")
     )
-    df.write.partitionBy("p").parquet(path)
+    df.write.partitionBy("p").parquet(tdd(path))
     collect_file_stats(spark, path, ["p", "a"])
     _, total_all = prune_files(path, [])
     keep, total = prune_files(path, [("p", "=", 2)])
@@ -151,10 +152,10 @@ def test_zorder_layout_multiplies_skipping(spark, tmp_path):
         ).alias("y"),
     )
     zpath = str(tmp_path / "tbl_z")
-    zorder_repartition(base, [F.col("x"), F.col("y")], files, bits=14).write.parquet(zpath)
+    zorder_repartition(base, [F.col("x"), F.col("y")], files, bits=14).write.parquet(tdd(zpath))
     collect_file_stats(spark, zpath, ["x", "y"])
     lpath = str(tmp_path / "tbl_linear")
-    base.repartitionByRange(files, "x").write.parquet(lpath)
+    base.repartitionByRange(files, "x").write.parquet(tdd(lpath))
     collect_file_stats(spark, lpath, ["x", "y"])
 
     window = 1 << 10  # 1/16 of the domain in each dimension
@@ -176,7 +177,7 @@ def test_zorder_layout_multiplies_skipping(spark, tmp_path):
 def test_stats_sidecar_is_invisible_to_spark(spark, table):
     assert os.path.exists(os.path.join(table, FILE_STATS_SIDECAR))
     # plain reads neither fail nor see phantom rows
-    assert spark.read.parquet(table).count() == 4000
+    assert spark.read.parquet(tdd(table)).count() == 4000
 
 
 def test_stats_lifecycle_through_swap_and_compaction(spark, tmp_path):
@@ -191,13 +192,13 @@ def test_stats_lifecycle_through_swap_and_compaction(spark, tmp_path):
     path = str(tmp_path / "tbl_life")
     df = spark.range(2000).select(F.col("id").alias("a"))
     # fragmented write: 8 range files so stats prune
-    df.repartitionByRange(8, "a").write.parquet(path)
+    df.repartitionByRange(8, "a").write.parquet(tdd(path))
     collect_file_stats(spark, path, ["a"])
     keep, total = prune_files(path, [("a", "<", 100)])
     assert len(keep) < total
 
     compact_parquet(spark, path, target_file_bytes=1 << 30)  # rewrites to 1 file
-    assert os.path.exists(os.path.join(path, FILE_STATS_SIDECAR))
+    assert os.path.exists(os.path.join(tdd(path), FILE_STATS_SIDECAR))
     keep2, total2 = prune_files(path, [("a", "<", 100)])
     assert total2 < total  # the rewrite really compacted
     assert len(keep2) == total2  # everything kept: 1 file holds all
@@ -226,13 +227,13 @@ def test_optimize_zorder_compaction(spark, tmp_path):
         F.shiftrightunsigned(F.xxhash64("id"), 50).alias("x"),
         F.shiftrightunsigned(F.xxhash64("id", F.lit(1)), 50).alias("y"),
     )
-    df.repartition(64).write.parquet(path)  # fragmented, unclustered
+    df.repartition(64).write.parquet(tdd(path))  # fragmented, unclustered
     collect_file_stats(spark, path, ["x", "y"])
-    before = sorted(r["rid"] for r in spark.read.parquet(path).collect())
+    before = sorted(r["rid"] for r in spark.read.parquet(tdd(path)).collect())
     # pick a per-file byte target that yields ~16 output files
     total = sum(
         os.path.getsize(os.path.join(d, f))
-        for d, _, fs in os.walk(path)
+        for d, _, fs in os.walk(tdd(path))
         for f in fs
         if f.endswith(".parquet")
     )
@@ -240,7 +241,7 @@ def test_optimize_zorder_compaction(spark, tmp_path):
         spark, path, target_file_bytes=max(1, total // files), zorder_by=["x", "y"]
     )
     assert stats.n_files <= files + 2
-    after = sorted(r["rid"] for r in spark.read.parquet(path).collect())
+    after = sorted(r["rid"] for r in spark.read.parquet(tdd(path)).collect())
     assert after == before  # clustering moved rows, lost none
     # the refreshed stats prune on BOTH z-dimensions (a linear layout
     # would keep every file on its trailing one)
@@ -261,13 +262,13 @@ def test_optimize_zorder_partitioned_and_nonnumeric_raises(spark, tmp_path):
         F.shiftrightunsigned(F.xxhash64("id", F.lit(1)), 50).alias("y"),
         F.col("id").cast("string").alias("s"),
     )
-    df.repartition(8).write.partitionBy("p").parquet(path)
+    df.repartition(8).write.partitionBy("p").parquet(tdd(path))
     collect_file_stats(spark, path, ["x", "y"])
     compact_parquet(
         spark, path, target_file_bytes=1 << 13, zorder_by=["x", "y"],
         partition_by=["p"],
     )
-    out = spark.read.parquet(path)
+    out = spark.read.parquet(tdd(path))
     assert out.count() == 4000 and "p" in out.columns
     keep, tot = prune_files(path, [("x", "between", 0, 2000)])
     assert tot >= 4 and len(keep) < tot, (len(keep), tot)
@@ -286,7 +287,7 @@ def test_incremental_stats_refresh_scans_only_new_files(spark, tmp_path):
     )
 
     path = str(tmp_path / "tbl_inc")
-    spark.range(100).select(F.col("id").alias("a")).coalesce(2).write.parquet(path)
+    spark.range(100).select(F.col("id").alias("a")).coalesce(2).write.parquet(tdd(path))
     first = cfs(spark, path, ["a"])
     assert len(first["files"]) == 2
 
@@ -302,7 +303,7 @@ def test_incremental_stats_refresh_scans_only_new_files(spark, tmp_path):
 
     spark.range(1000, 1100).select(F.col("id").alias("a")).coalesce(1).write.mode(
         "append"
-    ).parquet(path)
+    ).parquet(tdd(path))
     second = cfs(spark, path, ["a"], incremental=True)
     assert len(second["files"]) == 3
     assert second["files"][marker_rel]["a"] == [-999, -999]  # untouched
@@ -321,7 +322,7 @@ def test_incremental_stats_refresh_scans_only_new_files(spark, tmp_path):
     # a changed column set falls back to the full pass
     spark.range(5).select(
         F.col("id").alias("a"), F.col("id").alias("b")
-    ).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(tdd(path))
     mixed = cfs(spark, path, ["a", "b"], incremental=True)
     assert mixed["columns"] == ["a", "b"]
     assert all("b" in st for st in mixed["files"].values())
@@ -341,7 +342,7 @@ def test_bloom_filters_prune_point_lookups(spark, tmp_path):
     spark.range(n).select(
         F.col("id").alias("k"),
         F.concat(F.lit("u"), F.col("id")).alias("name"),
-    ).repartition(files, "name").write.parquet(path)
+    ).repartition(files, "name").write.parquet(tdd(path))
     collect_file_stats(spark, path, ["k"])
     collect_file_blooms(spark, path, ["k", "name"])
 
@@ -375,7 +376,7 @@ def test_bloom_survives_refresh_and_unknown_files_conservative(spark, tmp_path):
     )
 
     path = str(tmp_path / "tbl_bloom_life")
-    spark.range(1000).select(F.col("id").alias("k")).repartition(4, "k").write.parquet(path)
+    spark.range(1000).select(F.col("id").alias("k")).repartition(4, "k").write.parquet(tdd(path))
     collect_file_stats(spark, path, ["k"])
     collect_file_blooms(spark, path, ["k"])
     keep, _ = prune_files(path, [("k", "=", 77)])
@@ -390,7 +391,7 @@ def test_bloom_survives_refresh_and_unknown_files_conservative(spark, tmp_path):
     # a new file without a bloom entry is kept for any equality probe
     spark.range(5000, 5001).select(F.col("id").alias("k")).coalesce(1).write.mode(
         "append"
-    ).parquet(path)
+    ).parquet(tdd(path))
     collect_file_stats(spark, path, ["k"], incremental=True)
     got = read_skipping(spark, path, [("k", "=", 5000)])
     assert got.count() == 1  # no false negative from the bloom-less file
@@ -406,7 +407,7 @@ def test_in_list_predicates_prune_ranges_and_blooms(spark, tmp_path):
     path = str(tmp_path / "tbl_in")
     spark.range(4000).select(F.col("id").alias("a")).repartitionByRange(
         8, "a"
-    ).write.parquet(path)
+    ).write.parquet(tdd(path))
     collect_file_stats(spark, path, ["a"])
     # range-clustered: an IN over two far-apart values keeps ~2 files
     keep, total = prune_files(path, [("a", "in", [10, 3990])])
@@ -422,7 +423,7 @@ def test_in_list_predicates_prune_ranges_and_blooms(spark, tmp_path):
     bpath = str(tmp_path / "tbl_in_bloom")
     spark.range(20_000).select(F.col("id").alias("k")).repartition(
         16, "k"
-    ).write.parquet(bpath)
+    ).write.parquet(tdd(bpath))
     collect_file_stats(spark, bpath, ["k"])
     collect_file_blooms(spark, bpath, ["k"])
     keep, total = prune_files(bpath, [("k", "in", [5, 19_000])])
@@ -446,7 +447,7 @@ def test_partition_dir_pruning_skips_walk(spark, tmp_path, monkeypatch):
     df = spark.range(300).select(
         (F.col("id") % 3).alias("p"), F.col("id").alias("a")
     )
-    df.write.partitionBy("p").parquet(path)
+    df.write.partitionBy("p").parquet(tdd(path))
     collect_file_stats(spark, path, ["p", "a"])
 
     visited = []
@@ -472,7 +473,7 @@ def test_partition_dir_pruning_skips_walk(spark, tmp_path, monkeypatch):
     assert read_skipping(spark, path, [("p", "=", 1)]).count() == 100
     assert (
         _rows(read_skipping(spark, path, [("p", ">=", 2)]))
-        == _rows(spark.read.parquet(path).filter(F.col("p") >= 2))
+        == _rows(spark.read.parquet(tdd(path)).filter(F.col("p") >= 2))
     )
 
 
@@ -488,10 +489,10 @@ def test_bloom_on_nullable_int_column(spark, tmp_path):
     path = str(tmp_path / "bloom_null_int")
     spark.createDataFrame(
         [(1, 100), (2, None), (3, 300)], "id long, acct int"
-    ).coalesce(1).write.parquet(path)
+    ).coalesce(1).write.parquet(tdd(path))
     spark.createDataFrame(
         [(4, 400), (5, None)], "id long, acct int"
-    ).coalesce(1).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(tdd(path))
 
     collect_file_blooms(spark, path, ["acct"], num_bits=1 << 10)
     kept, total = prune_files(path, [("acct", "=", 300)])
@@ -514,14 +515,14 @@ def test_incremental_stats_record_evolved_schema(spark, tmp_path):
     path = str(tmp_path / "evolving")
     spark.createDataFrame(
         [(1, 10.0), (2, 20.0)], "id long, price double"
-    ).coalesce(1).write.parquet(path)
+    ).coalesce(1).write.parquet(tdd(path))
     collect_file_stats(spark, path, ["id"])
 
     # evolving append: new files carry an extra column
     spark.createDataFrame(
         [(3, 30.0, "NYSE"), (4, 40.0, "ARCA")],
         "id long, price double, venue string",
-    ).coalesce(1).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(tdd(path))
     out = collect_file_stats(spark, path, ["id"], incremental=True)
     recorded = [f["name"] for f in json.loads(out["schema"])["fields"]]
     assert "venue" in recorded
@@ -530,7 +531,7 @@ def test_incremental_stats_record_evolved_schema(spark, tmp_path):
     assert "venue" in got.columns
     ref = (
         spark.read.option("mergeSchema", "true")
-        .parquet(path)
+        .parquet(tdd(path))
         .filter(F.col("id") >= 3)
     )
     assert _rows(got.select(*sorted(got.columns))) == _rows(
@@ -541,10 +542,10 @@ def test_incremental_stats_record_evolved_schema(spark, tmp_path):
     # records a readable union schema via the table's own merge)
     spark.createDataFrame(
         [(5, 50.0, 7)], "id long, price double, flag long"
-    ).coalesce(1).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(tdd(path))
     spark.createDataFrame(
         [(6, 60.0, "x")], "id long, price double, flag2 string"
-    ).coalesce(1).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(tdd(path))
     out2 = collect_file_stats(spark, path, ["id"], incremental=True)
     names2 = [f["name"] for f in json.loads(out2["schema"])["fields"]]
     assert "flag" in names2 and "flag2" in names2 and "venue" in names2
@@ -582,7 +583,7 @@ def test_hot_readers_route_through_sidecar_pruning(spark, tmp_path):
     collect_file_blooms(spark, hist, ["_key"], num_bits=1 << 10)
 
     all_files = set(
-        spark.read.option("mergeSchema", "true").parquet(hist).inputFiles()
+        spark.read.option("mergeSchema", "true").parquet(tdd(hist)).inputFiles()
     )
 
     # time-travel read prunes files above the cut
@@ -595,7 +596,7 @@ def test_hot_readers_route_through_sidecar_pruning(spark, tmp_path):
     assert feed.count() == 20
     # the tip comes from the sidecar (equal to the scan's answer)
     scan_max = (
-        spark.read.parquet(hist)
+        spark.read.parquet(tdd(hist))
         .agg(F.max("_seq").alias("m"))
         .first()["m"]
     )
@@ -621,7 +622,7 @@ def test_hot_readers_route_through_sidecar_pruning(spark, tmp_path):
         )
         apply_changes(spark, env, up, "k", mode="upsert")
     collect_file_stats(spark, up, ["v"])
-    up_all = set(spark.read.parquet(up).inputFiles())
+    up_all = set(spark.read.parquet(tdd(up)).inputFiles())
     got = read_warehouse(spark, up, predicates=[("v", "between", 35.0, 39.0)])
     ref = read_warehouse(spark, up).filter(F.col("v").between(35.0, 39.0))
     assert sorted(r["k"] for r in got.collect()) == sorted(
@@ -645,10 +646,10 @@ def test_bloom_declines_float_unsafe_bigints(spark, tmp_path):
     path = str(tmp_path / "bloom_bigint")
     spark.createDataFrame(
         [(1, big), (2, None)], "id long, acct long"
-    ).coalesce(1).write.parquet(path)
+    ).coalesce(1).write.parquet(tdd(path))
     spark.createDataFrame(
         [(3, 300), (4, None)], "id long, acct long"
-    ).coalesce(1).write.mode("append").parquet(path)
+    ).coalesce(1).write.mode("append").parquet(tdd(path))
 
     collect_file_blooms(spark, path, ["acct"], num_bits=1 << 10)
     # the big value's file has no bloom -> conservatively kept

@@ -11,6 +11,7 @@ Reference behavior reproduced end-to-end:
 """
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import os
 
@@ -47,7 +48,7 @@ def test_full_cycle(spark, tmp_path):
     # --- EP1: three scheduled triggers of the CSV ingest (K1/K6/P1) ---
     for _ in range(3):
         ingest_csv(spark, csv_path, bronze)
-    bronze_df = spark.read.parquet(bronze)
+    bronze_df = spark.read.parquet(tdd(bronze))
     assert bronze_df.count() == 24 * 3  # no PK: duplicates accumulate
     assert all(c == c.lower() and " " not in c for c in bronze_df.columns)
 

@@ -2,6 +2,7 @@
 dynamic partition overwrite leaving untouched partitions' files alone."""
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import glob
 import os
@@ -40,7 +41,7 @@ def _envelope(spark, rows):
 def _files(path):
     return {
         f
-        for f in glob.glob(f"{path}/**/*", recursive=True)
+        for f in glob.glob(f"{tdd(path)}/**/*", recursive=True)
         if os.path.isfile(f) and "_SUCCESS" not in f
     }
 
@@ -53,7 +54,7 @@ def test_partitioned_append_routes_rows(spark, tmp_path):
     )
     apply_changes(spark, batch, wh, "id", mode="append", partition_by=["region"])
     assert os.path.isdir(f"{wh}/region=eu") and os.path.isdir(f"{wh}/region=us")
-    assert spark.read.parquet(wh).count() == 2
+    assert spark.read.parquet(tdd(wh)).count() == 2
 
 
 def test_partitioned_upsert_touches_only_batch_partitions(spark, tmp_path):
@@ -111,7 +112,7 @@ def test_partitioned_delete_empties_partition(spark, tmp_path):
     # the deleted key's partition keeps a seq-bearing TOMBSTONE row
     # (hidden from readers): erasing it would let a later batch
     # replaying an older upsert resurrect the key
-    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    raw = spark.read.option("mergeSchema", "true").parquet(tdd(wh))
     tomb = raw.filter(raw["region"] == "us").collect()
     assert len(tomb) == 1
     assert tomb[0]["id"] == "b" and tomb[0]["_deleted"] is True
@@ -211,7 +212,7 @@ def test_mixed_era_seq_representations_arbitrate_numerically(spark, tmp_path):
     # simulate a pre-migration table: long _seq column written directly
     spark.createDataFrame(
         [("a", "eu", 1.0, 5)], "id string, region string, price double, _seq long"
-    ).write.parquet(wh)
+    ).write.parquet(tdd(wh))
     apply_changes(
         spark,
         _envelope(spark, [("MODIFY", "a", "eu", 42.0, 19)]),
@@ -246,7 +247,7 @@ def test_pruned_merge_with_escaped_partition_values(spark, tmp_path):
         wh, "id", mode="upsert", partition_by=["region"],
     )
     # the dir name must actually be escaped (else the test proves nothing)
-    dirs = os.listdir(wh)
+    dirs = os.listdir(tdd(wh))
     assert not any(d == f"region={weird}" for d in dirs if d.startswith("region="))
     apply_changes(
         spark,
@@ -399,9 +400,9 @@ def test_touched_dir_resolver_matches_spark_escaping_fuzz(spark, tmp_path):
     wh = str(tmp_path / "wh")
     spark.createDataFrame(
         [(i, v) for i, v in enumerate(values)], "id long, p string"
-    ).write.partitionBy("p").parquet(wh)
+    ).write.partitionBy("p").parquet(tdd(wh))
     stored = {
-        r["p"] for r in spark.read.parquet(wh).select("p").distinct().collect()
+        r["p"] for r in spark.read.parquet(tdd(wh)).select("p").distinct().collect()
     }
     for v in values:
         if v not in stored:
@@ -499,8 +500,8 @@ def test_remove_emptying_escaped_partition_removes_its_dir(spark, tmp_path):
     )
     assert read_warehouse(spark, wh).count() == 0  # no resurrection
     assert not any(
-        d.startswith("region=eu") for d in os.listdir(wh)
-    ), os.listdir(wh)
+        d.startswith("region=eu") for d in os.listdir(tdd(wh))
+    ), os.listdir(tdd(wh))
 
 
 def test_recover_swap_adopts_committed_staging(spark, tmp_path):

@@ -1,0 +1,345 @@
+"""Version-pointer table commit: the object-store-real swap.
+
+``_swap_into`` commits by writing a fresh version dir and atomically
+replacing the ``_current`` pointer — no directory rename anywhere on
+the path (object stores have none). These tests pin that contract:
+fault-injection proves no mutation path needs a directory rename,
+crash windows inside the commit leave the table serving a complete
+version, the legacy (root-layout) upgrade is seamless, and superseded
+versions are GC'd on the grace period.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import fsio
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import apply as A
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+    CURRENT_POINTER,
+    apply_changes,
+    read_warehouse,
+    table_data_dir,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+    read_envelope_feed,
+)
+
+from .fixtures import TRADE_SCHEMA, make_trade, write_envelope_file
+
+
+def _feed(spark, tmp_path, events, name="feed"):
+    d = str(tmp_path / name)
+    write_envelope_file(d, "batch1.json", events)
+    return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+
+def _ids(spark, target):
+    return sorted(r["id"] for r in read_warehouse(spark, target).collect())
+
+
+def test_swap_commits_via_pointer_not_rename(spark, tmp_path, monkeypatch):
+    """Fault injection: with fsio.move refusing DIRECTORY renames (the
+    primitive an object store lacks), the full mutate surface — upsert
+    merge swaps, compaction, history fold, tombstone vacuum, purge —
+    runs to completion. Single-FILE moves stay allowed (the lock
+    adoption dance uses them and documents why that is object-store
+    emulable)."""
+    real_move = fsio.move
+
+    def refuse_dir_renames(src, dst):
+        assert not os.path.isdir(src), (
+            f"directory rename attempted: {src} -> {dst}"
+        )
+        real_move(src, dst)
+
+    monkeypatch.setattr(fsio, "move", refuse_dir_renames)
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+        compact_parquet,
+        purge_keys,
+        vacuum_tombstones,
+    )
+
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+
+    # upsert: create + merge + delete-propagating merge (swap per batch)
+    up = str(tmp_path / "wh_up")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2)], "f1"),
+        up, "id", mode="upsert", propagate_deletes=True,
+    )
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("MODIFY", dict(t0, shares=9), 3), ("REMOVE", {"id": t1["id"]}, 4)],
+              "f2"),
+        up, "id", mode="upsert", propagate_deletes=True,
+    )
+    assert _ids(spark, up) == [t0["id"]]
+    assert {r["shares"] for r in read_warehouse(spark, up).collect()} == {9}
+    # pointer layout took effect on the first swap
+    assert table_data_dir(up) != up
+    # maintenance over the pointer table
+    vacuum_tombstones(spark, up, before_seq=100)
+    compact_parquet(spark, up, target_file_bytes=1 << 30)
+    assert _ids(spark, up) == [t0["id"]]
+
+    # history: blind appends (legacy layout) then the fold's swap
+    hist = str(tmp_path / "wh_hist")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", t2, 1), ("MODIFY", dict(t2, shares=5), 2)], "f3"),
+        hist, "id", mode="history",
+    )
+    assert table_data_dir(hist) == hist  # appends never need a swap
+    compact_history(spark, hist, before_seq=3)
+    assert table_data_dir(hist) != hist  # the fold upgraded it
+    assert [r["shares"] for r in read_warehouse(spark, hist).collect()] == [5]
+    assert purge_keys(spark, hist, "id", [t2["id"]]) >= 1
+    assert read_warehouse(spark, hist).count() == 0
+
+
+def test_crash_before_pointer_flip_serves_old_version(spark, tmp_path, monkeypatch):
+    """A crash after the new version dir is fully written but before
+    the pointer flips must leave the table serving its previous
+    version; the replayed commit converges and the orphan is GC'd."""
+    t0, t1 = make_trade(0), make_trade(1)
+    up = str(tmp_path / "wh_crash")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1), ("INSERT", t1, 2)], "c1"),
+        up, "id", mode="upsert",
+    )
+    v1 = table_data_dir(up)
+    assert v1 != up
+
+    real_write = fsio.atomic_write_text
+
+    def crash_on_pointer(path, text):
+        if os.path.basename(path) == CURRENT_POINTER:
+            raise OSError("injected crash before pointer flip")
+        real_write(path, text)
+
+    monkeypatch.setattr(fsio, "atomic_write_text", crash_on_pointer)
+    with pytest.raises(OSError, match="injected crash"):
+        apply_changes(
+            spark,
+            _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=7), 3)], "c2"),
+            up, "id", mode="upsert",
+        )
+    monkeypatch.setattr(fsio, "atomic_write_text", real_write)
+
+    # old version still current; orphan staging exists beside it
+    assert table_data_dir(up) == v1
+    assert _ids(spark, up) == sorted([t0["id"], t1["id"]])
+    assert {
+        r["shares"] for r in read_warehouse(spark, up).collect()
+    } == {make_trade(0)["shares"], make_trade(1)["shares"]}
+    orphans = [
+        d for d in os.listdir(up)
+        if d.startswith("v_") and os.path.join(up, d) != v1
+    ]
+    assert orphans, "the crashed commit should have left a staged version"
+
+    # the replayed batch re-merges against the OLD version (exactly
+    # what an at-least-once replay would deliver) and commits
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=7), 3)], "c3"),
+        up, "id", mode="upsert",
+    )
+    v2 = table_data_dir(up)
+    assert v2 not in (up, v1)
+    assert _ids(spark, up) == sorted([t0["id"], t1["id"]])
+    out = {r["id"]: r["shares"] for r in read_warehouse(spark, up).collect()}
+    assert out[t0["id"]] == 7
+    left = [d for d in os.listdir(up) if d.startswith("v_")]
+    assert left == [os.path.basename(v2)]
+
+
+def test_version_counter_monotone_past_orphans(spark, tmp_path, monkeypatch):
+    """A crashed commit's orphan version dir must never outrank a later
+    COMMITTED version by name — the counter advances past every version
+    the root has ever seen, pointer or orphan."""
+    t0 = make_trade(0)
+    up = str(tmp_path / "wh_ctr")
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "m1"),
+        up, "id", mode="upsert",
+    )
+    # fake a high-counter orphan (as if a crashed future commit)
+    orphan = os.path.join(up, "v_0000000042_deadbeef")
+    os.makedirs(orphan)
+    name = A._next_version_name(up)
+    assert int(name.split("_")[1]) == 43
+
+
+def test_gc_grace_keeps_superseded_version(spark, tmp_path, monkeypatch):
+    """VERSION_GC_GRACE_SECONDS > 0: the superseded version dir
+    survives the commit (in-flight readers finish), and a later commit
+    past the grace removes it."""
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 3600.0)
+    t0 = make_trade(0)
+    up = str(tmp_path / "wh_grace")
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "g1"),
+        up, "id", mode="upsert",
+    )
+    v1 = table_data_dir(up)
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=7), 2)], "g2"),
+        up, "id", mode="upsert",
+    )
+    v2 = table_data_dir(up)
+    assert v2 != v1
+    assert os.path.isdir(v1), "grace must keep the superseded version"
+    # grace elapsed (0): the next commit clears both old versions
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 0.0)
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=8), 3)], "g3"),
+        up, "id", mode="upsert",
+    )
+    assert not os.path.isdir(v1)
+    assert not os.path.isdir(v2)
+    assert {r["shares"] for r in read_warehouse(spark, up).collect()} == {8}
+
+
+def test_legacy_table_upgrades_on_first_swap(spark, tmp_path):
+    """A table written pre-pointer (data files at the root) reads as
+    itself, upgrades to the pointer layout on its first swap, and the
+    legacy root fileset is cleared by the commit's GC."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    legacy = str(tmp_path / "wh_legacy")
+    spark.range(50).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    ).repartition(4).write.parquet(legacy)
+    assert table_data_dir(legacy) == legacy
+    compact_parquet(spark, legacy, target_file_bytes=1 << 30)
+    assert table_data_dir(legacy) != legacy
+    # no legacy data files left at the root; reads resolve the pointer
+    root_parquet = [f for f in os.listdir(legacy) if f.endswith(".parquet")]
+    assert root_parquet == []
+    out = spark.read.parquet(table_data_dir(legacy))
+    assert out.count() == 50
+    assert out.agg(F.sum("val")).first()[0] == 2450
+
+
+def test_direct_root_read_fails_loudly_not_wrongly(spark, tmp_path):
+    """An external reader that bypasses the pointer must get an error,
+    never a silent union of versions or an empty result set read as
+    truth: version dirs are not hive partition dirs, so Spark's plain
+    root read cannot infer a schema."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    t0 = make_trade(0)
+    up = str(tmp_path / "wh_root")
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "r1"),
+        up, "id", mode="upsert",
+    )
+    assert table_data_dir(up) != up
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(up).count()
+
+
+def test_stream_survives_pointer_upgrade(spark, tmp_path):
+    """The glob-sourced change-feed stream keeps delivering across the
+    legacy->pointer upgrade a mid-stream compaction performs: folded
+    files re-deliver from the new version dir (the gate's compaction
+    contract) and LATER appends into the version dir are picked up —
+    no silent starvation after the flip."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_changes,
+    )
+
+    def _await(q):
+        q.awaitTermination(300)
+
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", t0, 1), ("MODIFY", dict(t0, shares=5), 2),
+               ("INSERT", t1, 3)],
+              "s1"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    assert _ids(spark, dst) == sorted([t0["id"], t1["id"]])
+
+    # compaction (folding t0's two versions) upgrades the source to
+    # the pointer layout mid-lifecycle
+    assert table_data_dir(src) == src
+    compact_history(spark, src, before_seq=3)
+    assert table_data_dir(src) != src
+
+    # post-upgrade appends land in the version dir; the glob source
+    # must see both the re-delivered fold and the fresh append
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t2, 4)], "s2"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    assert _ids(spark, dst) == sorted([t0["id"], t1["id"], t2["id"]])
+
+    # and a SECOND swap (pointer -> new version dir) keeps flowing too
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t2, shares=98), 5)], "s3"),
+        src, "id", mode="history",
+    )
+    compact_history(spark, src, before_seq=6)  # folds t2@4 into t2@5
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t2, shares=99), 6)], "s4"),
+        src, "id", mode="history",
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    out = {r["id"]: r["shares"] for r in read_warehouse(spark, dst).collect()}
+    assert out[t2["id"]] == 99
+
+
+def test_partitioned_pointer_stream_refused(spark, tmp_path):
+    """A hive-partitioned source in the pointer layout cannot ride the
+    version-dir glob (partition discovery breaks across glob roots) —
+    stream_changes must refuse loudly, pointing at the layout-proof
+    consumers, instead of starving after the next swap."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_changes,
+    )
+
+    t0, t1 = make_trade(0), make_trade(1)
+    src = str(tmp_path / "psrc")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", t0, 1), ("MODIFY", dict(t0, shares=5), 2),
+               ("INSERT", t1, 3)],
+              "p1"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    compact_history(spark, src, before_seq=3, partition_by=["ticker"])
+    assert table_data_dir(src) != src
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        stream_changes(spark, src)

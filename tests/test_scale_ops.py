@@ -2,6 +2,7 @@
 salted join — each must be result-identical to its plain counterpart."""
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import os
 
@@ -21,20 +22,20 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     df = spark.range(10_000).withColumn("v", F.col("id") * 2)
     # simulate streaming appends: many tiny files
     for i in range(20):
-        df.filter(F.col("id") % 20 == i).coalesce(1).write.mode("append").parquet(path)
+        df.filter(F.col("id") % 20 == i).coalesce(1).write.mode("append").parquet(tdd(path))
     before = table_stats(spark, path)
     assert before.n_files >= 20
 
-    rows_before = _sorted_rows(spark.read.parquet(path))
+    rows_before = _sorted_rows(spark.read.parquet(tdd(path)))
     after = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert after.n_files < before.n_files
     assert after.n_rows == before.n_rows == 10_000
-    assert _sorted_rows(spark.read.parquet(path)) == rows_before
+    assert _sorted_rows(spark.read.parquet(tdd(path))) == rows_before
 
 
 def test_compaction_noop_when_compact(spark, tmp_path):
     path = str(tmp_path / "t")
-    spark.range(100).coalesce(1).write.parquet(path)
+    spark.range(100).coalesce(1).write.parquet(tdd(path))
     before = table_stats(spark, path)
     after = compact_parquet(spark, path)
     assert (after.n_files, after.n_rows) == (before.n_files, before.n_rows)
@@ -239,10 +240,10 @@ def test_compaction_after_streaming_appends(spark, tmp_path):
         apply_changes(spark, env, wh, "id", mode="append")
     frag = table_stats(spark, wh)
     assert frag.n_files >= 8
-    rows = sorted(map(tuple, spark.read.parquet(wh).collect()))
+    rows = sorted(map(tuple, spark.read.parquet(tdd(wh)).collect()))
     after = compact_parquet(spark, wh, target_file_bytes=1 << 30)
     assert after.n_files < frag.n_files and after.n_rows == 8
-    assert sorted(map(tuple, spark.read.parquet(wh).collect())) == rows
+    assert sorted(map(tuple, spark.read.parquet(tdd(wh)).collect())) == rows
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
@@ -559,19 +560,19 @@ def test_partitioned_compaction_rewrites_only_fragmented_partitions(spark, tmp_p
     for i in range(6):
         base.filter(F.col("id") % 6 == i).coalesce(1).write.mode(
             "append"
-        ).partitionBy("region").parquet(path)
+        ).partitionBy("region").parquet(tdd(path))
     spark.range(100).select(
         F.lit("us").alias("region"), F.col("id"), (F.col("id") * 3).alias("v")
-    ).coalesce(1).write.mode("append").partitionBy("region").parquet(path)
+    ).coalesce(1).write.mode("append").partitionBy("region").parquet(tdd(path))
 
-    us_files = sorted(glob.glob(f"{path}/region=us/*"))
-    rows_before = _sorted_rows(spark.read.parquet(path))
+    us_files = sorted(glob.glob(f"{tdd(path)}/region=us/*"))
+    rows_before = _sorted_rows(spark.read.parquet(tdd(path)))
     after = compact_parquet(
         spark, path, target_file_bytes=1 << 30, partition_by=["region"]
     )
-    assert len(glob.glob(f"{path}/region=eu/*.parquet")) == 1  # compacted
-    assert sorted(glob.glob(f"{path}/region=us/*")) == us_files  # untouched
-    assert _sorted_rows(spark.read.parquet(path)) == rows_before
+    assert len(glob.glob(f"{tdd(path)}/region=eu/*.parquet")) == 1  # compacted
+    assert sorted(glob.glob(f"{tdd(path)}/region=us/*")) == us_files  # untouched
+    assert _sorted_rows(spark.read.parquet(tdd(path))) == rows_before
     assert after.n_rows == 700
 
 
@@ -587,10 +588,10 @@ def test_analyze_tables_records_stats_cbo_reads_them(spark, tmp_path):
 
     big = str(tmp_path / "fact")
     dim = str(tmp_path / "dim")
-    spark.range(50_000).withColumn("k", F.col("id") % 100).write.parquet(big)
+    spark.range(50_000).withColumn("k", F.col("id") % 100).write.parquet(tdd(big))
     spark.range(100).withColumnRenamed("id", "k").withColumn(
         "name", F.concat(F.lit("d"), F.col("k"))
-    ).write.parquet(dim)
+    ).write.parquet(tdd(dim))
 
     def _row_count(df):
         rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
@@ -645,13 +646,13 @@ def test_cbo_join_reorder_uses_analyzed_stats(spark, tmp_path):
     spark.range(200_000).select(
         F.col("id").alias("k1"), (F.col("id") % 1000).alias("k2"),
         F.lit(1).alias("va"),
-    ).write.parquet(a_p)
+    ).write.parquet(tdd(a_p))
     spark.range(200_000).select(
         F.col("id").alias("k1"), F.lit(2).alias("vb")
-    ).write.parquet(b_p)
+    ).write.parquet(tdd(b_p))
     spark.range(50).select(
         F.col("id").alias("k2"), F.lit(3).alias("vd")
-    ).write.parquet(d_p)
+    ).write.parquet(tdd(d_p))
 
     def joined():
         a, b, d = (

@@ -1,6 +1,7 @@
 """ANN scale paths (LSH + IVF) measured against the exact brute force."""
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import pytest
 from pyspark.sql import functions as F
@@ -116,9 +117,9 @@ def test_ivf_centroid_disk_cache(tmp_path, spark, emb, monkeypatch):
 
     corpus = tmp_path / "corpus"
     corpus.mkdir()
-    emb.limit(200).write.mode("overwrite").parquet(str(corpus / "embeddings.parquet"))
+    emb.limit(200).write.mode("overwrite").parquet(tdd(str(corpus / "embeddings.parquet")))
 
-    df = spark.read.parquet(str(corpus / "embeddings.parquet"))
+    df = spark.read.parquet(tdd(str(corpus / "embeddings.parquet")))
     first = SIM.train_ivf_centroids(df, n_cells=4, cache_key=str(corpus))
     files = list((tmp_path / "ivf").glob("*.json"))
     assert len(files) == 1  # persisted
@@ -130,8 +131,8 @@ def test_ivf_centroid_disk_cache(tmp_path, spark, emb, monkeypatch):
     assert files[0].stat().st_mtime_ns == mtime  # not rewritten
 
     # rewriting the corpus changes the fingerprint -> new cache entry
-    emb.limit(100).write.mode("overwrite").parquet(str(corpus / "embeddings.parquet"))
-    df2 = spark.read.parquet(str(corpus / "embeddings.parquet"))
+    emb.limit(100).write.mode("overwrite").parquet(tdd(str(corpus / "embeddings.parquet")))
+    df2 = spark.read.parquet(tdd(str(corpus / "embeddings.parquet")))
     SIM._CENTROID_CACHE.clear()
     SIM.train_ivf_centroids(df2, n_cells=4, cache_key=str(corpus))
     assert len(list((tmp_path / "ivf").glob("*.json"))) == 2

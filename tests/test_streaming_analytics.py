@@ -2,6 +2,7 @@
 windows, and cross-batch stateful dedup (applyInPandasWithState)."""
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import json
 import os
@@ -255,8 +256,8 @@ def test_streaming_incremental_agg_matches_full_replay(spark, tmp_path):
     def maintain(batch, epoch_id):
         batch = batch.withColumn("v", F.col("v").cast("decimal(12,2)"))
         if os.path.exists(state_dir):
-            state = spark.read.parquet(state_dir)
-            agg = spark.read.parquet(agg_dir)
+            state = spark.read.parquet(tdd(state_dir))
+            agg = spark.read.parquet(tdd(agg_dir))
         else:
             state = batch.limit(0).select("k", "g", "v", "seq")
             agg = spark.createDataFrame(
@@ -276,9 +277,9 @@ def test_streaming_incremental_agg_matches_full_replay(spark, tmp_path):
         ).collect()
         ns = new_state.collect()
         spark.createDataFrame(na, "g string, n_keys long, total_value decimal(22,2)") \
-            .write.mode("overwrite").parquet(agg_dir)
+            .write.mode("overwrite").parquet(tdd(agg_dir))
         spark.createDataFrame(ns, "k long, g string, v decimal(12,2), seq long") \
-            .write.mode("overwrite").parquet(state_dir)
+            .write.mode("overwrite").parquet(tdd(state_dir))
 
     q = (
         spark.readStream.schema(schema)
@@ -293,7 +294,7 @@ def test_streaming_incremental_agg_matches_full_replay(spark, tmp_path):
 
     got = {
         r["g"]: (r["n_keys"], float(r["total_value"]))
-        for r in spark.read.parquet(agg_dir).collect()
+        for r in spark.read.parquet(tdd(agg_dir)).collect()
     }
     # full replay on max-seq state: k1 (a,10) seq5 beats late seq3;
     # k2 (a,20); k3 removed; k4 (c,40)

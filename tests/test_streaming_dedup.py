@@ -4,6 +4,7 @@ survivors table and the minhash index together.
 """
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import json
 import os
@@ -46,7 +47,7 @@ def _run(spark, tmp_path, max_files_per_trigger=1, **kw):
 def _kept_ids(spark, tmp_path) -> set[int]:
     return {
         r["doc_id"]
-        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+        for r in spark.read.parquet(tdd(str(tmp_path / "kept"))).collect()
     }
 
 
@@ -122,7 +123,7 @@ def test_bigbuckets_rebuild_cadence(spark, tmp_path):
     bb = str(tmp_path / "idx" / "bigbuckets")
     # rebuilt at epoch 1 (and bootstrap at epoch 0); no oversized
     # buckets on this corpus, so the plan is empty but readable
-    assert spark.read.parquet(bb).count() == 0
+    assert spark.read.parquet(tdd(bb)).count() == 0
 
 
 def test_all_dup_batch_writes_empty_epoch(spark, tmp_path):

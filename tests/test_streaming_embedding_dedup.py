@@ -3,6 +3,7 @@ vector micro-batches within themselves and against the accepted corpus.
 """
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import json
 import os
@@ -44,7 +45,7 @@ def _run(spark, tmp_path):
 def _accepted_ids(spark, tmp_path) -> set[int]:
     return {
         r["vec_id"]
-        for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        for r in spark.read.parquet(tdd(str(tmp_path / "accepted"))).collect()
     }
 
 
@@ -80,6 +81,6 @@ def test_restart_and_replay_converge(spark, tmp_path):
 
     shutil.rmtree(str(tmp_path / "ckpt"))
     _run(spark, tmp_path)
-    acc = spark.read.parquet(str(tmp_path / "accepted"))
+    acc = spark.read.parquet(tdd(str(tmp_path / "accepted")))
     assert {r["vec_id"] for r in acc.collect()} == {1, 2, 6}
     assert acc.groupBy("vec_id").count().filter("count > 1").count() == 0

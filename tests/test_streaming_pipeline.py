@@ -3,6 +3,7 @@ NDJSON -> warehouse, both hops checkpointed; plus the collapsed
 envelope->apply pipeline and the EP1 replication restatement."""
 
 from __future__ import annotations
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import table_data_dir as tdd
 
 import glob
 import json
@@ -44,7 +45,7 @@ def test_two_hop_pipeline_append(spark, tmp_path):
         spark, cfg, feed, staging, str(tmp_path / "ck1"), TRADE_SCHEMA
     )
     _await(q1)
-    staged = sorted(os.listdir(staging))
+    staged = sorted(os.listdir(tdd(staging)))
     # parity naming: data files say how many records they carry (K3)
     assert all("__inserted_or_modified_records.json" in f or
                "__no_inserted_or_modified_records.txt" in f for f in staged)
@@ -55,14 +56,14 @@ def test_two_hop_pipeline_append(spark, tmp_path):
         spark, cfg, staging, wh, str(tmp_path / "ck2"), TRADE_SCHEMA
     )
     _await(q2)
-    out = spark.read.parquet(wh)
+    out = spark.read.parquet(tdd(wh))
     assert out.count() == 3  # append mode: one row per INSERT/MODIFY event
     assert out.filter(F.col("id") == t1["id"]).count() == 2
 
     # restart both hops with same checkpoints: no new input => no new rows
     _await(run_stream_to_staging(spark, cfg, feed, staging, str(tmp_path / "ck1"), TRADE_SCHEMA))
     _await(run_staging_to_warehouse(spark, cfg, staging, wh, str(tmp_path / "ck2"), TRADE_SCHEMA))
-    assert spark.read.parquet(wh).count() == 3
+    assert spark.read.parquet(tdd(wh)).count() == 3
 
 
 def test_two_hop_pipeline_upsert(spark, tmp_path):
@@ -88,7 +89,7 @@ def test_empty_batch_writes_marker(spark, tmp_path):
     # a file whose only event is REMOVE -> zero survivors -> K4 marker
     write_stream_records_file(feed, "b1.json", [("REMOVE", {"id": t2["id"]}, 1)])
     _await(run_stream_to_staging(spark, cfg, feed, staging, str(tmp_path / "ck"), TRADE_SCHEMA))
-    markers = [f for f in os.listdir(staging) if f.endswith("__no_inserted_or_modified_records.txt")]
+    markers = [f for f in os.listdir(tdd(staging)) if f.endswith("__no_inserted_or_modified_records.txt")]
     assert markers and os.path.getsize(os.path.join(staging, markers[0])) == 0
 
 
@@ -150,7 +151,7 @@ def test_staging_schema_evolution_name_matching(spark, tmp_path):
         spark, cfg, staging, wh, str(tmp_path / "ck"), TRADE_SCHEMA
     )
     q.awaitTermination(120)
-    out = spark.read.parquet(wh)
+    out = spark.read.parquet(tdd(wh))
     assert "brand_new_field" not in out.columns
     rows = {r["id"]: r for r in out.collect()}
     assert len(rows) == 3
@@ -241,7 +242,7 @@ def test_streaming_partitioned_deletes_across_batches(spark, tmp_path):
     assert [(r["id"], r["region"], r["price"]) for r in out] == [("c", "eu", 3.0)]
     # deleted keys persist as reader-hidden tombstones (seq-bearing, so
     # later micro-batches replaying older images cannot resurrect them)
-    raw = spark.read.option("mergeSchema", "true").parquet(wh)
+    raw = spark.read.option("mergeSchema", "true").parquet(tdd(wh))
     tombs = {r["id"]: r["_deleted"] for r in raw.filter("_deleted").collect()}
     assert tombs == {"a": True, "b": True}
 
@@ -307,7 +308,7 @@ def test_streaming_apply_compacts_every_n_batches(spark, tmp_path):
             spark, cfg, feed, wh, str(tmp_path / f"ck_{variant}"), TRADE_SCHEMA,
             compact_every_n_batches=knob,
         ))
-        assert spark.read.parquet(wh).count() == 8
+        assert spark.read.parquet(tdd(wh)).count() == 8
         if variant == "off":
             files_off = n_files(wh)
         else:
@@ -316,8 +317,8 @@ def test_streaming_apply_compacts_every_n_batches(spark, tmp_path):
     assert files_on == 1, files_on  # final epoch (id 3) compacted to 1 file
     # same rows either way
     key_col = "id"
-    rows_off = {r[key_col] for r in spark.read.parquet(str(tmp_path / "wh_off")).collect()}
-    rows_on = {r[key_col] for r in spark.read.parquet(str(tmp_path / "wh_on")).collect()}
+    rows_off = {r[key_col] for r in spark.read.parquet(tdd(str(tmp_path / "wh_off"))).collect()}
+    rows_on = {r[key_col] for r in spark.read.parquet(tdd(str(tmp_path / "wh_on"))).collect()}
     assert rows_off == rows_on
 
 
@@ -387,7 +388,7 @@ def test_envelope_apply_history_stream_with_compaction(spark, tmp_path):
     # t0@1 folded away; t0@3 and t1@2 (each key's newest sub-horizon
     # version) survive alongside the t1@4 tombstone
     assert read_history_horizon(wh) is not None
-    assert spark.read.parquet(wh).count() == 3
+    assert spark.read.parquet(tdd(wh)).count() == 3
     # time travel from the fold point forward still works
     asof = read_warehouse(spark, wh, as_of_seq=4).collect()
     assert [(r["id"], r["shares"]) for r in asof] == [(t0["id"], 777)]
@@ -424,7 +425,7 @@ def test_envelope_apply_optimize_zorder_tick(spark, tmp_path):
             optimize_zorder_by=["shares"],
         )
     )
-    out = spark.read.parquet(wh)
+    out = spark.read.parquet(tdd(wh))
     assert out.count() == 24
     # the tick refreshed the stats: they are live, not stale
     keep, total = prune_files(wh, [("shares", ">", 10_000)])
@@ -461,7 +462,7 @@ def test_envelope_apply_accretes_stats_incrementally(spark, tmp_path):
     assert keep == []  # max shares = 200 + 10*9 = 290
     keep2, _ = prune_files(wh, [("shares", ">=", 270)])
     assert len(keep2) >= 1
-    assert spark.read.parquet(wh).count() == 10
+    assert spark.read.parquet(tdd(wh)).count() == 10
 
 
 def test_envelope_apply_history_retain_seqs_keeps_feed_window(spark, tmp_path):
@@ -630,7 +631,7 @@ def test_stream_sync_aggregate_under_streaming_machinery(spark, tmp_path):
     def got(path):
         return sorted(
             (r["ticker"], r["n_keys"], float(r["total_value"]))
-            for r in spark.read.parquet(path).collect()
+            for r in spark.read.parquet(tdd(path)).collect()
         )
 
     def trade(i, ticker, price):
@@ -648,7 +649,7 @@ def test_stream_sync_aggregate_under_streaming_machinery(spark, tmp_path):
         spark, src, mm, ck2, "ticker", "price", minmax=True
     ))
     assert [r["min_value"] for r in
-            spark.read.parquet(mm).orderBy("ticker").collect()] == [10.0, 5.0]
+            spark.read.parquet(tdd(mm)).orderBy("ticker").collect()] == [10.0, 5.0]
 
     # more changes incl. a delete; the stream consumes only new files
     apply_changes(
@@ -724,7 +725,7 @@ def test_full_pipeline_ingest_replica_and_view_compose(spark, tmp_path):
         got = sorted(
             (r["ticker"], r["n_keys"], float(r["min_value"]),
              float(r["max_value"]))
-            for r in spark.read.parquet(view).collect()
+            for r in spark.read.parquet(tdd(view)).collect()
         )
         assert exp == got, (exp, got)
 
@@ -778,7 +779,7 @@ def test_stream_sync_redelivery_gate_skips_rewrite(spark, tmp_path):
 
     def replica_files():
         out = {}
-        for cur, _dirs, names in os.walk(dst):
+        for cur, _dirs, names in os.walk(tdd(dst)):
             for n in names:
                 if n.endswith(".parquet"):
                     p = os.path.join(cur, n)
@@ -1002,7 +1003,7 @@ def test_round8_machinery_composes_through_compaction(spark, tmp_path):
     # renamed, so all three consumers face a full re-delivery
     compact_history(spark, wh, before_seq=3)
     replica_files_before = {}
-    for cur, _dirs, names in os.walk(replica):
+    for cur, _dirs, names in os.walk(tdd(replica)):
         for n in names:
             if n.endswith(".parquet"):
                 p = os.path.join(cur, n)
@@ -1013,7 +1014,7 @@ def test_round8_machinery_composes_through_compaction(spark, tmp_path):
     assert len(classified) == n_classified_before
     # gated replica: pure re-delivery skipped the rewrite entirely
     replica_files_after = {}
-    for cur, _dirs, names in os.walk(replica):
+    for cur, _dirs, names in os.walk(tdd(replica)):
         for n in names:
             if n.endswith(".parquet"):
                 p = os.path.join(cur, n)
@@ -1051,7 +1052,7 @@ def test_round8_machinery_composes_through_compaction(spark, tmp_path):
     got = sorted(
         (r["ticker"], r["n_keys"], float(r["total_value"]),
          float(r["min_value"]), float(r["max_value"]))
-        for r in spark.read.parquet(view).collect()
+        for r in spark.read.parquet(tdd(view)).collect()
     )
     exp = sorted(
         (r["ticker"], r["n"], float(r["tv"]), float(r["mn"]), float(r["mx"]))
@@ -1104,7 +1105,7 @@ def test_stream_sync_paced_split_delivery_converges(spark, tmp_path):
     # sanity: the append produced several files (the slicing substrate)
     import glob
 
-    n_files = len(glob.glob(f"{src}/*.parquet"))
+    n_files = len(glob.glob(f"{tdd(src)}/*.parquet"))
     assert n_files >= 3, n_files
 
     stream_sync_changes(
