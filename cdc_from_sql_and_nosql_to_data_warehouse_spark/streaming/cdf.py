@@ -212,45 +212,56 @@ def envelope_from_versions(versions: DataFrame) -> DataFrame:
 APPLIED_MAX_MARKER = "_applied_max_seq"
 
 
-def _already_applied_filter(
-    spark: SparkSession,
-    batch: DataFrame,
-    target_path: str,
-    key: str,
-    mode: str,
+def _replica_applied_state(
+    spark: SparkSession, target_path: str, key: str, mode: str
 ) -> DataFrame:
-    """Version rows of ``batch`` NOT already reflected in the replica —
-    the merge-avoiding re-delivery gate. Per-key arbitration against
-    the replica's stored ``_seq`` (tombstones included: deletes
-    arbitrate too): for latest-wins targets a row whose key's stored
-    seq is >= its own would be dropped by the merge anyway, so
-    filtering it here changes nothing observable; for history targets
-    the exact ``(key, seq)`` anti-join drops only version rows the
-    replica already retains. Null-safe on the key (a NULL key is a
-    legitimate latest-wins group)."""
+    """The gate's replica-side state: the two narrow columns arbitration
+    needs — per-key max stored seq (latest-wins targets) or the exact
+    retained ``(key, seq)`` pairs (history targets). Split out from the
+    filter so one re-delivery EPISODE computes it ONCE: under
+    ``maxFilesPerTrigger`` pacing a compaction re-delivery arrives as N
+    micro-batches, and re-deriving this from the full replica per batch
+    would turn the gate's win into an O(N·replica) tax exactly in the
+    big-table scenario pacing exists for (measured: the paced leg of
+    scripts/probe_change_feed_scale.py --stream-compact)."""
     from ..operators.apply import _read_table
 
     tgt = _read_table(spark, target_path)
+    if mode == "history":
+        return tgt.select(
+            F.col(KEY_COL).alias("_cdft_k"),
+            _canonical_seq(F.col(SEQ_COL)).alias("_cdft_s"),
+        )
+    return tgt.groupBy(
+        F.col(key).cast("string").alias("_cdft_k")
+    ).agg(F.max(_canonical_seq(F.col(SEQ_COL))).alias("_cdft_s"))
+
+
+def _filter_unapplied(
+    batch: DataFrame, state: DataFrame, mode: str
+) -> DataFrame:
+    """Version rows of ``batch`` NOT already reflected in the replica
+    state — the merge-avoiding re-delivery gate. Per-key arbitration
+    against the stored ``_seq`` (tombstones included: deletes arbitrate
+    too): for latest-wins targets a row whose key's stored seq is >=
+    its own would be dropped by the merge anyway, so filtering it here
+    changes nothing observable; for history targets the exact ``(key,
+    seq)`` anti-join drops only version rows the replica already
+    retains. Null-safe on the key (a NULL key is a legitimate
+    latest-wins group)."""
     b = batch.withColumn(SEQ_COL, _canonical_seq(F.col(SEQ_COL))).alias(
         "_cdfb"
     )
     if mode == "history":
-        seen = tgt.select(
-            F.col(KEY_COL).alias("_cdft_k"),
-            _canonical_seq(F.col(SEQ_COL)).alias("_cdft_s"),
-        )
         return b.join(
-            seen,
+            state,
             F.col(f"_cdfb.{KEY_COL}").eqNullSafe(F.col("_cdft_k"))
             & (F.col(f"_cdfb.{SEQ_COL}") == F.col("_cdft_s")),
             "left_anti",
         )
-    stored = tgt.groupBy(
-        F.col(key).cast("string").alias("_cdft_k")
-    ).agg(F.max(_canonical_seq(F.col(SEQ_COL))).alias("_cdft_s"))
     return (
         b.join(
-            stored,
+            state,
             F.col(f"_cdfb.{KEY_COL}").eqNullSafe(F.col("_cdft_k")),
             "left",
         )
@@ -259,6 +270,22 @@ def _already_applied_filter(
             | (F.col(f"_cdfb.{SEQ_COL}") > F.col("_cdft_s"))
         )
         .drop("_cdft_k", "_cdft_s")
+    )
+
+
+def _already_applied_filter(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    key: str,
+    mode: str,
+) -> DataFrame:
+    """One-shot gate (state derived fresh): the uncached composition of
+    ``_replica_applied_state`` + ``_filter_unapplied``, kept for direct
+    callers and tests; ``stream_sync_changes`` caches the state per
+    re-delivery episode instead."""
+    return _filter_unapplied(
+        batch, _replica_applied_state(spark, target_path, key, mode), mode
     )
 
 
@@ -294,7 +321,14 @@ def stream_sync_changes(
     (``_already_applied_filter``). A pure re-delivery filters to empty
     and SKIPS the merge-and-rewrite entirely; mixed batches (the
     split-delivery edge where maxFilesPerTrigger separates one
-    append's files) apply exactly their unseen rows. Measured:
+    append's files) apply exactly their unseen rows. The replica-side
+    arbitration state is computed ONCE per re-delivery episode (keyed
+    on the marker value, invalidated by any batch that applies rows),
+    so a PACED re-delivery of N micro-batches pays one replica read,
+    not N — without the cache, pacing would multiply the gate's cost
+    by the trigger count exactly on the big tables pacing exists for.
+    Measured, unpaced and paced (maxFilesPerTrigger slicing the
+    re-delivery into many batches):
     scripts/probe_change_feed_scale.py --stream-compact. Steady-state
     cost of the gate is one seq-column aggregate per batch; the marker
     is advisory (a stale-low marker only skips the gate), so a crash
@@ -318,6 +352,25 @@ def stream_sync_changes(
         fsio.makedirs(checkpoint_path)
         fsio.atomic_write_text(marker, v)
 
+    # Per-EPISODE gate state: a paced compaction re-delivery arrives as
+    # N suspected micro-batches in a row, and the replica is unchanged
+    # across all of them (pure re-deliveries never merge), so the
+    # replica-side arbitration state is computed once, pinned by
+    # localCheckpoint, and keyed on the applied-through marker value.
+    # Any batch that DOES apply rows invalidates the cache first — a
+    # later suspected batch then re-derives against the post-apply
+    # replica, keeping the mixed-batch (split-delivery) semantics
+    # bit-identical to the uncached gate.
+    gate = {"marker": None, "state": None}
+
+    def _gate_state(applied: str) -> DataFrame:
+        if gate["state"] is None or gate["marker"] != applied:
+            gate["state"] = _replica_applied_state(
+                spark, target_path, key, mode
+            ).localCheckpoint(eager=True)
+            gate["marker"] = applied
+        return gate["state"]
+
     def _apply(batch: DataFrame, _epoch_id: int) -> None:
         batch_max = batch.agg(
             F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")
@@ -334,11 +387,12 @@ def stream_sync_changes(
         ):
             # materialized once: the emptiness probe and the apply
             # below must not each re-run the batch-vs-replica join
-            rows = _already_applied_filter(
-                spark, batch, target_path, key, mode
+            rows = _filter_unapplied(
+                batch, _gate_state(applied), mode
             ).localCheckpoint(eager=True)
             if rows.isEmpty():
                 return  # pure re-delivery: no merge, no rewrite
+            gate["state"] = None  # the apply below changes the replica
         apply_changes(
             spark,
             envelope_from_versions(rows),

@@ -242,6 +242,40 @@ def main_stream_compact() -> None:
                           recursive=True)
             )
             assert files_before == files_after, "gate failed to skip"
+
+            # PACED re-delivery: wipe the stream checkpoint (the
+            # applied-through marker survives — it lives beside it on
+            # purpose for this probe) so the whole retained table
+            # re-delivers again, this time sliced into many micro-
+            # batches by maxFilesPerTrigger. The per-episode gate-state
+            # cache must keep the total wall comparable to the unpaced
+            # single-batch number instead of paying one full replica
+            # read per slice.
+            n_files = len(
+                glob.glob(os.path.join(src, "**", "*.parquet"),
+                          recursive=True)
+            )
+            per_trigger = max(1, n_files // 8)  # >= 8 gated batches
+            import shutil as _sh
+
+            for sub in ("offsets", "commits", "sources", "metadata"):
+                _sh.rmtree(os.path.join(ck, sub), ignore_errors=True)
+                try:
+                    os.remove(os.path.join(ck, sub))
+                except OSError:
+                    pass
+            t0 = time.perf_counter()
+            stream_sync_changes(
+                spark, src, dst, ck, "k",
+                max_files_per_trigger=per_trigger,
+            ).awaitTermination()
+            paced = time.perf_counter() - t0
+            files_paced = sorted(
+                glob.glob(os.path.join(dst, "**", "*.parquet"),
+                          recursive=True)
+            )
+            assert files_before == files_paced, "paced gate failed to skip"
+
             a = sorted(
                 (r["k"], r["v"])
                 for r in read_warehouse(spark, src).collect()
@@ -254,7 +288,8 @@ def main_stream_compact() -> None:
             print(
                 f"{mult:3d}x rows {rows:>9,}: first_drain {first:6.2f}s "
                 f"compact {cwall:6.2f}s redelivered_drain(gated) "
-                f"{redeliver:6.2f}s"
+                f"{redeliver:6.2f}s paced_redelivery(~8 batches, "
+                f"maxFiles={per_trigger}) {paced:6.2f}s"
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -819,6 +819,95 @@ def test_stream_sync_redelivery_gate_skips_rewrite(spark, tmp_path):
     ) == sorted((r["id"], r["shares"]) for r in _rw(spark, src).collect())
 
 
+def test_paced_redelivery_computes_gate_state_once(spark, tmp_path, monkeypatch):
+    """Under maxFilesPerTrigger pacing a compaction re-delivery arrives
+    as N suspected micro-batches; the gate must derive its replica-side
+    arbitration state ONCE for the whole episode (keyed on the
+    applied-through marker), not once per batch — O(replica) per
+    episode, not O(N·replica). Pinned by counting state derivations
+    while the replica's files stay byte-identical through a paced
+    multi-batch re-delivery."""
+    import os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, read_warehouse as _rw,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import cdf as CDF
+
+    src = str(tmp_path / "pg_src")
+    dst = str(tmp_path / "pg_dst")
+    ck = str(tmp_path / "pg_ck")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    def replica_files():
+        out = {}
+        for cur, _dirs, names in os.walk(tdd(dst)):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(cur, n)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    # several appends => several source files, so maxFilesPerTrigger=1
+    # slices the post-compaction re-delivery into several batches;
+    # two versions per key so the fold actually rewrites (and swaps)
+    trades = [make_trade(i) for i in range(4)]
+    for i, t in enumerate(trades):
+        apply_changes(
+            spark,
+            feed([("INSERT", t, 2 * i + 1),
+                  ("MODIFY", dict(t, shares=i + 50), 2 * i + 2)], f"pg{i}"),
+            src, "id", mode="history",
+        )
+    _await(CDF.stream_sync_changes(spark, src, dst, ck, "id"))
+    before = replica_files()
+    assert before
+
+    calls = {"n": 0}
+    real_state = CDF._replica_applied_state
+
+    def counting_state(*a, **kw):
+        calls["n"] += 1
+        return real_state(*a, **kw)
+
+    monkeypatch.setattr(CDF, "_replica_applied_state", counting_state)
+
+    # fold each key's two versions to one: the swap moves every file
+    # and the paced drain re-delivers them one file per trigger
+    compact_history(spark, src, before_seq=9)
+    _await(CDF.stream_sync_changes(
+        spark, src, dst, ck, "id", max_files_per_trigger=1
+    ))
+    assert replica_files() == before  # every paced batch gated
+    assert calls["n"] == 1, calls["n"]  # ONE derivation for the episode
+    assert sorted(
+        (r["id"], r["shares"]) for r in _rw(spark, dst).collect()
+    ) == sorted((r["id"], r["shares"]) for r in _rw(spark, src).collect())
+
+    # a real change still applies under pacing, and a fresh episode
+    # re-derives exactly once more
+    apply_changes(
+        spark, feed([("MODIFY", dict(trades[0], shares=77), 9)], "pgx"),
+        src, "id", mode="history",
+    )
+    _await(CDF.stream_sync_changes(
+        spark, src, dst, ck, "id", max_files_per_trigger=1
+    ))
+    out = {r["id"]: r["shares"] for r in _rw(spark, dst).collect()}
+    assert out[trades[0]["id"]] == 77
+
+
 def test_already_applied_filter_keeps_unseen_rows(spark, tmp_path):
     """The gate's per-key filter is exact on the split-delivery edge: a
     suspected-re-delivery batch holding one already-applied row and one
