@@ -270,7 +270,17 @@ def _stamp_schema_union(spark: SparkSession, path: str, new_schema) -> None:
     derived-vs-batch type difference is PARTITION-column dir-name
     inference ('01' and '1' inferring int where the writer declared
     string) — and the writer knows the truth. New tables pay one
-    footer pass over their own just-written files."""
+    footer pass over their own just-written files.
+
+    The read-union-write runs under the table's stamp mutex: two
+    APPEND-scope writers stamping concurrently would each read the
+    pre-both manifest and the last writer would erase the other's
+    added columns."""
+    with _stamp_mutex(path):
+        _stamp_schema_union_locked(spark, path, new_schema)
+
+
+def _stamp_schema_union_locked(spark: SparkSession, path: str, new_schema) -> None:
     from pyspark.sql.types import StructType
 
     path = table_data_dir(path)
@@ -707,80 +717,288 @@ def _lock_owner_is_dead(lock: str) -> bool:
         return False
 
 
-def _write_lock(target_path: str):
-    """Context manager: the single-writer fence every table mutation
-    runs under. Acquisition is one atomic create-exclusive of the
-    sibling lock file (``fsio.create_exclusive`` — the portable
-    file-system mutex, a conditional PUT on object stores); the owner
-    records pid+host so a writer that DIED on this host is adopted
-    automatically instead of deadlocking crash recovery. A live
-    concurrent writer raises ConcurrentWriteError immediately — no
-    blocking, because a CDC apply loop would rather surface the
-    conflict than stack up behind it. On a lakehouse table format this
-    whole fence is the transaction log's optimistic-commit CAS; the
-    reference's implicitly-multi-writer pipeline delegates the same
-    problem to its managed services (concurrent Lambda invocations per
-    shard, cdk_infrastructure/__init__.py:351-359)."""
-    import contextlib
+def _owner_payload() -> bytes:
+    """Lock-owner identity: (pid, process start time, host, acquire
+    stamp) — what liveness/lease verdicts read."""
     import json
     import socket
     import time
+
+    return json.dumps(
+        {
+            "pid": os.getpid(),
+            "pid_start": _proc_start_time(os.getpid()),
+            "host": socket.gethostname(),
+            "acquired_unix": time.time(),
+        }
+    ).encode()
+
+
+def _acquire_lock_file(lock: str, what: str) -> None:
+    """Acquire ``lock`` via the create-exclusive CAS, adopting a
+    provably-dead owner's leftover through the TOCTOU-free rename
+    dance; raise ConcurrentWriteError on a live owner (fail fast, never
+    block — a CDC apply loop would rather surface the conflict than
+    stack up behind it). Shared by the table fence, the partition-
+    scoped locks, and the stamp mutex so the liveness/adoption contract
+    cannot drift between them."""
+    payload = _owner_payload()
+    for _ in range(3):
+        if fsio.create_exclusive(lock, payload):
+            return
+        if not _lock_owner_is_dead(lock):
+            raise ConcurrentWriteError(
+                f"{what} is locked by another writer ({lock}); if its "
+                "owner is dead on another host, break_table_lock() "
+                "releases it"
+            )
+        # Adopt WITHOUT a delete-then-create TOCTOU: rename the
+        # stale lock to a unique name first — of N adopters exactly
+        # ONE owns the renamed file (the rest race back to the
+        # create_exclusive CAS) and a live lock created in between
+        # is never deleted out from under its owner. Re-verify on
+        # the file we now own (pid-reuse edge: judged dead, now
+        # alive) and restore it non-clobberingly if the owner is
+        # alive after all.
+        import uuid as _uuid
+
+        stale = f"{lock}.adopt-{_uuid.uuid4().hex[:8]}"
+        try:
+            fsio.move(lock, stale)
+        except FileNotFoundError:
+            continue  # released or adopted by someone else
+        if _lock_owner_is_dead(stale):
+            fsio.remove(stale)
+            continue  # truly dead: retry the atomic create
+        content = fsio.read_text(stale)
+        if content is not None:
+            # a newer writer's own lock wins the CAS; leave it alone
+            fsio.create_exclusive(lock, content.encode())
+        fsio.remove(stale)
+        raise ConcurrentWriteError(
+            f"{what} is locked by another writer ({lock}); if its "
+            "owner is dead on another host, break_table_lock() "
+            "releases it"
+        )
+    raise ConcurrentWriteError(f"could not acquire {what} lock ({lock})")
+
+
+def _write_lock(target_path: str):
+    """Context manager: the single-writer fence every WHOLE-TABLE
+    mutation runs under (swaps, folds, purges, vacuums, unpartitioned
+    merges). Acquisition is one atomic create-exclusive of the sibling
+    lock file (``fsio.create_exclusive`` — the portable file-system
+    mutex, a conditional PUT on object stores); the owner records
+    pid+host so a writer that DIED on this host is adopted
+    automatically instead of deadlocking crash recovery. A live
+    concurrent writer raises ConcurrentWriteError immediately. On a
+    lakehouse table format this fence is the transaction log's
+    optimistic-commit CAS; the reference's implicitly-multi-writer
+    pipeline delegates the same problem to its managed services
+    (concurrent Lambda invocations per shard,
+    cdk_infrastructure/__init__.py:351-359). Partition-DISJOINT writers
+    do not take this fence — see ``_mutation_scope``."""
+    import contextlib
 
     @contextlib.contextmanager
     def _cm():
         lock = _lock_path(target_path)
         fsio.makedirs(os.path.dirname(os.path.abspath(lock)))
-        payload = json.dumps(
-            {
-                "pid": os.getpid(),
-                "pid_start": _proc_start_time(os.getpid()),
-                "host": socket.gethostname(),
-                "acquired_unix": time.time(),
-            }
-        ).encode()
-        acquired = False
-        for _ in range(3):
-            if fsio.create_exclusive(lock, payload):
-                acquired = True
-                break
-            if not _lock_owner_is_dead(lock):
-                raise ConcurrentWriteError(
-                    f"table {target_path!r} is locked by another "
-                    f"writer ({lock}); if its owner is dead on "
-                    "another host, break_table_lock() releases it"
-                )
-            # Adopt WITHOUT a delete-then-create TOCTOU: rename the
-            # stale lock to a unique name first — of N adopters exactly
-            # ONE owns the renamed file (the rest race back to the
-            # create_exclusive CAS) and a live lock created in between
-            # is never deleted out from under its owner. Re-verify on
-            # the file we now own (pid-reuse edge: judged dead, now
-            # alive) and restore it non-clobberingly if the owner is
-            # alive after all.
+        _acquire_lock_file(lock, f"table {target_path!r}")
+        try:
+            yield
+        finally:
+            fsio.remove(lock)
+
+    return _cm()
+
+
+# --- Concurrency scopes: disjoint writers commit concurrently --------------
+#
+# The single-writer fence serializes ALL mutations of a table — which
+# at 100 TB means two appends to disjoint partitions, or two merges
+# touching different partition sets, queue behind one lock for no
+# physical reason: blind appends only create new uniquely-named files,
+# and a partitioned merge's dynamic overwrite replaces only its own
+# partitions. ``_mutation_scope`` narrows the fence:
+#
+#   table scope      whole-table operations (swaps, folds, purges,
+#                    unpartitioned merges, table creation): the
+#                    exclusive sibling lock, as before — PLUS a check
+#                    that no partition-scoped work is in flight.
+#   append scope     blind appends (append/history modes): a unique
+#                    per-writer token under ``{table}__plocks/`` —
+#                    never conflicts with other appends (new files
+#                    cannot collide), conflicts with table scope.
+#   partitions scope the partitioned upsert merge: one lock per touched
+#                    partition under ``{table}__plocks/``, acquired in
+#                    sorted order — DISJOINT partition sets proceed
+#                    concurrently, overlapping ones fail fast on the
+#                    contended partition.
+#
+# Conflict detection between the scopes is the classic two-phase
+# check with NO waiting: table scope acquires the table lock, then
+# aborts if any live plock exists; partition/append scope creates its
+# plocks, then aborts if the table lock has a live owner. In the
+# overlap window both may abort (mutual abort — callers retry), but
+# both can never proceed, and with no blocking there is no deadlock.
+# Dead owners are detected by the same (pid, start-time) liveness the
+# table fence uses and cleaned through the same TOCTOU-free rename
+# dance. Commit-time VALIDATION (true lakehouse OCC) is deliberately
+# not used for partitioned merges: dynamic partition overwrite on
+# plain parquet has no atomic multi-partition publish step to validate
+# against — per-partition locks are the honest equivalent — while
+# whole-table swaps are inherently conflicting (both readers read the
+# full table), so failing fast at start strictly beats aborting at
+# commit after the rewrite is paid for.
+#
+# Mode mixing caveat (documented contract): append tokens do not
+# conflict with partition locks, because a table is either blind-
+# append (append/history) or merge-maintained (upsert) — the engine
+# never mixes both write shapes on one path, and maintenance ops
+# (which may rewrite any table) take table scope and conflict with
+# everything.
+
+_PLOCKS_SUFFIX = "__plocks"
+_STAMP_SUFFIX = "__stamp"
+
+
+def _plocks_dir(target_path: str) -> str:
+    return target_path.rstrip("/") + _PLOCKS_SUFFIX
+
+
+def _partition_lock_name(partition_by: list[str], vals: tuple) -> str:
+    """Deterministic lock-file name for one partition tuple: every
+    writer of the same partition derives the same name (repr is stable
+    for the str/int/bool/date/float values partition columns carry;
+    unmappable exotics still collide only with themselves)."""
+    import hashlib
+
+    canon = "/".join(
+        f"{c}={v!r}" for c, v in zip(partition_by, vals)
+    )
+    return "p-" + hashlib.sha1(canon.encode()).hexdigest()[:20]
+
+
+def _live_plocks(target_path: str) -> list[str]:
+    """Partition/append locks with a LIVE owner; provably-dead owners'
+    leftovers are cleaned via the rename dance on the way (a crashed
+    append leaves only invisible ``_temporary`` junk; a crashed
+    partitioned merge leaves the per-partition commit exposure the
+    partitioned apply already documents)."""
+    import uuid as _uuid
+
+    d = _plocks_dir(target_path)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return []
+    live = []
+    for name in names:
+        p = os.path.join(d, name)
+        if not _lock_owner_is_dead(p):
+            live.append(p)
+            continue
+        stale = f"{p}.adopt-{_uuid.uuid4().hex[:8]}"
+        try:
+            fsio.move(p, stale)
+        except FileNotFoundError:
+            continue  # released or cleaned by someone else
+        if _lock_owner_is_dead(stale):
+            fsio.remove(stale)
+            continue
+        content = fsio.read_text(stale)
+        if content is not None:
+            fsio.create_exclusive(p, content.encode())
+        fsio.remove(stale)
+        live.append(p)
+    return live
+
+
+def _mutation_scope(
+    target_path: str,
+    kind: str = "table",
+    partition_by: list[str] | None = None,
+    partitions: list[tuple] | None = None,
+):
+    """Context manager for one table mutation at the narrowest sound
+    scope — see the module-section comment above for the protocol."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        if kind == "table":
+            with _write_lock(target_path):
+                live = _live_plocks(target_path)
+                if live:
+                    raise ConcurrentWriteError(
+                        f"table {target_path!r} has partition-scoped "
+                        f"writes in flight ({len(live)} live lock(s) "
+                        f"under {_plocks_dir(target_path)}); retry the "
+                        "whole-table operation after they finish"
+                    )
+                yield
+            return
+
+        d = _plocks_dir(target_path)
+        fsio.makedirs(d)
+        if kind == "append":
             import uuid as _uuid
 
-            stale = f"{lock}.adopt-{_uuid.uuid4().hex[:8]}"
+            names = [f"a-{os.getpid()}-{_uuid.uuid4().hex[:8]}"]
+        elif kind == "partitions":
+            names = sorted(
+                {_partition_lock_name(partition_by, tuple(v)) for v in partitions}
+            )
+        else:  # pragma: no cover - internal misuse
+            raise ValueError(f"unknown mutation scope: {kind!r}")
+        held: list[str] = []
+        try:
+            for name in names:
+                lock = os.path.join(d, name)
+                _acquire_lock_file(
+                    lock, f"partition scope of table {target_path!r}"
+                )
+                held.append(lock)
+            # two-phase check: a whole-table writer that acquired the
+            # fence before our plocks landed must win exclusively
+            tlock = _lock_path(target_path)
+            if os.path.exists(tlock) and not _lock_owner_is_dead(tlock):
+                raise ConcurrentWriteError(
+                    f"table {target_path!r} is locked by a whole-table "
+                    f"writer ({tlock}); partition-scoped write aborted"
+                )
+            yield
+        finally:
+            for lock in held:
+                fsio.remove(lock)
+
+    return _cm()
+
+
+def _stamp_mutex(target_path: str):
+    """Short mutex serializing the schema-manifest read-union-write:
+    concurrent APPEND-scope writers both stamping would lose one
+    union's added columns (classic read-modify-write). Stamps are
+    subsecond, so contention WAITS briefly (unlike the fail-fast
+    fences) — bounded retries, then surface the conflict; dead owners
+    are adopted by the shared acquisition dance."""
+    import contextlib
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        lock = target_path.rstrip("/") + _STAMP_SUFFIX
+        fsio.makedirs(os.path.dirname(os.path.abspath(lock)))
+        deadline = time.monotonic() + 30.0
+        while True:
             try:
-                fsio.move(lock, stale)
-            except FileNotFoundError:
-                continue  # released or adopted by someone else
-            if _lock_owner_is_dead(stale):
-                fsio.remove(stale)
-                continue  # truly dead: retry the atomic create
-            content = fsio.read_text(stale)
-            if content is not None:
-                # a newer writer's own lock wins the CAS; leave it alone
-                fsio.create_exclusive(lock, content.encode())
-            fsio.remove(stale)
-            raise ConcurrentWriteError(
-                f"table {target_path!r} is locked by another writer "
-                f"({lock}); if its owner is dead on another host, "
-                "break_table_lock() releases it"
-            )
-        if not acquired:
-            raise ConcurrentWriteError(
-                f"could not acquire writer lock for {target_path!r}"
-            )
+                _acquire_lock_file(lock, f"schema stamp of {target_path!r}")
+                break
+            except ConcurrentWriteError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.05)
         try:
             yield
         finally:
@@ -885,6 +1103,30 @@ def _touched_partition_dirs(
 
     walk(target_path, 0, ())
     return dirs
+
+
+def _table_exists(path: str) -> bool:
+    """True when ``path`` (a PHYSICAL data dir) holds at least one data
+    file. A directory without data files (e.g. left by a REMOVE-only
+    first batch) must read as "no table yet", not poison the scan.
+    Early-exit walk, not a recursive glob: the glob materializes every
+    file path — O(table files) driver work per micro-batch — while
+    this returns at the FIRST data file found."""
+    if not os.path.exists(path):
+        return False
+    stack = [path]
+    while stack:
+        cur = stack.pop()
+        try:
+            with os.scandir(cur) as it:
+                for entry in it:
+                    if entry.is_dir(follow_symlinks=False):
+                        stack.append(entry.path)
+                    elif entry.name.endswith(".parquet"):
+                        return True
+        except FileNotFoundError:
+            continue
+    return False
 
 
 def _canonical_seq(seq) -> F.Column:
@@ -1129,19 +1371,65 @@ def apply_changes(
     as in every partitioned-MERGE system: a key's partition values must
     be immutable across its change events.
 
-    Single-writer fence: the whole read-merge-write runs under the
-    table's writer lock (``_write_lock``) — a concurrent mutation of
-    the same path raises ``ConcurrentWriteError`` instead of silently
-    losing one writer's commit in the swap/overwrite window.
+    Concurrency: the mutation runs at the NARROWEST sound scope
+    (``_mutation_scope``): blind appends take a unique token (two
+    appends never conflict), a partitioned merge locks only its
+    touched partitions (disjoint merges commit concurrently,
+    overlapping ones raise ``ConcurrentWriteError`` on the contended
+    partition), and whole-table shapes (unpartitioned merge, table
+    creation, the null-partition-REMOVE fallback) keep the exclusive
+    single-writer fence.
     """
     bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
     if bad:
         raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
-    with _write_lock(target_path):
+    kind, parts = _scope_for(
+        changes, target_path, mode, propagate_deletes, partition_by
+    )
+    with _mutation_scope(target_path, kind, partition_by, parts):
         _apply_changes_locked(
             spark, changes, target_path, key, mode, propagate_deletes,
             partition_by,
         )
+
+
+def _scope_for(
+    changes: DataFrame,
+    target_path: str,
+    mode: str,
+    propagate_deletes: bool,
+    partition_by: list[str] | None,
+) -> tuple[str, list[tuple] | None]:
+    """The narrowest sound concurrency scope for one apply. The
+    partition probe collects the batch's DISTINCT partition tuples — a
+    deterministic SUPERSET of the touched set the locked merge derives
+    (over-locking is safe; under-locking never happens: the merge's
+    rows all come from this batch). Falls back to table scope exactly
+    where the locked merge falls back to an unpruned shape: table
+    creation, and a delete-propagating batch carrying null partition
+    values. ``propagate_deletes`` merges additionally read/rewrite the
+    all-null tombstone route, so that tuple is locked too."""
+    if mode in ("append", "history"):
+        return "append", None
+    if (
+        mode == "upsert"
+        and partition_by
+        and _table_exists(table_data_dir(target_path))
+    ):
+        vals = [
+            tuple(r)
+            for r in changes.select(
+                *[F.col(f"after.{c}") for c in partition_by]
+            ).distinct().collect()
+        ]
+        if not (
+            propagate_deletes
+            and any(v is None for t in vals for v in t)
+        ):
+            if propagate_deletes:
+                vals = vals + [tuple([None] * len(partition_by))]
+            return "partitions", vals
+    return "table", None
 
 
 def _apply_changes_locked(
@@ -1159,28 +1447,6 @@ def _apply_changes_locked(
     # Blind appends and partition overwrites land THERE; the whole-
     # table swap below commits a NEW version against the root.
     data_dir = table_data_dir(target_path)
-
-    def _table_exists(path: str) -> bool:
-        # a directory without data files (e.g. left by a REMOVE-only
-        # first batch) must read as "no table yet", not poison the scan.
-        # Early-exit walk, not a recursive glob: the glob materializes
-        # every file path — O(table files) driver work per micro-batch —
-        # while this returns at the FIRST data file found.
-        if not os.path.exists(path):
-            return False
-        stack = [path]
-        while stack:
-            cur = stack.pop()
-            try:
-                with os.scandir(cur) as it:
-                    for entry in it:
-                        if entry.is_dir(follow_symlinks=False):
-                            stack.append(entry.path)
-                        elif entry.name.endswith(".parquet"):
-                            return True
-            except FileNotFoundError:
-                continue
-        return False
 
     if mode == "append":
         # Reference behavior: INSERT+MODIFY append their after-image, one

@@ -104,18 +104,19 @@ def _no_partition_type_inference(spark: SparkSession):
 
 
 def _locked_on_path(fn):
-    """Run a (spark, path, ...) table mutation under the table's
-    single-writer fence (``apply._write_lock``): concurrent mutations
-    of one path serialize-or-fail-cleanly (ConcurrentWriteError)
-    instead of interleaving swap/rename/sidecar windows and silently
-    losing a commit."""
+    """Run a (spark, path, ...) table mutation at WHOLE-TABLE scope
+    (``apply._mutation_scope``): it conflicts with every other writer —
+    including in-flight partition-scoped merges and append tokens —
+    serializing-or-failing-cleanly (ConcurrentWriteError) instead of
+    interleaving swap/overwrite/sidecar windows and silently losing a
+    commit."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(spark, path, *args, **kwargs):
-        from .apply import _write_lock
+        from .apply import _mutation_scope
 
-        with _write_lock(path):
+        with _mutation_scope(path, "table"):
             return fn(spark, path, *args, **kwargs)
 
     return wrapper
