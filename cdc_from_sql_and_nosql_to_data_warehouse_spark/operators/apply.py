@@ -531,15 +531,11 @@ def current_max_seq(spark: SparkSession, path: str) -> str | None:
     recorded _seq bound is already canonical (engine-written history
     tables always are); anything else falls back to the scan, which
     canonicalizes row-wise."""
-    import json
-
-    from .layout import FILE_STATS_SIDECAR, _dec_stat, _list_data_files
+    from .layout import _dec_stat, _list_data_files, _load_sidecar
 
     path = table_data_dir(path)
-    sidecar = os.path.join(path, FILE_STATS_SIDECAR)
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            stats = json.load(f)
+    stats = _load_sidecar(path)
+    if stats is not None:
         if SEQ_COL in stats.get("columns", []):
             best: str | None = None
             ok = True

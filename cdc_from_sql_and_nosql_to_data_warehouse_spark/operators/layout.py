@@ -219,6 +219,113 @@ def zorder_scale(c: Column, lo, hi, bits: int = 16) -> Column:
 FILE_STATS_SIDECAR = "_file_stats.json"
 _STATS_VERSION = 1
 
+# Sharded sidecar (format version 2): one monolithic JSON is O(table
+# files) of driver parse per cold read and a FULL rewrite per stats
+# accretion — at 100 TB (~100k files) that is tens of MB of driver
+# work on every maintenance tick, and unbounded under small-file
+# pressure. A table whose files span more than one top-level partition
+# directory shards the per-file entries by that FIRST path component
+# into ``_file_stats.d/<sha1(dir)>.json``; the manifest keeps the
+# table-level metadata (columns/schema/bloom config) plus a shard
+# index carrying each shard's dir, entry count, and a FILESET HASH of
+# its sorted file names. Parquet data files are immutable and
+# uniquely named, so an unchanged fileset hash proves a shard's
+# entries are current — accretion then neither parses nor rewrites
+# it, and ``prune_files`` loads only the shards whose partition
+# subtrees survive the directory walk (lazy ``_ShardedFiles`` view;
+# every existing consumer keeps plain-dict semantics). This is the
+# same decomposition a lakehouse manifest-list makes: one small index
+# naming per-partition manifests, stats read per matching manifest.
+STATS_SHARD_DIR = "_file_stats.d"
+_STATS_VERSION_SHARDED = 2
+
+
+def _shard_component(rel: str) -> str:
+    """A file's shard key: its first path component under the table
+    dir ('' for root-level files of flat tables)."""
+    return rel.split(os.sep, 1)[0] if os.sep in rel else ""
+
+
+def _shard_fname(comp: str) -> str:
+    import hashlib
+
+    return hashlib.sha1(comp.encode()).hexdigest()[:16] + ".json"
+
+
+def _fileset_hash(rels) -> str:
+    import hashlib
+
+    return hashlib.sha1("\n".join(sorted(rels)).encode()).hexdigest()[:16]
+
+
+class _ShardedFiles:
+    """Lazy Mapping over the sharded per-file stats: point lookups
+    (``rel in files`` / ``files[rel]``) parse ONLY that file's shard,
+    memoized; whole-table consumers (``values()`` — the canonicality
+    walk, the feed-tip vote) load all shards once per sidecar version.
+    ``len`` comes from the manifest index without any shard I/O."""
+
+    def __init__(self, shard_dir: str, index: dict):
+        self._dir = shard_dir
+        # comp -> (fname, n, fileset-hash)
+        self._by_comp = {
+            meta["dir"]: (fname, int(meta.get("n", 0)), meta.get("fh"))
+            for fname, meta in index.items()
+        }
+        self._loaded: dict = {}
+
+    def _load(self, comp: str) -> dict:
+        hit = self._loaded.get(comp)
+        if hit is not None:
+            return hit
+        entry = self._by_comp.get(comp)
+        if entry is None:
+            self._loaded[comp] = {}
+            return self._loaded[comp]
+        try:
+            with open(os.path.join(self._dir, entry[0])) as f:
+                doc = json.load(f)
+            files = doc.get("files", {})
+        except (OSError, json.JSONDecodeError, ValueError):
+            # a carried-through-swap manifest references shards the
+            # swap did not copy: conservative empty (stats advisory)
+            files = {}
+        self._loaded[comp] = files
+        return files
+
+    def __contains__(self, rel) -> bool:
+        return rel in self._load(_shard_component(rel))
+
+    def __getitem__(self, rel):
+        return self._load(_shard_component(rel))[rel]
+
+    def get(self, rel, default=None):
+        return self._load(_shard_component(rel)).get(rel, default)
+
+    def __len__(self) -> int:
+        return sum(n for _f, n in self._by_comp.values())
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def _all(self) -> dict:
+        out = {}
+        for comp in self._by_comp:
+            out.update(self._load(comp))
+        return out
+
+    def __iter__(self):
+        return iter(self._all())
+
+    def keys(self):
+        return self._all().keys()
+
+    def values(self):
+        return self._all().values()
+
+    def items(self):
+        return self._all().items()
+
 
 # (path -> ((mtime_ns, size), parsed dict)) — one hot read_changes tick
 # consults the sidecar several times (canonicality guard, selectivity
@@ -252,19 +359,83 @@ def _load_sidecar(path: str) -> dict | None:
             parsed = json.load(f)
     except (json.JSONDecodeError, OSError):
         return None
+    if "shards" in parsed and "files" not in parsed:
+        # sharded manifest: per-file entries come through the lazy
+        # view (any shard rewrite also replaces the manifest, so the
+        # manifest's (mtime, size) stays a sound freshness key for the
+        # whole assembly)
+        parsed = dict(parsed)
+        parsed["files"] = _ShardedFiles(
+            os.path.join(path, STATS_SHARD_DIR), parsed["shards"]
+        )
     _SIDECAR_CACHE[path] = (key, parsed)
     return parsed
 
 
 def _dump_sidecar(path: str, payload: dict) -> None:
-    """Atomic sidecar replace (fsio seam): a crash mid-write must
-    never leave a torn JSON that poisons later reads."""
+    """Persist the stats sidecar, sharding the per-file entries by
+    top-level partition dir whenever they span more than one (see the
+    STATS_SHARD_DIR comment). Shards whose content is unchanged vs the
+    prior sidecar are NOT rewritten — an accretion that touched one
+    partition rewrites one shard plus the small manifest. Every write
+    is atomic (fsio seam), and the manifest is always replaced LAST so
+    its (mtime, size) freshness key covers every shard it names."""
     from .. import fsio
 
-    fsio.atomic_write_text(
-        os.path.join(table_data_dir(path), FILE_STATS_SIDECAR),
-        json.dumps(payload),
-    )
+    path = table_data_dir(path)
+    manifest = os.path.join(path, FILE_STATS_SIDECAR)
+    shard_dir = os.path.join(path, STATS_SHARD_DIR)
+    files = payload.get("files", {})
+    if isinstance(files, _ShardedFiles):
+        files = files._all()
+    by_comp: dict[str, dict] = {}
+    for rel, entry in files.items():
+        by_comp.setdefault(_shard_component(rel), {})[rel] = entry
+
+    if len(by_comp) <= 1:
+        doc = {k: v for k, v in payload.items() if k != "shards"}
+        doc["files"] = files
+        doc["version"] = _STATS_VERSION
+        fsio.atomic_write_text(manifest, json.dumps(doc))
+        # a format downgrade (e.g. a flat rewrite of a once-partitioned
+        # table) must not strand stale shard files
+        try:
+            for name in os.listdir(shard_dir):
+                fsio.remove(os.path.join(shard_dir, name))
+            os.rmdir(shard_dir)
+        except OSError:
+            pass
+        return
+
+    prior = _load_sidecar(path)
+    prior_view = prior.get("files") if prior else None
+    fsio.makedirs(shard_dir)
+    index = {}
+    for comp, fmap in sorted(by_comp.items()):
+        fname = _shard_fname(comp)
+        index[fname] = {
+            "dir": comp,
+            "n": len(fmap),
+            "fh": _fileset_hash(fmap.keys()),
+        }
+        if isinstance(prior_view, _ShardedFiles):
+            if prior_view._load(comp) == fmap:
+                continue  # byte-equal shard: no rewrite
+        fsio.atomic_write_text(
+            os.path.join(shard_dir, fname), json.dumps({"files": fmap})
+        )
+    try:
+        for name in os.listdir(shard_dir):
+            if name not in index:
+                fsio.remove(os.path.join(shard_dir, name))
+    except OSError:
+        pass
+    doc = {
+        k: v for k, v in payload.items() if k not in ("files", "shards")
+    }
+    doc["version"] = _STATS_VERSION_SHARDED
+    doc["shards"] = index
+    fsio.atomic_write_text(manifest, json.dumps(doc))
 
 
 def _enc_stat(v):
@@ -378,6 +549,17 @@ def collect_file_stats(
     if prior is not None and prior.get("columns") != columns:
         prior = None  # column set changed: full re-collect
 
+    if prior is not None and isinstance(prior.get("files"), _ShardedFiles):
+        # sharded accretion: shards whose on-disk fileset hash matches
+        # the manifest are provably current (data files are immutable
+        # and uniquely named) — neither parsed nor rewritten; only
+        # changed partition subtrees pay I/O. Falls through to the
+        # full pass on a cross-file schema conflict.
+        out = _collect_sharded_incremental(spark, path, columns, prior)
+        if out is not None:
+            return out
+        prior = None
+
     if prior is not None:
         on_disk = set(_list_data_files(path))
         kept = {
@@ -453,6 +635,108 @@ def collect_file_stats(
         payload["bloom"] = bloom_meta
     _dump_sidecar(path, payload)
     return payload
+
+
+def _collect_sharded_incremental(
+    spark: SparkSession, path: str, columns: list[str], prior: dict
+) -> dict | None:
+    """Accrete a SHARDED stats sidecar: per top-level partition dir,
+    compare the on-disk fileset hash against the manifest — matching
+    shards carry over untouched (no parse, no rewrite); changed ones
+    keep entries for surviving files and stat only the new ones (one
+    batched column-pruned job across all changed shards). Returns the
+    fresh sidecar, or None on a cross-file schema conflict (the caller
+    then runs the full pass, which owns conflict reconciliation)."""
+    from .. import fsio
+
+    view: _ShardedFiles = prior["files"]
+    shard_dir = os.path.join(path, STATS_SHARD_DIR)
+    by_comp_disk: dict[str, list[str]] = {}
+    for rel in _list_data_files(path):
+        by_comp_disk.setdefault(_shard_component(rel), []).append(rel)
+
+    index: dict[str, dict] = {}
+    pending: list[tuple[str, dict, list[str]]] = []
+    new_all: list[str] = []
+    for comp, rels in sorted(by_comp_disk.items()):
+        fname = _shard_fname(comp)
+        fh = _fileset_hash(rels)
+        meta = view._by_comp.get(comp)
+        if meta is not None and meta[2] == fh:
+            index[fname] = {"dir": comp, "n": len(rels), "fh": fh}
+            continue  # untouched subtree: carried by reference
+        entries = view._load(comp)
+        kept = {r: entries[r] for r in rels if r in entries}
+        new = [r for r in rels if r not in entries]
+        pending.append((comp, kept, new))
+        new_all += new
+
+    schema_json = prior["schema"]
+    stats_new: dict = {}
+    if new_all:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        new_paths = [os.path.join(path, r) for r in new_all]
+        # same evolution guard as the monolith accretion: footer-merge
+        # ONLY the new files; union new fields; conflict -> full pass
+        new_schema = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(*new_paths)
+            .schema
+        )
+        recorded_types = {f.name: f.dataType for f in schema.fields}
+        if any(
+            f.name in recorded_types and f.dataType != recorded_types[f.name]
+            for f in new_schema.fields
+        ):
+            return None
+        added = [
+            f for f in new_schema.fields if f.name not in recorded_types
+        ]
+        if added:
+            schema = StructType(list(schema.fields) + added)
+            schema_json = schema.json()
+        sub = (
+            spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(*new_paths)
+        )
+        stats_new = _stat_files(spark, path, columns, sub)
+
+    for comp, kept, new in pending:
+        fmap = dict(kept)
+        for r in new:
+            if r in stats_new:
+                fmap[r] = stats_new[r]
+        fname = _shard_fname(comp)
+        index[fname] = {
+            "dir": comp,
+            "n": len(fmap),
+            "fh": _fileset_hash(by_comp_disk[comp]),
+        }
+        fsio.atomic_write_text(
+            os.path.join(shard_dir, fname), json.dumps({"files": fmap})
+        )
+    try:
+        for name in os.listdir(shard_dir):
+            if name not in index:
+                fsio.remove(os.path.join(shard_dir, name))
+    except OSError:
+        pass
+    doc = {
+        "version": _STATS_VERSION_SHARDED,
+        "columns": columns,
+        "schema": schema_json,
+        "shards": index,
+    }
+    if prior.get("bloom"):
+        doc["bloom"] = prior["bloom"]
+    fsio.atomic_write_text(
+        os.path.join(path, FILE_STATS_SIDECAR), json.dumps(doc)
+    )
+    return _load_sidecar(path)
 
 
 def _promote(stat, bound):
@@ -792,8 +1076,18 @@ def collect_file_blooms(
     if payload is not None:
         import copy
 
-        # _load_sidecar returns the memoized parse — never mutate it
-        payload = copy.deepcopy(payload)
+        # _load_sidecar returns the memoized parse — never mutate it;
+        # a sharded view materializes (bloom collection is whole-table
+        # maintenance by nature)
+        files = payload.get("files", {})
+        if isinstance(files, _ShardedFiles):
+            files = files._all()
+        payload = {
+            k: copy.deepcopy(v)
+            for k, v in payload.items()
+            if k not in ("files", "shards")
+        }
+        payload["files"] = copy.deepcopy(files)
     if payload is None:
         df0 = spark.read.option("mergeSchema", "true").parquet(path)
         payload = {

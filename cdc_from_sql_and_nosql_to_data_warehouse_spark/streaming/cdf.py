@@ -456,8 +456,11 @@ def stream_classified_changes(
     vanishes are never the delivered events.
 
     ``process(window_df, from_seq, to_seq)`` — ``follow_changes``'s
-    contract; the window carries ``_change_type``. Returns the
-    StreamingQuery."""
+    contract; the window carries ``_change_type``. A consumer whose
+    downstream effect is not naturally idempotent can wrap ``process``
+    in ``idempotent_windows(checkpoint_path, process)`` to make the
+    identical-window crash replay a no-op (opt-in; at-least-once
+    remains the default contract). Returns the StreamingQuery."""
     import os
 
     from ..operators.apply import follow_changes
@@ -479,6 +482,62 @@ def stream_classified_changes(
     elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_windows(checkpoint_path: str, process):
+    """Opt-in exactly-once wrapper for a ``follow_changes`` /
+    ``stream_classified_changes`` ``process`` callback.
+
+    The feed's delivery contract is at-least-once: a crash between
+    ``process`` returning and the offset write re-delivers the same
+    ``(from_seq, to_seq]`` window on restart. When the downstream
+    effect is not naturally idempotent (e.g. appending events to an
+    outbox), wrap it: each window stamps a marker keyed by its exact
+    (from_seq, to_seq) identity after ``process`` returns, and a
+    re-delivered window whose marker exists is skipped without
+    invoking ``process`` at all.
+
+    Honest scope: the no-op guarantee covers the IDENTICAL-window
+    replay (the crash-between-process-and-marker case — the offset
+    did not move, and no new data arrived, so the replayed tick
+    derives the same (from, to]). If new appends land between the
+    crash and the replay, the replayed window is WIDER (same from,
+    larger to), its identity differs, and the old range re-delivers
+    inside it — at-least-once remains the outer contract, exactly as
+    documented on ``stream_classified_changes``. Marker files are
+    garbage-collected as the feed advances (a window wholly below the
+    current ``from_seq`` can never replay: the offset checkpoint is
+    past it), so the state is a handful of small files, not a log.
+    """
+    import os
+
+    from .. import fsio
+
+    done_dir = os.path.join(checkpoint_path, "_windows_done")
+
+    def wrapped(window: DataFrame, from_seq, to_seq) -> None:
+        fsio.makedirs(done_dir)
+        wid = f"w_{to_seq}_{from_seq if from_seq is not None else 'start'}"
+        marker = os.path.join(done_dir, wid)
+        if fsio.read_text(marker) is not None:
+            return  # identical window already fully processed
+        process(window, from_seq, to_seq)
+        fsio.atomic_write_text(marker, "done")
+        if from_seq is not None:
+            # GC: a marker whose window ends at or below the CURRENT
+            # from_seq guards a range the offset has moved past — the
+            # feed can never re-deliver it
+            try:
+                for name in os.listdir(done_dir):
+                    if not name.startswith("w_"):
+                        continue
+                    ended = name.split("_", 2)[1]
+                    if ended <= str(from_seq) and name != wid:
+                        fsio.remove(os.path.join(done_dir, name))
+            except OSError:
+                pass
+
+    return wrapped
 
 
 def stream_sync_aggregate(

@@ -243,30 +243,32 @@ def main_stream_compact() -> None:
             )
             assert files_before == files_after, "gate failed to skip"
 
-            # PACED re-delivery: wipe the stream checkpoint (the
-            # applied-through marker survives — it lives beside it on
-            # purpose for this probe) so the whole retained table
-            # re-delivers again, this time sliced into many micro-
-            # batches by maxFilesPerTrigger. The per-episode gate-state
-            # cache must keep the total wall comparable to the unpaced
-            # single-batch number instead of paying one full replica
-            # read per slice.
+            # PACED re-delivery: a FRESH stream checkpoint carrying
+            # over the applied-through marker, so the whole retained
+            # table re-delivers again — this time sliced into many
+            # micro-batches by maxFilesPerTrigger. The per-episode
+            # gate-state cache must keep the total wall comparable to
+            # the unpaced single-batch number instead of paying one
+            # full replica read per slice.
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark import fsio
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+                APPLIED_MAX_MARKER,
+            )
+
             n_files = len(
                 glob.glob(os.path.join(src, "**", "*.parquet"),
                           recursive=True)
             )
             per_trigger = max(1, n_files // 8)  # >= 8 gated batches
-            import shutil as _sh
-
-            for sub in ("offsets", "commits", "sources", "metadata"):
-                _sh.rmtree(os.path.join(ck, sub), ignore_errors=True)
-                try:
-                    os.remove(os.path.join(ck, sub))
-                except OSError:
-                    pass
+            ck_paced = ck + "_paced"
+            fsio.makedirs(ck_paced)
+            fsio.atomic_write_text(
+                os.path.join(ck_paced, APPLIED_MAX_MARKER),
+                fsio.read_text(os.path.join(ck, APPLIED_MAX_MARKER)),
+            )
             t0 = time.perf_counter()
             stream_sync_changes(
-                spark, src, dst, ck, "k",
+                spark, src, dst, ck_paced, "k",
                 max_files_per_trigger=per_trigger,
             ).awaitTermination()
             paced = time.perf_counter() - t0
@@ -290,6 +292,104 @@ def main_stream_compact() -> None:
                 f"compact {cwall:6.2f}s redelivered_drain(gated) "
                 f"{redeliver:6.2f}s paced_redelivery(~8 batches, "
                 f"maxFiles={per_trigger}) {paced:6.2f}s"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main_compose() -> None:
+    """``--compose`` (round 9): the WHOLE streaming composition — one
+    history warehouse feeding a classified consumer, a seq-gated
+    replica, and a pruned minmax view — measured as one pipeline at
+    1x/10x/100x retained history, through a mid-stream compaction.
+    Records: the initial composed drain (all three consumers
+    bootstrap), the post-compaction composed drain (every consumer
+    faces a full re-delivery: the classified bridge must emit nothing,
+    the gate must skip the replica merge, the drains must no-op), and
+    a steady incremental tick (small append + composed drain) — the
+    three numbers a deployment running all consumers on one feed
+    actually pays."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_classified_changes,
+        stream_sync_aggregate,
+        stream_sync_changes,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="cdf_compose_probe_")
+    try:
+        for mult in (1, 10, 100):
+            rows = BASE_ROWS * mult
+            wh = os.path.join(work, f"co_wh_{mult}x")
+            rep = os.path.join(work, f"co_rep_{mult}x")
+            view = os.path.join(work, f"co_view_{mult}x")
+            cks = {
+                n: os.path.join(work, f"co_ck_{n}_{mult}x")
+                for n in ("cls", "rep", "mv")
+            }
+            max_seq = _build(spark, wh, rows)
+            # the recommended deployment opts the feed table into the
+            # stats sidecar: tip probes and drain discovery then cost
+            # O(new files) per tick instead of a full-column scan
+            # (compaction refreshes it via _refresh_stats_if_kept)
+            from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+                collect_file_stats,
+            )
+
+            collect_file_stats(spark, wh, ["_seq", "_key"])
+            n_classified = [0]
+
+            def on_window(df, _frm, _to):
+                n_classified[0] += df.count()
+
+            def drain_all():
+                stream_classified_changes(
+                    spark, wh, cks["cls"], on_window
+                ).awaitTermination()
+                stream_sync_changes(
+                    spark, wh, rep, cks["rep"], "k"
+                ).awaitTermination()
+                stream_sync_aggregate(
+                    spark, wh, view, cks["mv"], "k", "v", minmax=True
+                ).awaitTermination()
+
+            t0 = time.perf_counter()
+            drain_all()
+            first = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            compact_history(spark, wh, before_seq=max_seq)
+            cwall = time.perf_counter() - t0
+
+            before = n_classified[0]
+            t0 = time.perf_counter()
+            drain_all()  # full re-delivery for all three consumers
+            redeliver = time.perf_counter() - t0
+            assert n_classified[0] == before, "classified re-emitted!"
+
+            # steady tick: one micro-append, all three consumers drain
+            env = spark.createDataFrame(
+                [("0", "MODIFY", (0, 1), max_seq + 1)],
+                "key string, op string, after struct<k:long,v:long>, "
+                "seq long",
+            )
+            apply_changes(spark, env, wh, "k", mode="history")
+            t0 = time.perf_counter()
+            drain_all()
+            tick = time.perf_counter() - t0
+            print(
+                f"{mult:3d}x rows {rows:>9,}: composed_first {first:6.2f}s "
+                f"compact {cwall:6.2f}s composed_redelivery {redeliver:6.2f}s "
+                f"composed_tick {tick:6.2f}s"
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -384,5 +484,7 @@ if __name__ == "__main__":
         main_stream_compact()
     elif "--gate-sweep" in sys.argv:
         main_gate_sweep()
+    elif "--compose" in sys.argv:
+        main_compose()
     else:
         main()

@@ -166,5 +166,94 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def main_shard_scale() -> None:
+    """``--shard-scale``: the sharded-sidecar scaling leg (round 9).
+
+    Builds a hive-partitioned table at 1x/10x/100x FILE counts (fixed
+    files-per-partition, growing partition count — the shape small-file
+    pressure takes), then measures, at each scale:
+
+    - full stats collect (the baseline maintenance pass),
+    - ACCRETION after appending into ONE partition (must be bounded by
+      the touched shard, not the table: the fileset-hash check skips
+      every untouched shard without parsing it),
+    - COLD partition-scoped prune (fresh process state simulated by
+      clearing the parse caches: must load only the surviving
+      partition's shard),
+    - cold FULL-table prune (the all-shards upper bound, for contrast).
+    """
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        layout as L,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _SEQ_CANONICAL_CACHE,
+    )
+
+    work = tempfile.mkdtemp(prefix="shard_scale_probe_")
+    try:
+        for mult in (1, 10, 100):
+            parts = 8 * mult
+            files_per_part = 4
+            path = os.path.join(work, f"tbl_{mult}x")
+            (
+                spark.range(parts * files_per_part * 1000)
+                .select(
+                    (F.col("id") % parts).cast("string").alias("p"),
+                    F.col("id").alias("a"),
+                )
+                .repartition(files_per_part, F.col("id"))
+                .write.partitionBy("p")
+                .parquet(path)
+            )
+            t0 = time.perf_counter()
+            collect_file_stats(spark, path, ["a"])
+            full = time.perf_counter() - t0
+
+            # accrete after touching ONE partition
+            (
+                spark.range(10)
+                .select(F.lit("3").alias("p"), (F.col("id") + 10**9).alias("a"))
+                .coalesce(1)
+                .write.mode("append")
+                .partitionBy("p")
+                .parquet(path)
+            )
+            t0 = time.perf_counter()
+            collect_file_stats(spark, path, ["a"], incremental=True)
+            accrete = time.perf_counter() - t0
+
+            def cold(preds):
+                L._SIDECAR_CACHE.clear()
+                _SEQ_CANONICAL_CACHE.clear()
+                t0 = time.perf_counter()
+                keep, total = prune_files(path, preds)
+                return time.perf_counter() - t0, len(keep), total
+
+            part_wall, pk, pt = cold([("p", "=", "3"), ("a", ">=", 0)])
+            full_wall, fk, ft = cold([("a", "<", 100)])
+            n_files = parts * files_per_part + 1
+            print(
+                f"{mult:3d}x files {n_files:>6,} parts {parts:>4}: "
+                f"full_collect {full:6.2f}s accrete_1part {accrete:6.2f}s "
+                f"cold_prune_1part {part_wall:6.3f}s ({pk}/{pt}) "
+                f"cold_prune_all {full_wall:6.3f}s ({fk}/{ft})"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--shard-scale" in sys.argv:
+        main_shard_scale()
+    else:
+        main()

@@ -1218,3 +1218,74 @@ def test_stream_sync_paced_split_delivery_converges(spark, tmp_path):
     a = sorted((r["k"], r["v"]) for r in _rw(spark, src).collect())
     b = sorted((r["k"], r["v"]) for r in _rw(spark, dst).collect())
     assert a == b and len(a) == 40  # 40 - deleted 7 + inserted 41
+
+
+def test_idempotent_windows_makes_crash_replay_a_noop(spark, tmp_path):
+    """The opt-in exactly-once wrapper: a crash between process and the
+    offset write re-delivers the IDENTICAL window — with the helper the
+    replay produces no second downstream effect; without it the same
+    replay duplicates (the documented at-least-once default). GC keeps
+    the marker state bounded as the feed advances."""
+    import os as _os
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark import fsio
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, follow_changes,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        idempotent_windows,
+    )
+
+    src = str(tmp_path / "iw_src")
+    ck = str(tmp_path / "iw_ck")
+    offset = _os.path.join(ck, "_change_feed_offset")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    t0 = make_trade(0)
+    apply_changes(
+        spark, feed([("INSERT", t0, 1)], "iw1"), src, "id", mode="history"
+    )
+
+    emitted = []
+
+    def proc(df, frm, to):
+        emitted.extend((r["id"], int(r["_seq"])) for r in df.collect())
+
+    wrapped = idempotent_windows(ck, proc)
+    assert follow_changes(spark, src, ck, wrapped, max_ticks=1) == 1
+    assert emitted == [(t0["id"], 1)]
+
+    # crash between process and offset write: the offset regresses to
+    # its pre-tick value, so the replayed tick derives the IDENTICAL
+    # window — the helper skips it, no duplicate downstream effect
+    committed = fsio.read_text(offset)
+    fsio.remove(offset)
+    assert follow_changes(spark, src, ck, wrapped, max_ticks=1) == 1
+    assert emitted == [(t0["id"], 1)]  # no second emission
+    assert fsio.read_text(offset) == committed  # offset re-committed
+
+    # control: the SAME crash without the helper duplicates (the
+    # at-least-once default the wrapper exists to round off)
+    fsio.remove(offset)
+    assert follow_changes(spark, src, ck, proc, max_ticks=1) == 1
+    assert emitted == [(t0["id"], 1), (t0["id"], 1)]
+
+    # feed advances: the next window processes normally and GC drops
+    # markers wholly below the new from_seq
+    apply_changes(
+        spark,
+        feed([("MODIFY", dict(t0, shares=5), 2)], "iw2"),
+        src, "id", mode="history",
+    )
+    emitted.clear()
+    assert follow_changes(spark, src, ck, wrapped, max_ticks=1) == 1
+    assert emitted == [(t0["id"], 2)]
+    done = _os.listdir(_os.path.join(ck, "_windows_done"))
+    assert len(done) == 1  # only the newest window's marker survives
