@@ -472,6 +472,108 @@ def cdc_partitioned_apply_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The version-pointer commit under fire (round 9): a FLAT upsert table
+# whose every batch commits through the pointer flip (_swap_into writes
+# a fresh version dir and atomically replaces _current — the
+# object-store commit, no directory rename). Mid-feed, the certificate
+# plants exactly what a crash between the staged write and the pointer
+# flip leaves behind — a fully-written ORPHAN version dir (decoy rows,
+# _SUCCESS present, higher counter) that the pointer never named — then
+# replays a batch (at-least-once) and continues. The oracle computes
+# plain latest-wins over the whole feed: the hash proves the orphan's
+# rows never surface (readers follow the pointer, recovery never adopts
+# uncommitted state), the replay converges, and later commits GC the
+# junk without touching served data. No other certificate crash-tests
+# the commit protocol itself.
+# ---------------------------------------------------------------------------
+@register_query(
+    "cdc_pointer_commit_replay",
+    oracle=f"""
+    SELECT user_id,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1 AND {_OP_SQL} <> 'REMOVE'
+    ORDER BY user_id
+    """,
+)
+def cdc_pointer_commit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4/K2 through the pointer-commit swap: scrambled envelope
+    batches into a flat upsert table (one version-dir commit per
+    batch), an injected aborted commit (orphan version dir with decoy
+    rows the result must not contain), an at-least-once batch replay,
+    and tombstone arbitration — the end state must equal the oracle's
+    latest-wins over the feed exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.apply import (
+        _next_version_name,
+        apply_changes,
+        read_warehouse,
+        table_data_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        _op_col().alias("op"),
+        F.struct(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("value"),
+        ).alias("after"),
+        F.concat(
+            F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+        (F.col("event_id") % 3).alias("_batch"),
+    )
+    wh = tempfile.mkdtemp(prefix="cdc_ptr_commit_")
+    try:
+        for b in (1, 2):
+            apply_changes(
+                spark,
+                env.filter(F.col("_batch") == b).drop("_batch"),
+                wh, "user_id", mode="upsert", propagate_deletes=True,
+            )
+        assert table_data_dir(wh) != wh  # pointer layout from birth
+        # the crash window: a fully-written staged version the pointer
+        # never named. Decoy content — if any reader or recovery path
+        # ever adopted it, the value hash below would diverge.
+        orphan = os.path.join(wh, _next_version_name(wh))
+        spark.createDataFrame(
+            [(-999, -999, -999.0)], "user_id long, event_id long, value double"
+        ).coalesce(1).write.parquet(orphan)
+        # at-least-once replay of an already-applied batch + the rest
+        for b in (2, 0):
+            apply_changes(
+                spark,
+                env.filter(F.col("_batch") == b).drop("_batch"),
+                wh, "user_id", mode="upsert", propagate_deletes=True,
+            )
+        out = (
+            read_warehouse(spark, wh)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
 # Warehouse time travel through the REAL history-mode apply machinery:
 # the events feed becomes envelope batches applied with
 # apply_changes(mode="history") — the merge-on-read layout that retains
