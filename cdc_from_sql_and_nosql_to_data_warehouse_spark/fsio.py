@@ -127,3 +127,44 @@ def move(src: str, dst: str) -> None:
     that call site becomes a transaction-log pointer flip on a
     lakehouse format, as its docstring notes."""
     os.rename(src, dst)
+
+
+def listdir(path: str) -> list[str]:
+    """Names under ``path`` (non-recursive), [] when it does not
+    exist. Object-store mapping: one LIST request with
+    ``prefix=path/`` + ``delimiter=/`` — the coordination layer's
+    enumerations (live locks under ``__plocks/``, version dirs and
+    orphans under a table root, sidecar shards) are all shallow and
+    small, so a single page suffices in practice and pagination is the
+    provider SDK's problem, not a semantic one. Data-plane listing
+    (parquet scans) stays with Spark's Hadoop connectors — this is for
+    the engine's own control namespace only."""
+    try:
+        return os.listdir(path)
+    except FileNotFoundError:
+        return []
+
+
+def remove_tree(path: str) -> None:
+    """Delete a directory tree, tolerating concurrent deletes and a
+    vanishing source (idempotent). Object-store mapping: LIST the
+    prefix + batch DELETE — data-plane cleanup, not a coordination
+    primitive: every caller's atomicity is carried by a pointer flip
+    or lock CAS that PRECEDES the delete (superseded-version GC,
+    aborted-commit orphan purge), so partial failure only strands
+    junk a later sweep re-collects, never corrupts served state."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def mtime(path: str) -> float | None:
+    """Last-modified time of a control file/dir, or None when it does
+    not exist. Object-store mapping: the object's Last-Modified header
+    (from the same LIST/HEAD the caller already issued). Used only for
+    advisory freshness (GC grace, sidecar freshness keys) — never for
+    coordination decisions."""
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return None

@@ -135,6 +135,94 @@ def table_data_dir(path: str) -> str:
     return os.path.join(path, name)
 
 
+_VERSION_NAME_RE = None  # compiled lazily; see _is_version_name
+
+
+def _is_version_name(name: str) -> bool:
+    """True for names ``_swap_into`` stages version dirs under
+    (``v_<10 digits>_<8 hex>``). The pattern is disjoint from
+    everything else a table dir legitimately contains: hive partition
+    dirs carry ``=``, Spark's data files carry extensions, and control
+    files are ``_``-prefixed — so a version-named entry is always the
+    engine's own (a committed version, a superseded one awaiting GC,
+    or an aborted commit's orphan)."""
+    global _VERSION_NAME_RE
+    if _VERSION_NAME_RE is None:
+        import re
+
+        _VERSION_NAME_RE = re.compile(r"v_\d{10}_[0-9a-f]{8}\Z")
+    return _VERSION_NAME_RE.match(name) is not None
+
+
+def _legacy_orphan_versions(root: str) -> list[str]:
+    """Version-named entries under a POINTER-LESS root — always the
+    staging of an ABORTED commit (the pointer write is what makes a
+    version 'committed', and the upgrade commit that would have
+    installed the pointer never finished), never live data. They sit
+    inside the namespace legacy readers scan, so a crashed
+    legacy->pointer upgrade would otherwise poison the live table:
+    partition discovery trips over the non-hive dir
+    (CONFLICTING_DIRECTORY_STRUCTURES on a partitioned root), and
+    file walks would ingest uncommitted rows. Returns [] for pointer
+    tables: their superseded/orphan siblings are invisible to readers
+    (reads resolve the pointer) and are GC'd — grace respected — by
+    the next commit."""
+    if fsio.read_text(os.path.join(root, CURRENT_POINTER)) is not None:
+        return []
+    return [
+        os.path.join(root, e)
+        for e in fsio.listdir(root)
+        if _is_version_name(e) and os.path.isdir(os.path.join(root, e))
+    ]
+
+
+def _purge_legacy_orphans(root: str) -> None:
+    """Writer-side hygiene: delete aborted-commit orphans under a
+    pointer-less root. Callable ONLY while holding a mutation scope on
+    the table — the two-phase scope check guarantees no whole-table
+    writer is mid-``_swap_into`` while any scope is held (a table-scope
+    holder IS the only possible stager; partition/append scopes abort
+    when the table fence is live), so a version dir seen here can never
+    be a commit in flight. Readers must never call this (an unlocked
+    reader could race a live upgrade's staging) — they route around
+    orphans via ``_data_read_paths`` instead."""
+    for p in _legacy_orphan_versions(root):
+        fsio.remove_tree(p)
+        _drop_path_caches(p)
+
+
+def _data_read_paths(path: str) -> tuple[str, list[str] | None]:
+    """(physical data dir, explicit read paths or None) for a table
+    read. None means the dir is clean — read it directly (the
+    overwhelmingly common case: pointer-resolved version dirs never
+    hold junk, and legacy roots only after a CRASHED upgrade commit).
+    A polluted legacy root returns its top-level non-junk entries so
+    the reader plans around the orphan (callers pass
+    ``basePath=dir`` so hive partition columns keep their names). An
+    empty list means the root holds ONLY junk — no committed data."""
+    d = table_data_dir(path)
+    if d != path:
+        return d, None  # pointer layout: version dirs are always clean
+    junk = False
+    keep: list[str] = []
+    try:
+        with os.scandir(d) as it:
+            for e in it:
+                if _is_version_name(e.name) and e.is_dir(
+                    follow_symlinks=False
+                ):
+                    junk = True
+                    continue
+                if e.name.startswith(("_", ".")):
+                    continue
+                keep.append(e.path)
+    except FileNotFoundError:
+        return d, None
+    if not junk:
+        return d, None
+    return d, keep
+
+
 def _next_version_name(root: str) -> str:
     """A fresh version-dir name whose counter exceeds every version the
     root has ever seen — the pointer (authoritative) AND any orphan
@@ -143,10 +231,7 @@ def _next_version_name(root: str) -> str:
     best = 0
     raw = fsio.read_text(os.path.join(root, CURRENT_POINTER))
     names = [raw.strip()] if raw else []
-    try:
-        names += os.listdir(root)
-    except FileNotFoundError:
-        pass
+    names += fsio.listdir(root)
     for name in names:
         if name.startswith(_VERSION_PREFIX):
             part = name[len(_VERSION_PREFIX):].split("_", 1)[0]
@@ -166,22 +251,16 @@ def _gc_superseded(root: str, keep: str) -> None:
     carried entirely by the pointer flip that precedes it."""
     import time
 
-    try:
-        entries = os.listdir(root)
-    except FileNotFoundError:
-        return
     now = time.time()
-    for entry in entries:
+    for entry in fsio.listdir(root):
         if entry in (CURRENT_POINTER, keep):
             continue
         p = os.path.join(root, entry)
-        try:
-            if now - os.path.getmtime(p) < VERSION_GC_GRACE_SECONDS:
-                continue
-        except OSError:
+        m = fsio.mtime(p)
+        if m is None or now - m < VERSION_GC_GRACE_SECONDS:
             continue
         if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+            fsio.remove_tree(p)
             _drop_path_caches(p)
         else:
             fsio.remove(p)
@@ -345,11 +424,13 @@ def refresh_table_schema(spark: SparkSession, path: str):
     manifest only reflects engine writes, so an external evolving
     append would otherwise be invisible to manifest-imposed hot reads.
     Engine-managed tables never need this."""
-    path = table_data_dir(path)
-    schema = (
-        spark.read.option("mergeSchema", "true").parquet(path).schema
-    )
-    _write_table_schema(path, schema)
+    d, paths = _data_read_paths(path)
+    reader = spark.read.option("mergeSchema", "true")
+    if paths is None:
+        schema = reader.parquet(d).schema
+    else:
+        schema = reader.option("basePath", d).parquet(*paths).schema
+    _write_table_schema(d, schema)
     return schema
 
 
@@ -359,12 +440,25 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     imposed schema are sourced from directory values (Spark relocates
     them to the end of the output schema); files missing a manifest
     column read NULL in it — exactly the mergeSchema result, minus the
-    per-read footer union."""
-    path = table_data_dir(path)
+    per-read footer union. Routes around aborted-commit orphans on a
+    legacy root (``_data_read_paths``): a crashed legacy->pointer
+    upgrade must leave the table readable, orphan excluded."""
+    d, paths = _data_read_paths(path)
     schema = read_table_schema(path)
-    if schema is not None:
-        return spark.read.schema(schema).parquet(path)
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    reader = (
+        spark.read.schema(schema)
+        if schema is not None
+        else spark.read.option("mergeSchema", "true")
+    )
+    if paths is None:
+        return reader.parquet(d)
+    if not paths:
+        raise FileNotFoundError(
+            f"table {path!r} holds only aborted-commit staging "
+            "(no committed data): the crashed first commit's batch "
+            "must be replayed"
+        )
+    return reader.option("basePath", d).parquet(*paths)
 
 
 def _pruned_table_read(
@@ -435,10 +529,10 @@ def _pruned_table_read(
                 schema = StructType(list(schema.fields) + added)
     if schema is None:
         if not keep:
-            # cannot synthesize an empty frame without a schema
-            return spark.read.option("mergeSchema", "true").parquet(
-                path
-            ).filter(F.lit(False))
+            # cannot synthesize an empty frame without a schema; the
+            # junk-aware reader keeps this working on a legacy root a
+            # crashed upgrade polluted
+            return _read_table(spark, path).filter(F.lit(False))
         return (
             spark.read.option("mergeSchema", "true")
             .option("basePath", path)
@@ -638,14 +732,23 @@ def _lock_path(target_path: str) -> str:
 
 
 def break_table_lock(target_path: str) -> bool:
-    """Manually remove a table's writer lock — the operator escape
-    hatch for a lock stranded by a writer that died on ANOTHER host
-    (same-host dead writers are detected and adopted automatically by
-    pid liveness). Breaking a lock whose owner is alive re-opens the
-    lost-commit window the fence exists to close; the caller owns that
-    judgment, as with any lease-break. Returns True if a lock file was
-    removed."""
-    return fsio.remove(_lock_path(target_path))
+    """Manually remove EVERY writer lock of a table — the whole-table
+    fence, all partition/append locks under ``{table}__plocks/``, and
+    the schema-stamp mutex — the operator escape hatch for locks
+    stranded by a writer that died on ANOTHER host (same-host dead
+    writers are detected and adopted automatically by pid liveness;
+    cross-host, opt into the lease instead). Breaking a lock whose
+    owner is alive re-opens the lost-commit window the fences exist to
+    close; the caller owns that judgment, as with any lease-break.
+    Returns True if anything was removed."""
+    removed = fsio.remove(_lock_path(target_path))
+    removed = fsio.remove(
+        target_path.rstrip("/") + _STAMP_SUFFIX
+    ) or removed
+    d = _plocks_dir(target_path)
+    for name in fsio.listdir(d):
+        removed = fsio.remove(os.path.join(d, name)) or removed
+    return removed
 
 
 def _proc_start_time(pid: int) -> str | None:
@@ -730,52 +833,60 @@ def _owner_payload() -> bytes:
     ).encode()
 
 
+def _adopt_dead_lock(lock: str) -> str:
+    """Adopt a lock whose owner LOOKS dead, WITHOUT a delete-then-
+    create TOCTOU: rename the stale lock to a unique name first — of N
+    adopters exactly ONE owns the renamed file (the rest race back to
+    their CAS/listing) and a live lock created in between is never
+    deleted out from under its owner. Re-verify on the file we now own
+    (pid-reuse edge: judged dead, now alive) and restore it
+    non-clobberingly if the owner is alive after all. The ONE copy of
+    the adoption dance — the table fence, the partition/append locks,
+    and the stamp mutex all share it, so the liveness contract cannot
+    drift between lock classes. Returns ``"freed"`` (stale lock
+    removed), ``"live"`` (owner alive after all, lock restored), or
+    ``"gone"`` (someone else released/adopted it first)."""
+    import uuid as _uuid
+
+    stale = f"{lock}.adopt-{_uuid.uuid4().hex[:8]}"
+    try:
+        fsio.move(lock, stale)
+    except FileNotFoundError:
+        return "gone"
+    if _lock_owner_is_dead(stale):
+        fsio.remove(stale)
+        return "freed"
+    content = fsio.read_text(stale)
+    if content is not None:
+        # a newer writer's own lock wins the CAS; leave it alone
+        fsio.create_exclusive(lock, content.encode())
+    fsio.remove(stale)
+    return "live"
+
+
 def _acquire_lock_file(lock: str, what: str) -> None:
     """Acquire ``lock`` via the create-exclusive CAS, adopting a
-    provably-dead owner's leftover through the TOCTOU-free rename
-    dance; raise ConcurrentWriteError on a live owner (fail fast, never
-    block — a CDC apply loop would rather surface the conflict than
-    stack up behind it). Shared by the table fence, the partition-
-    scoped locks, and the stamp mutex so the liveness/adoption contract
-    cannot drift between them."""
+    provably-dead owner's leftover through ``_adopt_dead_lock``; raise
+    ConcurrentWriteError on a live owner (fail fast, never block — a
+    CDC apply loop would rather surface the conflict than stack up
+    behind it). Shared by the table fence, the partition-scoped locks,
+    and the stamp mutex so the liveness/adoption contract cannot drift
+    between them."""
     payload = _owner_payload()
+    conflict = ConcurrentWriteError(
+        f"{what} is locked by another writer ({lock}); if its owner "
+        "is dead on another host, break_table_lock() releases every "
+        "lock class of the table, or opt into the lease "
+        "(LOCK_LEASE_SECONDS) for automatic recovery"
+    )
     for _ in range(3):
         if fsio.create_exclusive(lock, payload):
             return
         if not _lock_owner_is_dead(lock):
-            raise ConcurrentWriteError(
-                f"{what} is locked by another writer ({lock}); if its "
-                "owner is dead on another host, break_table_lock() "
-                "releases it"
-            )
-        # Adopt WITHOUT a delete-then-create TOCTOU: rename the
-        # stale lock to a unique name first — of N adopters exactly
-        # ONE owns the renamed file (the rest race back to the
-        # create_exclusive CAS) and a live lock created in between
-        # is never deleted out from under its owner. Re-verify on
-        # the file we now own (pid-reuse edge: judged dead, now
-        # alive) and restore it non-clobberingly if the owner is
-        # alive after all.
-        import uuid as _uuid
-
-        stale = f"{lock}.adopt-{_uuid.uuid4().hex[:8]}"
-        try:
-            fsio.move(lock, stale)
-        except FileNotFoundError:
-            continue  # released or adopted by someone else
-        if _lock_owner_is_dead(stale):
-            fsio.remove(stale)
-            continue  # truly dead: retry the atomic create
-        content = fsio.read_text(stale)
-        if content is not None:
-            # a newer writer's own lock wins the CAS; leave it alone
-            fsio.create_exclusive(lock, content.encode())
-        fsio.remove(stale)
-        raise ConcurrentWriteError(
-            f"{what} is locked by another writer ({lock}); if its "
-            "owner is dead on another host, break_table_lock() "
-            "releases it"
-        )
+            raise conflict
+        if _adopt_dead_lock(lock) == "live":
+            raise conflict
+        # freed/gone: retry the atomic create
     raise ConcurrentWriteError(f"could not acquire {what} lock ({lock})")
 
 
@@ -802,6 +913,10 @@ def _write_lock(target_path: str):
         fsio.makedirs(os.path.dirname(os.path.abspath(lock)))
         _acquire_lock_file(lock, f"table {target_path!r}")
         try:
+            # holding the fence, any version dir under a pointer-less
+            # root is PROVABLY an aborted commit (only a fence holder
+            # stages one) — clean it before this writer reads the table
+            _purge_legacy_orphans(target_path)
             yield
         finally:
             fsio.remove(lock)
@@ -878,36 +993,19 @@ def _partition_lock_name(partition_by: list[str], vals: tuple) -> str:
 
 def _live_plocks(target_path: str) -> list[str]:
     """Partition/append locks with a LIVE owner; provably-dead owners'
-    leftovers are cleaned via the rename dance on the way (a crashed
-    append leaves only invisible ``_temporary`` junk; a crashed
+    leftovers are cleaned via ``_adopt_dead_lock`` on the way (a
+    crashed append leaves only invisible ``_temporary`` junk; a crashed
     partitioned merge leaves the per-partition commit exposure the
     partitioned apply already documents)."""
-    import uuid as _uuid
-
     d = _plocks_dir(target_path)
-    try:
-        names = os.listdir(d)
-    except FileNotFoundError:
-        return []
     live = []
-    for name in names:
+    for name in fsio.listdir(d):
         p = os.path.join(d, name)
         if not _lock_owner_is_dead(p):
             live.append(p)
             continue
-        stale = f"{p}.adopt-{_uuid.uuid4().hex[:8]}"
-        try:
-            fsio.move(p, stale)
-        except FileNotFoundError:
-            continue  # released or cleaned by someone else
-        if _lock_owner_is_dead(stale):
-            fsio.remove(stale)
-            continue
-        content = fsio.read_text(stale)
-        if content is not None:
-            fsio.create_exclusive(p, content.encode())
-        fsio.remove(stale)
-        live.append(p)
+        if _adopt_dead_lock(p) == "live":
+            live.append(p)
     return live
 
 
@@ -964,6 +1062,9 @@ def _mutation_scope(
                     f"table {target_path!r} is locked by a whole-table "
                     f"writer ({tlock}); partition-scoped write aborted"
                 )
+            # no live fence holder -> no commit can be mid-staging, so
+            # version dirs under a pointer-less root are aborted junk
+            _purge_legacy_orphans(target_path)
             yield
         finally:
             for lock in held:
@@ -1107,7 +1208,11 @@ def _table_exists(path: str) -> bool:
     first batch) must read as "no table yet", not poison the scan.
     Early-exit walk, not a recursive glob: the glob materializes every
     file path — O(table files) driver work per micro-batch — while
-    this returns at the FIRST data file found."""
+    this returns at the FIRST data file found. Version-named child
+    dirs never count: under a pointer-less root they are aborted-
+    commit staging (a crashed FIRST commit must replay as table
+    creation, not trip a read of the junk), and a resolved version dir
+    never nests one."""
     if not os.path.exists(path):
         return False
     stack = [path]
@@ -1117,6 +1222,8 @@ def _table_exists(path: str) -> bool:
             with os.scandir(cur) as it:
                 for entry in it:
                     if entry.is_dir(follow_symlinks=False):
+                        if _is_version_name(entry.name):
+                            continue
                         stack.append(entry.path)
                     elif entry.name.endswith(".parquet"):
                         return True
@@ -1379,13 +1486,13 @@ def apply_changes(
     bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
     if bad:
         raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
-    kind, parts = _scope_for(
+    kind, parts, probed = _scope_for(
         changes, target_path, mode, propagate_deletes, partition_by
     )
     with _mutation_scope(target_path, kind, partition_by, parts):
         _apply_changes_locked(
             spark, changes, target_path, key, mode, propagate_deletes,
-            partition_by,
+            partition_by, scope_touched=probed,
         )
 
 
@@ -1395,7 +1502,7 @@ def _scope_for(
     mode: str,
     propagate_deletes: bool,
     partition_by: list[str] | None,
-) -> tuple[str, list[tuple] | None]:
+) -> tuple[str, list[tuple] | None, object]:
     """The narrowest sound concurrency scope for one apply. The
     partition probe collects the batch's DISTINCT partition tuples — a
     deterministic SUPERSET of the touched set the locked merge derives
@@ -1404,9 +1511,19 @@ def _scope_for(
     where the locked merge falls back to an unpruned shape: table
     creation, and a delete-propagating batch carrying null partition
     values. ``propagate_deletes`` merges additionally read/rewrite the
-    all-null tombstone route, so that tuple is locked too."""
+    all-null tombstone route, so that tuple is locked too.
+
+    Third element: the probe's verdict handed down to the locked merge
+    so the batch is scanned ONCE per apply, not once for locks and
+    again for read pruning — ``None`` (probe did not run: the merge
+    derives its own set where it needs one), ``"unpruned"`` (the
+    null-partition-REMOVE fallback: the merge must not prune), or the
+    collected tuple list (a superset of the post-dedup touched set;
+    pruning with a superset reads/rewrites at most the extra
+    partitions of rows superseded WITHIN the batch — a strictly rarer
+    cost than a second full batch scan per micro-batch)."""
     if mode in ("append", "history"):
-        return "append", None
+        return "append", None, None
     if (
         mode == "upsert"
         and partition_by
@@ -1418,14 +1535,17 @@ def _scope_for(
                 *[F.col(f"after.{c}") for c in partition_by]
             ).distinct().collect()
         ]
-        if not (
-            propagate_deletes
-            and any(v is None for t in vals for v in t)
+        if propagate_deletes and any(
+            v is None for t in vals for v in t
         ):
-            if propagate_deletes:
-                vals = vals + [tuple([None] * len(partition_by))]
-            return "partitions", vals
-    return "table", None
+            return "table", None, "unpruned"
+        locked = (
+            vals + [tuple([None] * len(partition_by))]
+            if propagate_deletes
+            else vals
+        )
+        return "partitions", locked, vals
+    return "table", None, None
 
 
 def _apply_changes_locked(
@@ -1436,6 +1556,7 @@ def _apply_changes_locked(
     mode: str,
     propagate_deletes: bool,
     partition_by: list[str] | None,
+    scope_touched: object = None,
 ) -> None:
     _recover_swap(target_path)  # adopt a swap a previous crash left undone
     # physical location of the current fileset: the pointer-named
@@ -1508,23 +1629,34 @@ def _apply_changes_locked(
 
     touched: list[tuple] | None = None
     if partition_by and exists:
-        # the batch is micro — collecting its distinct partition tuples
-        # on the driver is O(partitions touched), not O(data)
-        touched = [
-            tuple(r)
-            for r in incoming.select(
-                *[F.col(f"after.{c}") for c in partition_by]
-            ).distinct().collect()
-        ]
-        if propagate_deletes and any(
-            v is None for vals in touched for v in vals
-        ):
-            # a REMOVE whose after-image lacks partition values (key-only
-            # after, DynamoDB REMOVE with no NewImage) cannot be routed
-            # to its stored partition — a pruned read would miss the
-            # stored row and silently lose the delete. Fall back to an
-            # unpruned merge for this batch.
+        if scope_touched == "unpruned":
+            # the scope probe already saw a REMOVE with null partition
+            # values — a pruned read would miss the stored row and
+            # silently lose the delete. Unpruned merge for this batch.
             touched = None
+        elif isinstance(scope_touched, list):
+            # the scope probe's tuple set, reused so the batch is
+            # scanned once per apply — a SUPERSET of the post-dedup set
+            # (see _scope_for), so the pruned read covers every row the
+            # merge needs
+            touched = scope_touched
+        else:
+            # direct callers without a scope probe: collect here — the
+            # batch is micro, so the distinct is O(partitions touched)
+            touched = [
+                tuple(r)
+                for r in incoming.select(
+                    *[F.col(f"after.{c}") for c in partition_by]
+                ).distinct().collect()
+            ]
+            if propagate_deletes and any(
+                v is None for vals in touched for v in vals
+            ):
+                # a REMOVE whose after-image lacks partition values
+                # (key-only after, DynamoDB REMOVE with no NewImage)
+                # cannot be routed to its stored partition. Fall back
+                # to an unpruned merge for this batch.
+                touched = None
 
     prior: list[tuple] | None = None
     if exists:

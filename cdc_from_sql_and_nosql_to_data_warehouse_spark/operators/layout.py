@@ -399,9 +399,9 @@ def _dump_sidecar(path: str, payload: dict) -> None:
         fsio.atomic_write_text(manifest, json.dumps(doc))
         # a format downgrade (e.g. a flat rewrite of a once-partitioned
         # table) must not strand stale shard files
+        for name in fsio.listdir(shard_dir):
+            fsio.remove(os.path.join(shard_dir, name))
         try:
-            for name in os.listdir(shard_dir):
-                fsio.remove(os.path.join(shard_dir, name))
             os.rmdir(shard_dir)
         except OSError:
             pass
@@ -409,8 +409,8 @@ def _dump_sidecar(path: str, payload: dict) -> None:
 
     prior = _load_sidecar(path)
     prior_view = prior.get("files") if prior else None
-    fsio.makedirs(shard_dir)
-    index = {}
+    index: dict[str, dict] = {}
+    writes: dict[str, dict] = {}
     for comp, fmap in sorted(by_comp.items()):
         fname = _shard_fname(comp)
         index[fname] = {
@@ -421,21 +421,41 @@ def _dump_sidecar(path: str, payload: dict) -> None:
         if isinstance(prior_view, _ShardedFiles):
             if prior_view._load(comp) == fmap:
                 continue  # byte-equal shard: no rewrite
+        writes[fname] = fmap
+    head = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("files", "shards", "version")
+    }
+    _persist_sharded(path, index, writes, head)
+
+
+def _persist_sharded(
+    path: str, index: dict, writes: dict, head: dict
+) -> None:
+    """The ONE writer of the sharded sidecar format — both the full
+    dump and the incremental accretion delegate here so the format's
+    correctness invariant cannot drift between them: changed shards
+    are written first (atomic each), shards the index no longer names
+    are swept, and the manifest is replaced LAST, so its (mtime, size)
+    freshness key always covers every shard it names."""
+    from .. import fsio
+
+    shard_dir = os.path.join(path, STATS_SHARD_DIR)
+    fsio.makedirs(shard_dir)
+    for fname, fmap in writes.items():
         fsio.atomic_write_text(
             os.path.join(shard_dir, fname), json.dumps({"files": fmap})
         )
-    try:
-        for name in os.listdir(shard_dir):
-            if name not in index:
-                fsio.remove(os.path.join(shard_dir, name))
-    except OSError:
-        pass
-    doc = {
-        k: v for k, v in payload.items() if k not in ("files", "shards")
-    }
+    for name in fsio.listdir(shard_dir):
+        if name not in index:
+            fsio.remove(os.path.join(shard_dir, name))
+    doc = dict(head)
     doc["version"] = _STATS_VERSION_SHARDED
     doc["shards"] = index
-    fsio.atomic_write_text(manifest, json.dumps(doc))
+    fsio.atomic_write_text(
+        os.path.join(path, FILE_STATS_SIDECAR), json.dumps(doc)
+    )
 
 
 def _enc_stat(v):
@@ -647,10 +667,7 @@ def _collect_sharded_incremental(
     batched column-pruned job across all changed shards). Returns the
     fresh sidecar, or None on a cross-file schema conflict (the caller
     then runs the full pass, which owns conflict reconciliation)."""
-    from .. import fsio
-
     view: _ShardedFiles = prior["files"]
-    shard_dir = os.path.join(path, STATS_SHARD_DIR)
     by_comp_disk: dict[str, list[str]] = {}
     for rel in _list_data_files(path):
         by_comp_disk.setdefault(_shard_component(rel), []).append(rel)
@@ -705,6 +722,7 @@ def _collect_sharded_incremental(
         )
         stats_new = _stat_files(spark, path, columns, sub)
 
+    writes: dict[str, dict] = {}
     for comp, kept, new in pending:
         fmap = dict(kept)
         for r in new:
@@ -716,26 +734,11 @@ def _collect_sharded_incremental(
             "n": len(fmap),
             "fh": _fileset_hash(by_comp_disk[comp]),
         }
-        fsio.atomic_write_text(
-            os.path.join(shard_dir, fname), json.dumps({"files": fmap})
-        )
-    try:
-        for name in os.listdir(shard_dir):
-            if name not in index:
-                fsio.remove(os.path.join(shard_dir, name))
-    except OSError:
-        pass
-    doc = {
-        "version": _STATS_VERSION_SHARDED,
-        "columns": columns,
-        "schema": schema_json,
-        "shards": index,
-    }
+        writes[fname] = fmap
+    head = {"columns": columns, "schema": schema_json}
     if prior.get("bloom"):
-        doc["bloom"] = prior["bloom"]
-    fsio.atomic_write_text(
-        os.path.join(path, FILE_STATS_SIDECAR), json.dumps(doc)
-    )
+        head["bloom"] = prior["bloom"]
+    _persist_sharded(path, index, writes, head)
     return _load_sidecar(path)
 
 
@@ -833,10 +836,17 @@ def _list_data_files(path: str, preds: list[tuple] | None = None) -> list[str]:
     satisfy a predicate on that column are skipped WITHOUT being walked
     — on an object store the listing itself is O(matching partitions),
     the same lever ``apply._touched_partition_dirs`` gives the merge.
-    Non-hive dirs and unparseable values always descend."""
+    Non-hive dirs and unparseable values always descend — EXCEPT
+    version-named dirs (``apply._is_version_name``): under a
+    pointer-less root those are an aborted commit's staging, and
+    walking into one would feed uncommitted rows into pruned reads and
+    advance the feed-tip probe past seqs that were never committed."""
+    from .apply import _is_version_name
+
     path = table_data_dir(path)
     out = []
     for cur, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not _is_version_name(d)]
         if preds:
             kept_dirs = []
             for d in dirs:

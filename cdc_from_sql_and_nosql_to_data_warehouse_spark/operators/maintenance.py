@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import col as F_col
 
-from .apply import _swap_into, table_data_dir
+from .apply import _swap_into, read_table_schema, table_data_dir
 
 
 @dataclass(frozen=True)
@@ -641,14 +641,32 @@ def analyze_tables(
         qname = quote_ident(name)
         # the registered LOCATION must track the pointer-resolved data
         # dir (a swap moves the fileset to a new version dir, which
-        # would strand a once-registered location) — drop+recreate per
-        # ANALYZE tick; the statistics are recomputed right after, so
-        # nothing durable is lost
-        spark.sql(f"DROP TABLE IF EXISTS {qname}")
-        spark.sql(
-            f"CREATE TABLE {qname} USING parquet "
-            f"LOCATION {quote_literal(os.path.abspath(table_data_dir(path)))}"
-        )
+        # would strand a once-registered location). Re-point WITHOUT a
+        # drop+recreate window: a concurrent SELECT against the name
+        # must never see TABLE_OR_VIEW_NOT_FOUND mid-tick, so an
+        # already-registered name gets ALTER TABLE .. SET LOCATION (the
+        # name stays continuously resolvable; the statistics are
+        # recomputed right after, so nothing durable is lost)
+        loc = quote_literal(os.path.abspath(table_data_dir(path)))
+        if spark.catalog.tableExists(name):
+            spark.sql(f"ALTER TABLE {qname} SET LOCATION {loc}")
+            spark.sql(f"REFRESH TABLE {qname}")
+            # SET LOCATION keeps the catalog's recorded schema; when
+            # the table EVOLVED since registration the stale column
+            # set would fail FOR COLUMNS on new columns — only then
+            # pay the drop+recreate window
+            manifest = read_table_schema(path)
+            if manifest is not None and set(
+                manifest.fieldNames()
+            ) != {f.name for f in spark.table(name).schema.fields}:
+                spark.sql(f"DROP TABLE IF EXISTS {qname}")
+                spark.sql(
+                    f"CREATE TABLE {qname} USING parquet LOCATION {loc}"
+                )
+        else:
+            spark.sql(
+                f"CREATE TABLE {qname} USING parquet LOCATION {loc}"
+            )
         spark.sql(f"ANALYZE TABLE {qname} COMPUTE STATISTICS")
         cols = (columns or {}).get(name) or []
         if cols:

@@ -80,7 +80,16 @@ def stream_changes(
 
     Downstream transformations, watermarks, and sinks are ordinary
     Structured Streaming; for replica maintenance use
-    ``stream_sync_changes``, which wires the convergent apply."""
+    ``stream_sync_changes``, which wires the convergent apply.
+
+    Hive-partitioned sources: refused in the pointer layout (below),
+    and a LEGACY partitioned source is pinned to its root layout — the
+    first compaction upgrades the table to the pointer layout and this
+    stream then silently starves (new appends land under a version dir
+    a partition-aware pinned reader never lists). Consume partitioned
+    feeds through ``stream_sync_changes`` / ``follow_changes`` /
+    ``stream_classified_changes``, which are layout-proof; only pin a
+    partitioned content stream to a feed you will never compact."""
     schema = read_table_schema(source_path)
     if schema is None:
         raise ValueError(
@@ -151,7 +160,11 @@ def stream_changes(
     return reader.parquet(source_path)
 
 
-def _pacing_stream(spark: SparkSession, source_path: str) -> DataFrame:
+def _pacing_stream(
+    spark: SparkSession,
+    source_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """A files-appeared WAKE-UP stream over a history table for
     consumers that never act on the batch content (the classified-feed
     bridge and the aggregate drains — their effect comes from a batch
@@ -182,12 +195,16 @@ def _pacing_stream(spark: SparkSession, source_path: str) -> DataFrame:
     pace_schema = StructType(
         seq_fields or [StructField(SEQ_COL, StringType())]
     )
-    return (
+    reader = (
         spark.readStream.schema(pace_schema)
         .option("ignoreMissingFiles", "true")
         .option("recursiveFileLookup", "true")
-        .parquet(source_path)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(source_path)
 
 
 def envelope_from_versions(versions: DataFrame) -> DataFrame:
@@ -337,10 +354,85 @@ def stream_sync_changes(
     ``available_now=True`` drains everything currently in the feed and
     stops (the batch-boundary trigger); ``processing_time`` (e.g.
     ``"5 seconds"``) runs continuously at the reference pipeline's
-    cadence. Returns the StreamingQuery."""
+    cadence. Returns the StreamingQuery.
+
+    Hive-PARTITIONED sources take the pacing-bridge path instead of the
+    content stream: a partition-aware file source must pin one physical
+    dir, and that pin silently starves the moment a compaction swap
+    upgrades the source to the pointer layout (new appends land under a
+    version dir the pinned reader never lists — no error, the replica
+    just stops advancing). So each trigger of a layout-proof wake-up
+    stream (``_pacing_stream``) runs one ``sync_changes`` drain, whose
+    seq offset reads the source through the batch reader (partition
+    columns restored from dir names) and never re-delivers a compaction
+    (the offset is a seq, not a file set — no gate needed).
+    ``max_files_per_trigger`` only paces the wake-ups on this path: each
+    drain reads its whole (offset, tip] window as partition-routed
+    batch work."""
     import os
 
     from .. import fsio
+    from ..operators.apply import sync_changes
+
+    if _is_hive_partitioned(table_data_dir(source_path)):
+        bridge_ck = os.path.join(checkpoint_path, "bridge")
+
+        def _bootstrap_resync() -> None:
+            # A compaction folded versions PAST this consumer's seq
+            # offset — the lapsed window can no longer be reconstructed
+            # event-by-event, but a replica does not need it event-by-
+            # event: re-applying the ENTIRE retained history (folded
+            # latest-per-key rows, tombstones included) through the
+            # convergent merge lands the same end state the content-
+            # stream path reaches when the file source re-delivers the
+            # fold. Offset written only after the apply, so a crash
+            # mid-bootstrap re-runs it convergently.
+            from ..operators.apply import _read_table, current_max_seq
+
+            cur = current_max_seq(spark, source_path)
+            if cur is None:
+                return
+            versions = _read_table(spark, source_path).filter(
+                _canonical_seq(F.col(SEQ_COL)) <= F.lit(cur)
+            )
+            apply_changes(
+                spark, envelope_from_versions(versions), target_path,
+                key, mode=mode, propagate_deletes=True,
+                partition_by=partition_by,
+            )
+            fsio.makedirs(bridge_ck)
+            fsio.atomic_write_text(
+                os.path.join(bridge_ck, "_change_feed_offset"), cur
+            )
+
+        def _tick(_batch: DataFrame, _epoch_id: int) -> None:
+            # the batch content is never applied — the pacing stream
+            # only schedules drains; crash safety comes from
+            # sync_changes' own offset (advanced after apply) plus
+            # foreachBatch committing this trigger only after the
+            # drain returns
+            try:
+                sync_changes(
+                    spark, source_path, target_path, bridge_ck, key,
+                    mode=mode, partition_by=partition_by,
+                )
+            except ValueError as err:
+                if "compaction horizon" not in str(err):
+                    raise
+                _bootstrap_resync()
+
+        writer = (
+            _pacing_stream(spark, source_path, max_files_per_trigger)
+            .writeStream.foreachBatch(_tick)
+            .option(
+                "checkpointLocation", os.path.join(checkpoint_path, "stream")
+            )
+        )
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     marker = os.path.join(checkpoint_path, APPLIED_MAX_MARKER)
 

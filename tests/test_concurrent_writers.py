@@ -193,19 +193,23 @@ def test_null_partition_remove_falls_back_to_table_scope(spark, tmp_path):
     full rewrite."""
     wh = str(tmp_path / "wh_null")
     t1, _ = _seed_partitioned(spark, tmp_path, wh)
-    kind, parts = A._scope_for(
+    kind, parts, probed = A._scope_for(
         _feed(spark, tmp_path, [("REMOVE", {"id": t1["id"]}, 7)], "n1"),
         wh, "upsert", True, ["ticker"],
     )
     assert kind == "table"
+    assert probed == "unpruned"  # the merge must not prune this batch
     # and a partition-values-bearing delete batch stays partition-scoped,
-    # with the all-null tombstone route locked alongside
-    kind2, parts2 = A._scope_for(
+    # with the all-null tombstone route locked alongside; the probe's
+    # tuple set (handed to the merge so the batch is scanned once)
+    # carries only the REAL partitions
+    kind2, parts2, probed2 = A._scope_for(
         _feed(spark, tmp_path, [("REMOVE", dict(t1), 8)], "n2"),
         wh, "upsert", True, ["ticker"],
     )
     assert kind2 == "partitions"
     assert (None,) in parts2 and ("tk1",) in parts2
+    assert probed2 == [("tk1",)]
 
 
 def test_stamp_mutex_prevents_lost_schema_union(spark, tmp_path, monkeypatch):

@@ -317,6 +317,70 @@ def test_stream_survives_pointer_upgrade(spark, tmp_path):
     assert out[t2["id"]] == 99
 
 
+def test_partitioned_stream_sync_survives_pointer_upgrade(spark, tmp_path):
+    """A hive-partitioned source cannot ride the content stream across
+    the legacy->pointer upgrade (a partition-aware file source pins one
+    physical dir and silently starves after the swap) — so
+    ``stream_sync_changes`` routes partitioned sources through the
+    layout-proof pacing bridge: every trigger runs one seq-offset
+    ``sync_changes`` drain. This pins the whole lifecycle: drain,
+    mid-stream compaction upgrade, post-upgrade appends, a second
+    (pointer->pointer) swap — the replica must never stop advancing."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_changes,
+    )
+
+    def _await(q):
+        q.awaitTermination(300)
+
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+    src = str(tmp_path / "psync_src")
+    dst = str(tmp_path / "psync_dst")
+    ck = str(tmp_path / "psync_ck")
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", t0, 1), ("MODIFY", dict(t0, shares=5), 2),
+               ("INSERT", t1, 3)],
+              "ps1"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    assert _ids(spark, dst) == sorted([t0["id"], t1["id"]])
+
+    # the upgrade that starves a pinned partition-aware content stream
+    assert table_data_dir(src) == src
+    compact_history(spark, src, before_seq=3, partition_by=["ticker"])
+    assert table_data_dir(src) != src
+
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t2, 4)], "ps2"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    assert _ids(spark, dst) == sorted([t0["id"], t1["id"], t2["id"]])
+
+    # pointer -> pointer swap keeps flowing too; the seq offset never
+    # re-delivers the fold (no gate needed on this path)
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t2, shares=98), 5)], "ps3"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    compact_history(spark, src, before_seq=6, partition_by=["ticker"])
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t2, shares=99), 6)], "ps4"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    _await(stream_sync_changes(spark, src, dst, ck, "id"))
+    out = {r["id"]: r["shares"] for r in read_warehouse(spark, dst).collect()}
+    assert out[t2["id"]] == 99
+
+
 def test_partitioned_pointer_stream_refused(spark, tmp_path):
     """A hive-partitioned source in the pointer layout cannot ride the
     version-dir glob (partition discovery breaks across glob roots) —
