@@ -2,11 +2,14 @@
 
 from .apply import (
     apply_changes,
+    break_table_lock,
     follow_changes,
     latest_per_key,
     read_changes,
     read_warehouse,
+    read_warehouse_version,
     sync_changes,
+    table_versions,
 )
 from .layout import (
     collect_file_blooms,
@@ -49,8 +52,9 @@ from .mixing import mix_to_weights
 from .skew import salted_agg, salted_join
 
 __all__ = [
-    "apply_changes", "follow_changes", "latest_per_key",
-    "read_changes", "read_warehouse", "sync_changes",
+    "apply_changes", "break_table_lock", "follow_changes",
+    "latest_per_key", "read_changes", "read_warehouse",
+    "read_warehouse_version", "sync_changes", "table_versions",
     "collect_file_blooms", "collect_file_stats", "prune_files",
     "read_skipping", "refresh_file_stats", "zorder_repartition",
     "zorder_scale",

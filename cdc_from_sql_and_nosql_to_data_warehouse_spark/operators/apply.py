@@ -110,6 +110,20 @@ _SIDECAR_MARKERS = (
 CURRENT_POINTER = "_current"
 _VERSION_PREFIX = "v_"
 
+# Commit LOG beside the pointer: one version name per line, appended
+# (under the table fence every swap already holds) right after each
+# pointer flip. The log is what makes a non-current version dir
+# INTERPRETABLE — without it, a superseded committed version and an
+# aborted commit's orphan staging are indistinguishable on disk, so
+# version-pinned reads could expose data that was never committed.
+# Committed set = log entries ∪ {current pointer} (a crash between
+# flip and log append loses only that version's log line; the pointer
+# itself always proves the CURRENT version committed). With
+# ``VERSION_GC_GRACE_SECONDS`` > 0 this is Delta-style ``VERSION AS
+# OF`` in miniature: superseded versions stay readable until the
+# grace-bounded GC collects them.
+VERSIONS_LOG = "_versions"
+
 # Superseded version dirs (and, after an upgrade commit, legacy root
 # files) younger than this many seconds survive the commit-time GC so
 # in-flight readers that resolved the old pointer can finish their
@@ -223,6 +237,71 @@ def _data_read_paths(path: str) -> tuple[str, list[str] | None]:
     return d, keep
 
 
+def committed_versions(path: str) -> list[str]:
+    """Version-dir names that COMMITTED, oldest first: the commit log's
+    entries plus the current pointer (a crash between pointer flip and
+    log append loses only that log line, and the pointer itself proves
+    its version committed). Anything else on disk is an aborted
+    commit's staging — never readable."""
+    raw = fsio.read_text(os.path.join(path, VERSIONS_LOG)) or ""
+    out = [ln.strip() for ln in raw.splitlines() if ln.strip()]
+    cur = fsio.read_text(os.path.join(path, CURRENT_POINTER))
+    cur = cur.strip() if cur else ""
+    if cur and cur not in out:
+        out.append(cur)
+    return out
+
+
+def table_versions(path: str) -> list[dict]:
+    """Commit history of a pointer-layout table, oldest first. Each
+    entry: ``name``, ``current`` (the pointer names it), ``available``
+    (its fileset still exists — superseded versions survive only
+    within ``VERSION_GC_GRACE_SECONDS``, Delta's VACUUM retention in
+    miniature). Returns [] for legacy tables (no commit has run)."""
+    cur = fsio.read_text(os.path.join(path, CURRENT_POINTER))
+    cur = cur.strip() if cur else ""
+    return [
+        {
+            "name": name,
+            "current": name == cur,
+            "available": os.path.isdir(os.path.join(path, name)),
+        }
+        for name in committed_versions(path)
+    ]
+
+
+def read_warehouse_version(
+    spark: SparkSession, path: str, version: str, **kwargs
+):
+    """``VERSION AS OF`` on the pointer substrate: the table exactly as
+    of a past COMMITTED version. The name must appear in the commit
+    log (an aborted commit's orphan staging is never readable — the
+    log is what distinguishes them on disk) and its fileset must still
+    exist (set ``VERSION_GC_GRACE_SECONDS`` above the travel horizon;
+    at the default 0 superseded versions are collected at the next
+    commit). A version dir is a complete table fileset — the schema
+    manifest and sidecar markers are carried into it at commit time —
+    so this is the ordinary ``read_warehouse`` reader pointed at that
+    dir; all its kwargs (``with_seq``, ``as_of_seq``, ``predicates``)
+    compose. Complements seq-based time travel on history tables
+    (``as_of_seq``): version pinning works on LATEST-WINS tables too,
+    where no version history is retained in the rows themselves."""
+    if version not in committed_versions(path):
+        raise ValueError(
+            f"{version!r} is not a committed version of {path!r} — "
+            "aborted-commit stagings and unknown names are not "
+            f"readable (see {VERSIONS_LOG})"
+        )
+    vdir = os.path.join(path, version)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version!r} of {path!r} was garbage-collected; "
+            "raise VERSION_GC_GRACE_SECONDS to retain superseded "
+            "versions for time travel"
+        )
+    return read_warehouse(spark, vdir, **kwargs)
+
+
 def _next_version_name(root: str) -> str:
     """A fresh version-dir name whose counter exceeds every version the
     root has ever seen — the pointer (authoritative) AND any orphan
@@ -253,7 +332,7 @@ def _gc_superseded(root: str, keep: str) -> None:
 
     now = time.time()
     for entry in fsio.listdir(root):
-        if entry in (CURRENT_POINTER, keep):
+        if entry in (CURRENT_POINTER, VERSIONS_LOG, keep):
             continue
         p = os.path.join(root, entry)
         m = fsio.mtime(p)
@@ -1307,6 +1386,14 @@ def _swap_into(
     fsio.atomic_write_text(
         os.path.join(target_path, CURRENT_POINTER), ver
     )
+    # commit log append — read-modify-write is safe here because every
+    # _swap_into caller holds the table fence; a crash between the flip
+    # above and this write only loses THIS version's log line (the
+    # pointer itself proves the current version committed, so the
+    # committed set stays sound — see VERSIONS_LOG)
+    log_path = os.path.join(target_path, VERSIONS_LOG)
+    prior_log = fsio.read_text(log_path) or ""
+    fsio.atomic_write_text(log_path, prior_log + ver + "\n")
     _gc_superseded(target_path, ver)
 
 

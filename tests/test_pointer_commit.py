@@ -407,3 +407,64 @@ def test_partitioned_pointer_stream_refused(spark, tmp_path):
     assert table_data_dir(src) != src
     with pytest.raises(ValueError, match="hive-partitioned"):
         stream_changes(spark, src)
+
+
+def test_version_time_travel_on_the_commit_log(spark, tmp_path, monkeypatch):
+    """VERSION AS OF on the pointer substrate: the commit log makes a
+    non-current version dir interpretable (superseded-committed vs
+    aborted-orphan are indistinguishable on disk without it), so a
+    version-pinned read can never expose uncommitted data. Grace
+    retention bounds the travel horizon, exactly like Delta's VACUUM."""
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 3600.0)
+    t0, t1 = make_trade(0), make_trade(1)
+    wh = str(tmp_path / "wh_tt")
+    for i, batch in enumerate(
+        [
+            [("INSERT", t0, 1)],
+            [("INSERT", t1, 2)],
+            [("MODIFY", dict(t0, shares=77), 3)],
+        ]
+    ):
+        apply_changes(
+            spark, _feed(spark, tmp_path, batch, f"tt{i}"), wh, "id",
+            mode="upsert",
+        )
+
+    vs = A.table_versions(wh)
+    assert [v["current"] for v in vs] == [False, False, True]
+    assert all(v["available"] for v in vs)  # grace retained them
+
+    # snapshot reads: v1 has only t0@1, v2 adds t1, current has the edit
+    v1, v2 = vs[0]["name"], vs[1]["name"]
+    r1 = {r["id"]: r["shares"]
+          for r in A.read_warehouse_version(spark, wh, v1).collect()}
+    assert r1 == {t0["id"]: t0["shares"]}
+    r2 = sorted(
+        r["id"] for r in A.read_warehouse_version(spark, wh, v2).collect()
+    )
+    assert r2 == sorted([t0["id"], t1["id"]])
+    cur = {r["id"]: r["shares"] for r in read_warehouse(spark, wh).collect()}
+    assert cur[t0["id"]] == 77
+
+    # an aborted commit's orphan is on disk but NEVER readable by name
+    orphan = os.path.join(wh, A._next_version_name(wh))
+    spark.createDataFrame([("DECOY",)], "id string").coalesce(1).write.parquet(
+        orphan
+    )
+    with pytest.raises(ValueError, match="not a committed version"):
+        A.read_warehouse_version(spark, wh, os.path.basename(orphan))
+
+    # grace=0: the next commit collects superseded versions; the log
+    # still names them, the read fails loudly instead of resurrecting
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 0.0)
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t1, shares=88), 4)], "tt3"),
+        wh, "id", mode="upsert",
+    )
+    vs2 = A.table_versions(wh)
+    assert [v["available"] for v in vs2] == [False, False, False, True]
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        A.read_warehouse_version(spark, wh, v1)
+    # and the orphan was collected with everything else
+    assert not os.path.exists(orphan)
