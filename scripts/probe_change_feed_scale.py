@@ -40,6 +40,7 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
     apply_changes,
     read_changes,
     read_warehouse,
+    table_data_dir,
 )
 from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
     compact_history,
@@ -297,6 +298,141 @@ def main_stream_compact() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _build_partitioned(spark, path: str, rows: int) -> int:
+    """The _build feed with a hive partition column (p = k % 8) and a
+    partition-routed history layout — the source shape that takes the
+    pacing-bridge path in stream_sync_changes."""
+    keys = rows // 10
+    env = spark.range(rows).select(
+        (F.col("id") % keys).cast("string").alias("key"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) == 0, "REMOVE")
+        .when(F.col("id") < keys, "INSERT")
+        .otherwise("MODIFY")
+        .alias("op"),
+        F.struct(
+            (F.col("id") % keys).alias("k"),
+            F.concat(F.lit("p"), (F.col("id") % keys % 8)).alias("p"),
+            (F.col("id") * 17 % 1000).alias("v"),
+        ).alias("after"),
+        (F.floor(F.col("id") / keys) + 1).alias("seq"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(BATCHES)).alias("_b"),
+    )
+    max_seq = rows // keys
+    for b in range(BATCHES):
+        apply_changes(
+            spark,
+            env.filter(F.col("_b") == b).drop("_b"),
+            path,
+            "k",
+            mode="history",
+            partition_by=["p"],
+        )
+    return max_seq
+
+
+def main_partitioned_bridge() -> None:
+    """The pacing-bridge path of stream_sync_changes (hive-partitioned
+    sources) at 1x/10x/100x retained history: first drain, the
+    re-delivery-free post-compaction drain (the seq offset, unlike a
+    file-source checkpoint, never re-delivers a swap), and the steady
+    tick applying one fresh batch after the legacy->pointer upgrade."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_changes,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="cdf_bridge_probe_")
+    try:
+        for mult in (1, 10, 100):
+            rows = BASE_ROWS * mult
+            src = os.path.join(work, f"pb_src_{mult}x")
+            dst = os.path.join(work, f"pb_dst_{mult}x")
+            ck = os.path.join(work, f"pb_ck_{mult}x")
+            max_seq = _build_partitioned(spark, src, rows)
+
+            t0 = time.perf_counter()
+            stream_sync_changes(
+                spark, src, dst, ck, "k", partition_by=["p"]
+            ).awaitTermination()
+            first = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            compact_history(
+                spark, src, before_seq=max_seq, partition_by=["p"]
+            )
+            cwall = time.perf_counter() - t0
+            assert table_data_dir(src) != src  # legacy->pointer upgrade
+
+            # post-compaction drain: the seq offset sees no new seqs —
+            # the bridge must neither starve nor rewrite the replica
+            import glob
+
+            files_before = sorted(
+                glob.glob(os.path.join(dst, "**", "*.parquet"),
+                          recursive=True)
+            )
+            t0 = time.perf_counter()
+            stream_sync_changes(
+                spark, src, dst, ck, "k", partition_by=["p"]
+            ).awaitTermination()
+            post = time.perf_counter() - t0
+            files_after = sorted(
+                glob.glob(os.path.join(dst, "**", "*.parquet"),
+                          recursive=True)
+            )
+            assert files_before == files_after, "post-compaction rewrite"
+
+            # steady tick: one fresh batch lands in the VERSION DIR the
+            # upgrade created — the starvation case for a pinned
+            # partition-aware content stream; the bridge must apply it
+            keys = rows // 10
+            fresh = spark.range(keys // 10).select(
+                F.col("id").cast("string").alias("key"),
+                F.lit("MODIFY").alias("op"),
+                F.struct(
+                    F.col("id").alias("k"),
+                    F.concat(F.lit("p"), (F.col("id") % 8)).alias("p"),
+                    F.lit(7777).cast("long").alias("v"),
+                ).alias("after"),
+                F.lit(max_seq + 1).alias("seq"),
+            )
+            apply_changes(
+                spark, fresh, src, "k", mode="history", partition_by=["p"]
+            )
+            t0 = time.perf_counter()
+            stream_sync_changes(
+                spark, src, dst, ck, "k", partition_by=["p"]
+            ).awaitTermination()
+            tick = time.perf_counter() - t0
+
+            a = sorted(
+                (r["k"], r["v"])
+                for r in read_warehouse(spark, src).collect()
+            )
+            b = sorted(
+                (r["k"], r["v"])
+                for r in read_warehouse(spark, dst).collect()
+            )
+            assert a == b, f"divergence at {mult}x"
+            assert any(v == 7777 for _, v in b), "post-upgrade batch lost"
+            print(
+                f"{mult:3d}x rows {rows:>9,}: bridge_first {first:6.2f}s "
+                f"compact {cwall:6.2f}s post_compaction_drain {post:6.2f}s "
+                f"post_upgrade_tick {tick:6.2f}s"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main_compose() -> None:
     """``--compose`` (round 9): the WHOLE streaming composition — one
     history warehouse feeding a classified consumer, a seq-gated
@@ -482,6 +618,8 @@ def main_gate_sweep() -> None:
 if __name__ == "__main__":
     if "--stream-compact" in sys.argv:
         main_stream_compact()
+    elif "--partitioned-bridge" in sys.argv:
+        main_partitioned_bridge()
     elif "--gate-sweep" in sys.argv:
         main_gate_sweep()
     elif "--compose" in sys.argv:
