@@ -1390,10 +1390,25 @@ def _swap_into(
     # _swap_into caller holds the table fence; a crash between the flip
     # above and this write only loses THIS version's log line (the
     # pointer itself proves the current version committed, so the
-    # committed set stays sound — see VERSIONS_LOG)
+    # committed set stays sound — see VERSIONS_LOG). Entries whose
+    # fileset the grace-bounded GC already collected are PRUNED on the
+    # way: they are unreadable regardless, and an unpruned log would
+    # grow one line per swap forever — O(commits^2) total rewrite cost
+    # on a table swapped every micro-batch. The log therefore holds
+    # exactly the readable history (retained versions), which is what
+    # VERSION AS OF needs.
     log_path = os.path.join(target_path, VERSIONS_LOG)
     prior_log = fsio.read_text(log_path) or ""
-    fsio.atomic_write_text(log_path, prior_log + ver + "\n")
+    keep_lines = [
+        ln
+        for ln in prior_log.splitlines()
+        if ln.strip()
+        and ln.strip() != ver
+        and os.path.isdir(os.path.join(target_path, ln.strip()))
+    ]
+    fsio.atomic_write_text(
+        log_path, "".join(ln + "\n" for ln in keep_lines) + ver + "\n"
+    )
     _gc_superseded(target_path, ver)
 
 

@@ -468,3 +468,17 @@ def test_version_time_travel_on_the_commit_log(spark, tmp_path, monkeypatch):
         A.read_warehouse_version(spark, wh, v1)
     # and the orphan was collected with everything else
     assert not os.path.exists(orphan)
+
+    # the log self-prunes: collected versions leave it at the next
+    # commit (an unpruned log would grow one line per swap forever),
+    # so it always holds exactly the readable history
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("MODIFY", dict(t1, shares=89), 5)], "tt4"),
+        wh, "id", mode="upsert",
+    )
+    vs3 = A.table_versions(wh)
+    assert len(vs3) == 2  # v1-v3 pruned; v4 listed (collected after
+    assert [v["available"] for v in vs3] == [False, True]  # this append)
+    with pytest.raises(ValueError, match="not a committed version"):
+        A.read_warehouse_version(spark, wh, v1)
