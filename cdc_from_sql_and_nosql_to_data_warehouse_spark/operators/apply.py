@@ -36,6 +36,7 @@ real lakehouse this function body is `MERGE INTO` — semantics identical.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -149,7 +150,7 @@ def table_data_dir(path: str) -> str:
     return os.path.join(path, name)
 
 
-_VERSION_NAME_RE = None  # compiled lazily; see _is_version_name
+_VERSION_NAME_RE = re.compile(r"v_\d{10}_[0-9a-f]{8}\Z")
 
 
 def _is_version_name(name: str) -> bool:
@@ -160,11 +161,6 @@ def _is_version_name(name: str) -> bool:
     files are ``_``-prefixed — so a version-named entry is always the
     engine's own (a committed version, a superseded one awaiting GC,
     or an aborted commit's orphan)."""
-    global _VERSION_NAME_RE
-    if _VERSION_NAME_RE is None:
-        import re
-
-        _VERSION_NAME_RE = re.compile(r"v_\d{10}_[0-9a-f]{8}\Z")
     return _VERSION_NAME_RE.match(name) is not None
 
 
@@ -507,8 +503,14 @@ def refresh_table_schema(spark: SparkSession, path: str):
     reader = spark.read.option("mergeSchema", "true")
     if paths is None:
         schema = reader.parquet(d).schema
-    else:
+    elif paths:
         schema = reader.option("basePath", d).parquet(*paths).schema
+    else:
+        raise FileNotFoundError(
+            f"table {path!r} holds only aborted-commit staging "
+            "(no committed data): the crashed first commit's batch "
+            "must be replayed"
+        )
     _write_table_schema(d, schema)
     return schema
 
@@ -764,6 +766,15 @@ def current_max_seq(spark: SparkSession, path: str) -> str | None:
     return df.agg(F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")).first()[
         "m"
     ]
+
+
+class CompactionHorizonError(ValueError):
+    """A read (time travel or change-feed window) starts below the
+    table's compaction horizon: the versions that would answer it were
+    folded by compact_history and can no longer be reconstructed.
+    Subclasses ValueError for backward compatibility; consumers that
+    can recover structurally (e.g. the pacing bridge's bootstrap
+    re-sync) catch THIS type instead of matching message text."""
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -2092,7 +2103,7 @@ def read_warehouse(
             if horizon is not None and (
                 _canonical_seq_py(as_of_seq) < horizon
             ):
-                raise ValueError(
+                raise CompactionHorizonError(
                     f"as_of_seq {as_of_seq!r} is below the compaction "
                     f"horizon {horizon.lstrip('0') or '0'}: versions "
                     "before it were folded by compact_history and the "
@@ -2211,7 +2222,7 @@ def read_changes(
     if horizon is not None and (
         from_seq is None or _canonical_seq_py(from_seq) < horizon
     ):
-        raise ValueError(
+        raise CompactionHorizonError(
             f"change feed from {from_seq!r} starts below the compaction "
             f"horizon {horizon.lstrip('0') or '0'}: versions before it "
             "were folded by compact_history, so changes in that range "

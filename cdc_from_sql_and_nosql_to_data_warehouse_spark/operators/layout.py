@@ -398,10 +398,12 @@ def _dump_sidecar(path: str, payload: dict) -> None:
         doc["version"] = _STATS_VERSION
         fsio.atomic_write_text(manifest, json.dumps(doc))
         # a format downgrade (e.g. a flat rewrite of a once-partitioned
-        # table) must not strand stale shard files
-        for name in fsio.listdir(shard_dir):
-            fsio.remove(os.path.join(shard_dir, name))
+        # table) must not strand stale shard files; cleanup failures
+        # (an unexpected subdir, permissions) must not fail the dump —
+        # the flat sidecar above is already written and correct
         try:
+            for name in fsio.listdir(shard_dir):
+                fsio.remove(os.path.join(shard_dir, name))
             os.rmdir(shard_dir)
         except OSError:
             pass

@@ -637,36 +637,68 @@ def analyze_tables(
     from ..functions.sql_templates import quote_ident, quote_literal
 
     out: dict[str, AnalyzedTable] = {}
+    def _is_partitioned(name: str) -> bool:
+        rel = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+            name
+        )
+        return not (
+            spark._jsparkSession.sessionState()
+            .catalog()
+            .getTableMetadata(rel)
+            .partitionColumnNames()
+            .isEmpty()
+        )
+
     for name, path in tables.items():
         qname = quote_ident(name)
         # the registered LOCATION must track the pointer-resolved data
         # dir (a swap moves the fileset to a new version dir, which
         # would strand a once-registered location). Re-point WITHOUT a
-        # drop+recreate window: a concurrent SELECT against the name
-        # must never see TABLE_OR_VIEW_NOT_FOUND mid-tick, so an
-        # already-registered name gets ALTER TABLE .. SET LOCATION (the
-        # name stays continuously resolvable; the statistics are
-        # recomputed right after, so nothing durable is lost)
+        # drop+recreate window where possible: a concurrent SELECT
+        # against the name must never see TABLE_OR_VIEW_NOT_FOUND
+        # mid-tick, so an already-registered name gets ALTER TABLE ..
+        # SET LOCATION (the name stays continuously resolvable; the
+        # statistics are recomputed right after, so nothing durable is
+        # lost)
         loc = quote_literal(os.path.abspath(table_data_dir(path)))
-        if spark.catalog.tableExists(name):
-            spark.sql(f"ALTER TABLE {qname} SET LOCATION {loc}")
-            spark.sql(f"REFRESH TABLE {qname}")
-            # SET LOCATION keeps the catalog's recorded schema; when
-            # the table EVOLVED since registration the stale column
-            # set would fail FOR COLUMNS on new columns — only then
-            # pay the drop+recreate window
-            manifest = read_table_schema(path)
-            if manifest is not None and set(
-                manifest.fieldNames()
-            ) != {f.name for f in spark.table(name).schema.fields}:
-                spark.sql(f"DROP TABLE IF EXISTS {qname}")
-                spark.sql(
-                    f"CREATE TABLE {qname} USING parquet LOCATION {loc}"
-                )
-        else:
+
+        def _register() -> None:
             spark.sql(
                 f"CREATE TABLE {qname} USING parquet LOCATION {loc}"
             )
+            if _is_partitioned(name):
+                # CREATE .. LOCATION records the partition COLUMNS but
+                # not the partition ENTRIES — without the repair the
+                # catalog relation reads zero rows
+                spark.sql(f"MSCK REPAIR TABLE {qname}")
+
+        # qname (backtick-quoted) goes to EVERY name-parsing API, not
+        # just the DDL strings — tableExists/spark.table parse their
+        # argument, so a reserved-word or otherwise quoting-dependent
+        # name resolves consistently everywhere
+        if spark.catalog.tableExists(qname):
+            cat_schema = spark.table(qname).schema
+            # SET LOCATION keeps the catalog's recorded schema AND its
+            # per-partition locations; the re-point is only sound when
+            # neither went stale: a PARTITIONED registered table keeps
+            # partition paths under the OLD location (REFRESH does not
+            # re-recover them), and an EVOLVED schema (new columns or
+            # widened types) would serve stale metadata. Those cases
+            # pay the drop+recreate window; the common tick (flat
+            # table, schema unchanged) keeps the name continuously
+            # resolvable.
+            manifest = read_table_schema(path)
+            evolved = manifest is not None and {
+                (f.name, f.dataType) for f in manifest.fields
+            } != {(f.name, f.dataType) for f in cat_schema.fields}
+            if _is_partitioned(name) or evolved:
+                spark.sql(f"DROP TABLE IF EXISTS {qname}")
+                _register()
+            else:
+                spark.sql(f"ALTER TABLE {qname} SET LOCATION {loc}")
+                spark.sql(f"REFRESH TABLE {qname}")
+        else:
+            _register()
         spark.sql(f"ANALYZE TABLE {qname} COMPUTE STATISTICS")
         cols = (columns or {}).get(name) or []
         if cols:

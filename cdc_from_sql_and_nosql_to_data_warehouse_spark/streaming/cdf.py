@@ -42,6 +42,7 @@ from ..operators.apply import (
     DELETED_COL,
     KEY_COL,
     SEQ_COL,
+    CompactionHorizonError,
     _canonical_seq,
     apply_changes,
     read_table_schema,
@@ -376,6 +377,20 @@ def stream_sync_changes(
 
     if _is_hive_partitioned(table_data_dir(source_path)):
         bridge_ck = os.path.join(checkpoint_path, "bridge")
+        offset_file = os.path.join(bridge_ck, "_change_feed_offset")
+        # Migration seam: a consumer that previously ran this source
+        # through the CONTENT path has no bridge offset but does have
+        # the applied-through marker — seed the offset from it so the
+        # switch is a no-op instead of an ungated full re-apply (for
+        # history-mode targets that re-apply would double storage
+        # until the next compaction folds the duplicate version rows).
+        if fsio.read_text(offset_file) is None:
+            legacy_marker = fsio.read_text(
+                os.path.join(checkpoint_path, APPLIED_MAX_MARKER)
+            )
+            if legacy_marker and legacy_marker.strip():
+                fsio.makedirs(bridge_ck)
+                fsio.atomic_write_text(offset_file, legacy_marker.strip())
 
         def _bootstrap_resync() -> None:
             # A compaction folded versions PAST this consumer's seq
@@ -401,9 +416,7 @@ def stream_sync_changes(
                 partition_by=partition_by,
             )
             fsio.makedirs(bridge_ck)
-            fsio.atomic_write_text(
-                os.path.join(bridge_ck, "_change_feed_offset"), cur
-            )
+            fsio.atomic_write_text(offset_file, cur)
 
         def _tick(_batch: DataFrame, _epoch_id: int) -> None:
             # the batch content is never applied — the pacing stream
@@ -416,9 +429,7 @@ def stream_sync_changes(
                     spark, source_path, target_path, bridge_ck, key,
                     mode=mode, partition_by=partition_by,
                 )
-            except ValueError as err:
-                if "compaction horizon" not in str(err):
-                    raise
+            except CompactionHorizonError:
                 _bootstrap_resync()
 
         writer = (

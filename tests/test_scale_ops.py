@@ -686,3 +686,53 @@ def test_cbo_join_reorder_uses_analyzed_stats(spark, tmp_path):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         for t in ("ana3_a", "ana3_b", "ana3_d"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_analyze_tables_repoint_partitioned_and_evolved(spark, tmp_path):
+    """The registration tick's three re-point regimes, each of which a
+    review found (or nearly found) broken:
+    - a reserved-word name must quote consistently in EVERY parsed
+      position (tableExists/spark.table, not just the DDL strings);
+    - a hive-PARTITIONED registered path must recover its partition
+      entries (CREATE .. LOCATION records the columns but reads zero
+      rows without MSCK REPAIR) and must re-recover them when the
+      location moves (SET LOCATION keeps stale partition paths);
+    - a TYPE-widened evolution (same column names) must re-register —
+      a name-set-only comparison would keep the stale int schema."""
+    import shutil
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        refresh_table_schema,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        analyze_tables,
+    )
+
+    flat = str(tmp_path / "flat")
+    spark.range(10).selectExpr("id", "id*2 as v").write.parquet(flat)
+    for _ in (1, 2):  # reserved word, two ticks (create then re-point)
+        out = analyze_tables(spark, {"select": flat})
+        assert out["select"].row_count == 10
+
+    p1 = str(tmp_path / "p1")
+    p2 = str(tmp_path / "p2")
+    spark.range(10).selectExpr(
+        "id", "cast(id % 2 as string) as part"
+    ).write.partitionBy("part").parquet(p1)
+    out = analyze_tables(spark, {"ptab": p1})
+    assert out["ptab"].row_count == 10  # partitions recovered at create
+    spark.range(20).selectExpr(
+        "id", "cast(id % 2 as string) as part"
+    ).write.partitionBy("part").parquet(p2)
+    out = analyze_tables(spark, {"ptab": p2})
+    assert out["ptab"].row_count == 20  # re-point re-recovered them
+
+    t = str(tmp_path / "etab")
+    spark.range(5).selectExpr("cast(id as int) as id").write.parquet(t)
+    out = analyze_tables(spark, {"etab": t})
+    assert out["etab"].row_count == 5
+    shutil.rmtree(t)
+    spark.range(7).selectExpr("cast(id as long) as id").write.parquet(t)
+    refresh_table_schema(spark, t)
+    out = analyze_tables(spark, {"etab": t})
+    assert out["etab"].row_count == 7  # widened type forced re-register
