@@ -1289,3 +1289,75 @@ def test_idempotent_windows_makes_crash_replay_a_noop(spark, tmp_path):
     assert emitted == [(t0["id"], 2)]
     done = _os.listdir(_os.path.join(ck, "_windows_done"))
     assert len(done) == 1  # only the newest window's marker survives
+
+
+def test_stream_classified_changes_partitioned_across_upgrade(
+    spark, tmp_path
+):
+    """The classified streaming feed on a HIVE-PARTITIONED source must
+    keep delivering across the legacy->pointer upgrade a mid-lifecycle
+    compaction performs: the pacing stream is layout-proof by
+    construction (recursiveFileLookup + physical-only schema) and the
+    window read restores partition columns from dir names — this pins
+    the combination, the starvation case for a pinned partition-aware
+    content stream."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        apply_changes, table_data_dir,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_classified_changes,
+    )
+
+    src = str(tmp_path / "pcls_src")
+    ck = str(tmp_path / "pcls_ck")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    t0, t1 = make_trade(0), make_trade(1)
+    apply_changes(
+        spark,
+        feed([("INSERT", t0, 1), ("MODIFY", dict(t0, shares=5), 2),
+              ("INSERT", t1, 3)], "pk1"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    got = []
+
+    def proc(df, frm, to):
+        got.extend(
+            (r["id"], int(r["_seq"]), r["_change_type"], r["ticker"])
+            for r in df.collect()
+        )
+
+    _await(stream_classified_changes(spark, src, ck, proc))
+    assert sorted(got) == sorted(
+        [(t0["id"], 1, "insert", t0["ticker"]),
+         (t0["id"], 2, "update", t0["ticker"]),
+         (t1["id"], 3, "insert", t1["ticker"])]
+    )
+
+    # compaction (folding t0's two versions, horizon = the consumed
+    # offset) upgrades the layout; nothing below the marker may re-emit
+    compact_history(spark, src, before_seq=3, partition_by=["ticker"])
+    assert table_data_dir(src) != src
+    got.clear()
+    _await(stream_classified_changes(spark, src, ck, proc))
+    assert got == []  # fold re-listed, marker gated, no re-emission
+
+    # a post-upgrade append lands in the version dir and is delivered
+    # with its partition column intact
+    apply_changes(
+        spark, feed([("MODIFY", dict(t0, shares=9), 4)], "pk2"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    got.clear()
+    _await(stream_classified_changes(spark, src, ck, proc))
+    assert got == [(t0["id"], 4, "update", t0["ticker"])]
