@@ -269,12 +269,14 @@ def _sync_aggregate_locked(
             # only that key's rows. Prior liveness is classified from
             # that pruned state (the tombstone filter), not from a
             # full-feed read_changes lag.
-            from .apply import latest_per_key
+            from .apply import CompactionHorizonError, latest_per_key
             from .maintenance import read_history_horizon
 
             horizon = read_history_horizon(source_path)
             if horizon is not None and through < horizon:
-                raise ValueError("offset below compaction horizon")
+                raise CompactionHorizonError(
+                    "offset below compaction horizon"
+                )
             # in-range scan: files whose max _seq <= through hold no
             # window rows — with a fresh stats sidecar the scan reads
             # O(new files), not the retained history
@@ -484,6 +486,7 @@ def sync_aggregate_minmax(
         if through is not None:
             try:
                 from .apply import (
+                    CompactionHorizonError,
                     _pruned_table_read,
                     _seq_scoped_read,
                     _seq_stats_canonical,
@@ -493,7 +496,9 @@ def sync_aggregate_minmax(
 
                 horizon = read_history_horizon(source_path)
                 if horizon is not None and through < horizon:
-                    raise ValueError("offset below compaction horizon")
+                    raise CompactionHorizonError(
+                        "offset below compaction horizon"
+                    )
 
                 scoped = _seq_scoped_read(spark, source_path, ">", through)
                 versions_new = (

@@ -637,17 +637,21 @@ def analyze_tables(
     from ..functions.sql_templates import quote_ident, quote_literal
 
     out: dict[str, AnalyzedTable] = {}
-    def _is_partitioned(name: str) -> bool:
-        rel = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.TableIdentifier(
-            name
+    def _is_partitioned(qname: str) -> bool:
+        # public Catalog API (no py4j internals): partition columns of
+        # the registered relation
+        return any(
+            c.isPartition for c in spark.catalog.listColumns(qname)
         )
-        return not (
-            spark._jsparkSession.sessionState()
-            .catalog()
-            .getTableMetadata(rel)
-            .partitionColumnNames()
-            .isEmpty()
-        )
+
+    def _registered_location(qname: str) -> str | None:
+        for row in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {qname}"
+        ).collect():
+            if row["col_name"] == "Location":
+                uri = row["data_type"]
+                return uri[len("file:"):] if uri.startswith("file:") else uri
+        return None
 
     for name, path in tables.items():
         qname = quote_ident(name)
@@ -656,46 +660,51 @@ def analyze_tables(
         # would strand a once-registered location). Re-point WITHOUT a
         # drop+recreate window where possible: a concurrent SELECT
         # against the name must never see TABLE_OR_VIEW_NOT_FOUND
-        # mid-tick, so an already-registered name gets ALTER TABLE ..
-        # SET LOCATION (the name stays continuously resolvable; the
-        # statistics are recomputed right after, so nothing durable is
-        # lost)
-        loc = quote_literal(os.path.abspath(table_data_dir(path)))
+        # mid-tick, so the steady-state tick never drops the table; the
+        # statistics are recomputed right after any re-registration, so
+        # nothing durable is lost.
+        abs_loc = os.path.abspath(table_data_dir(path))
+        loc = quote_literal(abs_loc)
 
         def _register() -> None:
             spark.sql(
                 f"CREATE TABLE {qname} USING parquet LOCATION {loc}"
             )
-            if _is_partitioned(name):
+            if _is_partitioned(qname):
                 # CREATE .. LOCATION records the partition COLUMNS but
                 # not the partition ENTRIES — without the repair the
                 # catalog relation reads zero rows
                 spark.sql(f"MSCK REPAIR TABLE {qname}")
 
         # qname (backtick-quoted) goes to EVERY name-parsing API, not
-        # just the DDL strings — tableExists/spark.table parse their
-        # argument, so a reserved-word or otherwise quoting-dependent
-        # name resolves consistently everywhere
+        # just the DDL strings — tableExists/spark.table/listColumns
+        # parse their argument, so a reserved-word or otherwise
+        # quoting-dependent name resolves consistently everywhere
         if spark.catalog.tableExists(qname):
             cat_schema = spark.table(qname).schema
-            # SET LOCATION keeps the catalog's recorded schema AND its
-            # per-partition locations; the re-point is only sound when
-            # neither went stale: a PARTITIONED registered table keeps
-            # partition paths under the OLD location (REFRESH does not
-            # re-recover them), and an EVOLVED schema (new columns or
-            # widened types) would serve stale metadata. Those cases
-            # pay the drop+recreate window; the common tick (flat
-            # table, schema unchanged) keeps the name continuously
-            # resolvable.
             manifest = read_table_schema(path)
             evolved = manifest is not None and {
                 (f.name, f.dataType) for f in manifest.fields
             } != {(f.name, f.dataType) for f in cat_schema.fields}
-            if _is_partitioned(name) or evolved:
+            moved = _registered_location(qname) != abs_loc
+            if evolved or (moved and _is_partitioned(qname)):
+                # an EVOLVED schema (new columns or widened types)
+                # would serve stale metadata, and a MOVED partitioned
+                # table keeps its per-partition paths under the OLD
+                # location (SET LOCATION + REFRESH re-recovers
+                # neither) — only these pay the drop+recreate window
                 spark.sql(f"DROP TABLE IF EXISTS {qname}")
                 _register()
-            else:
+            elif moved:
                 spark.sql(f"ALTER TABLE {qname} SET LOCATION {loc}")
+                spark.sql(f"REFRESH TABLE {qname}")
+            elif _is_partitioned(qname):
+                # unchanged partitioned location: blind appends may
+                # have created NEW partition dirs since the last tick —
+                # pick them up without any resolution gap
+                spark.sql(f"MSCK REPAIR TABLE {qname}")
+                spark.sql(f"REFRESH TABLE {qname}")
+            else:
                 spark.sql(f"REFRESH TABLE {qname}")
         else:
             _register()

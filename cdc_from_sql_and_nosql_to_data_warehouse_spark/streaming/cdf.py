@@ -446,6 +446,19 @@ def stream_sync_changes(
         return writer.start()
 
     marker = os.path.join(checkpoint_path, APPLIED_MAX_MARKER)
+    # Reverse-migration seam (the mirror of the bridge's marker seed):
+    # a source consumed through the BRIDGE that is later compacted back
+    # to a flat layout takes this content path with no applied-through
+    # marker — the fresh file source would then re-deliver the whole
+    # table UNGATED. Seed the marker from the bridge's seq offset so
+    # the gate engages from the first trigger.
+    if fsio.read_text(marker) is None:
+        bridge_offset = fsio.read_text(
+            os.path.join(checkpoint_path, "bridge", "_change_feed_offset")
+        )
+        if bridge_offset and bridge_offset.strip():
+            fsio.makedirs(checkpoint_path)
+            fsio.atomic_write_text(marker, bridge_offset.strip())
 
     def _read_marker() -> str | None:
         raw = fsio.read_text(marker)

@@ -710,29 +710,42 @@ def test_analyze_tables_repoint_partitioned_and_evolved(spark, tmp_path):
 
     flat = str(tmp_path / "flat")
     spark.range(10).selectExpr("id", "id*2 as v").write.parquet(flat)
-    for _ in (1, 2):  # reserved word, two ticks (create then re-point)
-        out = analyze_tables(spark, {"select": flat})
-        assert out["select"].row_count == 10
+    try:
+        for _ in (1, 2):  # reserved word, two ticks (create, re-point)
+            out = analyze_tables(spark, {"select": flat})
+            assert out["select"].row_count == 10
 
-    p1 = str(tmp_path / "p1")
-    p2 = str(tmp_path / "p2")
-    spark.range(10).selectExpr(
-        "id", "cast(id % 2 as string) as part"
-    ).write.partitionBy("part").parquet(p1)
-    out = analyze_tables(spark, {"ptab": p1})
-    assert out["ptab"].row_count == 10  # partitions recovered at create
-    spark.range(20).selectExpr(
-        "id", "cast(id % 2 as string) as part"
-    ).write.partitionBy("part").parquet(p2)
-    out = analyze_tables(spark, {"ptab": p2})
-    assert out["ptab"].row_count == 20  # re-point re-recovered them
+        p1 = str(tmp_path / "p1")
+        p2 = str(tmp_path / "p2")
+        spark.range(10).selectExpr(
+            "id", "concat('s', id % 2) as part"
+        ).write.partitionBy("part").parquet(p1)
+        out = analyze_tables(spark, {"ptab": p1})
+        assert out["ptab"].row_count == 10  # recovered at create
+        # a blind append into the SAME location adds a new partition
+        # dir; the steady tick must pick it up with NO drop window
+        spark.range(100, 105).selectExpr(
+            "id", "cast('x' as string) as part"
+        ).write.mode("append").partitionBy("part").parquet(p1)
+        out = analyze_tables(spark, {"ptab": p1})
+        assert out["ptab"].row_count == 15  # MSCK-only steady tick
+        spark.range(20).selectExpr(
+            "id", "concat('s', id % 2) as part"
+        ).write.partitionBy("part").parquet(p2)
+        out = analyze_tables(spark, {"ptab": p2})
+        assert out["ptab"].row_count == 20  # re-point re-recovered
 
-    t = str(tmp_path / "etab")
-    spark.range(5).selectExpr("cast(id as int) as id").write.parquet(t)
-    out = analyze_tables(spark, {"etab": t})
-    assert out["etab"].row_count == 5
-    shutil.rmtree(t)
-    spark.range(7).selectExpr("cast(id as long) as id").write.parquet(t)
-    refresh_table_schema(spark, t)
-    out = analyze_tables(spark, {"etab": t})
-    assert out["etab"].row_count == 7  # widened type forced re-register
+        t = str(tmp_path / "etab")
+        spark.range(5).selectExpr("cast(id as int) as id").write.parquet(t)
+        out = analyze_tables(spark, {"etab": t})
+        assert out["etab"].row_count == 5
+        shutil.rmtree(t)
+        spark.range(7).selectExpr("cast(id as long) as id").write.parquet(t)
+        refresh_table_schema(spark, t)
+        out = analyze_tables(spark, {"etab": t})
+        assert out["etab"].row_count == 7  # widened type re-registered
+    finally:
+        # the session is module-scoped: leaked registrations would
+        # dangle once tmp_path is reclaimed
+        for n in ("`select`", "ptab", "etab"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
