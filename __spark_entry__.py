@@ -30,8 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Stable registration (source) order — any sampling policy over the
-    registry belongs to the harness, not this module.
+    Certification-priority export order (see
+    plans/registry.py:_EXPORT_PRIORITY): the stateful/streaming CDC
+    certificates, the LLM-pipeline flagships, and a representative
+    analytics anchor set first — all oracle-backed — then every
+    remaining row in stable registration order. The ordering is a
+    fixed source list, independent of verification history.
     """
     return ordered_queries()
 
