@@ -1,10 +1,14 @@
 """Pins the registry export contract.
 
-The exported ``queries()`` ordering is stable registration (source)
-order — a plain insertion-ordered dict, independent of any external
-verification history. Sampling policy over the registry belongs to the
-harness; correctness of every entry is guaranteed locally by
-tests/test_oracle_parity.py.
+The exported ``queries()`` ordering is CERTIFICATION PRIORITY (see
+plans/registry.py:_EXPORT_PRIORITY): a fixed source-level block of the
+rows whose independent certification is worth the most — the
+stateful/streaming CDC certificates, the LLM-pipeline flagships, and a
+representative analytics anchor set, all oracle-backed — followed by
+every remaining row in stable registration order. The ordering is
+independent of any verification history (a failing row cannot migrate
+out of the priority block), nothing is dropped by it, and correctness
+of every entry is guaranteed locally by tests/test_oracle_parity.py.
 """
 
 from __future__ import annotations
@@ -14,11 +18,32 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans import (
     QUERIES,
     ordered_queries,
 )
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.plans.registry import (
+    _EXPORT_PRIORITY,
+)
 
 
-def test_ordering_is_stable_registration_order():
-    assert list(ordered_queries()) == list(QUERIES)
-    assert set(ordered_queries()) == set(QUERIES)
+def test_ordering_is_priority_block_then_registration_order():
+    out = list(ordered_queries())
+    # same set: the export neither drops nor invents rows
+    assert set(out) == set(QUERIES)
+    # the priority block leads, in its declared order
+    assert out[: len(_EXPORT_PRIORITY)] == _EXPORT_PRIORITY
+    # the remainder keeps stable registration order
+    rest = [n for n in QUERIES if n not in set(_EXPORT_PRIORITY)]
+    assert out[len(_EXPORT_PRIORITY):] == rest
+
+
+def test_priority_block_is_sound():
+    # every priority name exists (a retired row must leave the list)...
+    missing = [n for n in _EXPORT_PRIORITY if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(_EXPORT_PRIORITY)) == len(_EXPORT_PRIORITY)
+    # ...and every priority row is oracle-backed: the block exists to
+    # put the strongest (value-hash) check on the most valuable rows,
+    # so a rows-only query in it would waste a certification slot
+    unbacked = [n for n in _EXPORT_PRIORITY if n not in ORACLES]
+    assert not unbacked, unbacked
 
 
 def test_registry_within_size_budget():
