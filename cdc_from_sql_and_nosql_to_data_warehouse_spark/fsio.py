@@ -158,6 +158,45 @@ def remove_tree(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def publish_exclusive(path: str, text: str) -> bool:
+    """Atomically publish COMPLETE content at ``path`` iff it does not
+    already exist — the CAS ``create_exclusive`` provides, without its
+    torn-read window (there the content lands after the create, so a
+    concurrent reader can catch an empty file; lock readers tolerate
+    that, log readers must not). POSIX: write a hidden uniquely-named
+    sibling, then ``os.link`` it to the target — the link is the atomic
+    claim, and the content is complete before it. Object store: one
+    conditional PUT (``If-None-Match: *``) carries content and claim in
+    a single request, exactly like ``create_exclusive``'s mapping.
+    Returns False when the path already exists (CAS lost)."""
+    import uuid
+
+    tmp = os.path.join(
+        os.path.dirname(path),
+        f".pub.{os.getpid()}.{uuid.uuid4().hex[:6]}",
+    )
+    with open(tmp, "w") as f:
+        f.write(text)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def isdir(path: str) -> bool:
+    """True when ``path`` exists as a directory. Object-store mapping:
+    LIST with ``prefix=path/`` and ``max-keys=1`` (directories are
+    prefixes — a non-empty prefix IS the directory existing).
+    Coordination-plane existence checks (commit-log pruning, version
+    availability for ``VERSION AS OF``) route here so an object-store
+    port swaps one seam; data-plane walks stay with Spark/os.walk as
+    the module doc says."""
+    return os.path.isdir(path)
+
+
 def mtime(path: str) -> float | None:
     """Last-modified time of a control file/dir, or None when it does
     not exist. Object-store mapping: the object's Last-Modified header

@@ -1,0 +1,331 @@
+"""Commit-recorded fileset manifest: plan reads without LISTing.
+
+A version-pointer commit used to record only *which directory* holds
+the table's fileset (``apply._swap_into``); every cold read then paid
+Spark's recursive file listing of that directory — O(files) LIST calls
+per table per read on an object store, exactly the cost a lakehouse
+transaction log exists to kill (Delta/Iceberg record add-files per
+commit and plan from the manifest). This module records the fileset
+itself, and it does so in the ONE manifest format Spark's batch
+reader already plans from natively with zero storage calls per data
+file: the Structured Streaming file-sink commit log
+(``_spark_metadata/``, read by ``MetadataLogFileIndex``).
+
+Why this format and not a private one: a ``_spark_metadata`` log in a
+directory makes every plain ``spark.read.parquet(dir)`` — batch or
+stream — resolve the fileset from the log instead of walking the
+directory (file sizes and mtimes are in the log entries, so not even a
+per-file HEAD is issued), and files present on disk but absent from
+the log are INVISIBLE. That second property is the commit semantics
+the pointer layout wants: an append attempt that crashed mid-way
+leaves unlogged junk no reader ever plans over, and the at-least-once
+replay that follows is thereby exactly-once in effect. It is the same
+mechanism Spark's own exactly-once file sink rides, applied to the
+engine's commit protocol.
+
+Layout (inside each version dir — version dirs never move, so the
+absolute URIs the format requires stay valid for the dir's lifetime):
+
+    v_0000000001_ab12cd34/
+      _spark_metadata/0            <- base fileset (the swap commit)
+      _spark_metadata/1            <- one append batch's adds
+      ...
+      _spark_metadata/9.compact    <- every 10th: full retained union
+      part-*.parquet, hive dirs, sidecars...
+
+Commit points:
+- ``write_base`` at ``_swap_into`` staging time (before the pointer
+  flip), from a walk of the files the swap just wrote — O(new files).
+- ``append_batch`` after a blind append's files are moved into place:
+  publishing the batch file IS the append's commit. The batch id is
+  claimed by compare-and-swap (``fsio.publish_exclusive``), so
+  concurrent append-scope writers serialize on ids without locking;
+  adds are commutative, so the id order carries no semantics.
+- Writers that rewrite files in place without knowing the delta
+  (dynamic partition overwrite, in-place partitioned compaction) call
+  ``invalidate`` BEFORE writing: readers fall back to the directory
+  LIST (always correct, the pre-manifest behavior) until the next
+  whole-table swap records a fresh base.
+
+Reference tie: the reference's warehouse handoff lives on S3 objects
+written once and never listed twice (the processed-prefix move,
+``load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py:96-112``);
+a self-hosted engine owns the fileset index explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .. import fsio
+
+# Spark's streaming file-sink log directory and entry version — public,
+# stable format (FileStreamSinkLog): first line "v1", then one
+# SinkFileStatus JSON per line.
+LOG_DIR = "_spark_metadata"
+_LOG_VERSION = "v1"
+
+# Compact cadence: every 10th batch id is written as ``<id>.compact``
+# holding the FULL retained fileset, matching the format's default
+# compact interval so Spark's reader resolves it exactly (latest
+# compact + subsequent batches). Bounds the per-read log cost to
+# ~10 batch files between swaps regardless of append count.
+COMPACT_INTERVAL = 10
+
+# data_dir -> (freshness key over the log dir listing, relpaths).
+# Batch files are immutable once published (CAS create), so the sorted
+# name tuple is a sound freshness key; invalidate() empties the
+# listing, which changes the key.
+_FILESET_CACHE: dict = {}
+
+
+def _log_dir(data_dir: str) -> str:
+    return os.path.join(data_dir, LOG_DIR)
+
+
+def has_log(data_dir: str) -> bool:
+    """True when the directory carries a fileset log (and therefore
+    every reader — Spark's and the engine's — plans from it, and every
+    engine append must maintain it)."""
+    return bool(_batch_files(data_dir))
+
+
+def is_data_file(name: str) -> bool:
+    """The data-file filter shared with Spark's listing semantics:
+    parquet files not hidden by a ``_``/``.`` prefix."""
+    return name.endswith(".parquet") and not name.startswith(("_", "."))
+
+
+def walk_data_files(root: str) -> list[str]:
+    """Relative paths of every data file under ``root``, skipping
+    hidden (``_``/``.``-prefixed) directories the way Spark's listing
+    does — a staged append or ``_temporary`` task dir must never be
+    mistaken for committed data."""
+    out: list[str] = []
+    root = os.path.abspath(root)
+    for cur, dirs, names in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if is_data_file(n):
+                out.append(os.path.relpath(os.path.join(cur, n), root))
+    return sorted(out)
+
+
+def _batch_files(data_dir: str) -> list[str]:
+    """Log batch file names, Spark-filtered: a name is a batch iff it
+    parses as ``<int>`` or ``<int>.compact`` (tmp siblings and junk are
+    ignored, as Spark's own batchFilesFilter ignores them)."""
+    out = []
+    for name in fsio.listdir(_log_dir(data_dir)):
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        if base.isdigit():
+            out.append(name)
+    return out
+
+
+def _batch_id(name: str) -> int:
+    return int(name[: -len(".compact")] if name.endswith(".compact") else name)
+
+
+def _entry_lines(data_dir: str, name: str) -> list[dict]:
+    raw = fsio.read_text(os.path.join(_log_dir(data_dir), name))
+    if raw is None:
+        return []
+    lines = raw.splitlines()
+    if not lines or lines[0].strip() != _LOG_VERSION:
+        raise ValueError(
+            f"unrecognized fileset-log version in {name!r} under "
+            f"{_log_dir(data_dir)!r} (expected {_LOG_VERSION!r})"
+        )
+    out = []
+    for ln in lines[1:]:
+        ln = ln.strip()
+        if ln:
+            out.append(json.loads(ln))
+    return out
+
+
+def read_fileset(data_dir: str) -> list[str] | None:
+    """The committed fileset as sorted relative paths, or None when the
+    directory carries no log (reader falls back to the LIST walk).
+    Resolution matches Spark's: the latest ``.compact`` holds the full
+    set, later plain batches add to it. One small-file read per
+    retained batch — O(commits since the last swap), never O(data
+    files) storage calls. Memoized per log-dir listing (batch files
+    are immutable once published)."""
+    names = _batch_files(data_dir)
+    if not names:
+        _FILESET_CACHE.pop(data_dir, None)
+        return None
+    key = tuple(sorted(names))
+    hit = _FILESET_CACHE.get(data_dir)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    compacts = [n for n in names if n.endswith(".compact")]
+    start = max((_batch_id(n) for n in compacts), default=-1)
+    read = [n for n in compacts if _batch_id(n) == start] + sorted(
+        (n for n in names if not n.endswith(".compact") and _batch_id(n) > start),
+        key=_batch_id,
+    )
+    resolved = _resolved_entries(data_dir, read)
+    if resolved is None:
+        return None
+    rels = sorted(resolved)
+    _FILESET_CACHE[data_dir] = (key, rels)
+    return rels
+
+
+def _resolved_entries(
+    data_dir: str, batch_names: list[str]
+) -> dict[str, dict] | None:
+    """{relpath: its latest add-entry dict} after replaying
+    ``batch_names`` in order, or None when any entry carries a FOREIGN
+    absolute URI: the table was relocated wholesale (engine version
+    dirs never move, so this is an external copy). The engine then
+    falls back to the LIST walk rather than serving a half-matched
+    fileset; Spark's own reader would still follow the stale absolute
+    URIs, so a relocated table must drop or rewrite its log
+    (``invalidate`` + re-swap). Accepts the dir under either its
+    as-given or symlink-resolved spelling so a caller's path spelling
+    cannot silently empty the fileset."""
+    prefixes = {
+        "file://" + os.path.abspath(data_dir) + os.sep,
+        "file://" + os.path.realpath(data_dir) + os.sep,
+    }
+    out: dict[str, dict] = {}
+    for name in batch_names:
+        for entry in _entry_lines(data_dir, name):
+            p = entry.get("path", "")
+            rel = next(
+                (p[len(pre):] for pre in prefixes if p.startswith(pre)),
+                None,
+            )
+            if rel is None:
+                return None
+            if entry.get("action") == "delete":
+                out.pop(rel, None)  # not emitted by this engine
+            else:
+                out[rel] = entry
+    return out
+
+
+def _entry_for(data_dir: str, rel: str) -> dict:
+    """One SinkFileStatus add-entry for a just-written/moved file
+    (statted now — one fresh local call per BATCH file, never per
+    table file; compaction carries prior entries instead)."""
+    full = os.path.join(os.path.abspath(data_dir), rel)
+    st = os.stat(full)
+    return {
+        "path": "file://" + full,
+        "size": st.st_size,
+        "isDir": False,
+        "modificationTime": int(st.st_mtime * 1000),
+        "blockReplication": 1,
+        "blockSize": 33554432,
+        "action": "add",
+    }
+
+
+def _text_of(entries: list[dict]) -> str:
+    return "\n".join(
+        [_LOG_VERSION]
+        + [json.dumps(e, separators=(",", ":")) for e in entries]
+    ) + "\n"
+
+
+def _entries_text(data_dir: str, rels: list[str]) -> str:
+    """SinkFileStatus lines for ``rels`` (statted now — see
+    ``_entry_for``)."""
+    return _text_of([_entry_for(data_dir, rel) for rel in sorted(rels)])
+
+
+def write_base(data_dir: str, rels: list[str] | None = None) -> None:
+    """Record the directory's full fileset as log batch 0 — the swap
+    commit's manifest, written into the staged version dir BEFORE the
+    pointer flip so a served version is never manifest-less. ``rels``
+    defaults to a walk of the just-written directory (O(new files),
+    the same order of work the write itself performed)."""
+    if rels is None:
+        rels = walk_data_files(data_dir)
+    d = _log_dir(data_dir)
+    fsio.makedirs(d)
+    fsio.atomic_write_text(os.path.join(d, "0"), _entries_text(data_dir, rels))
+    _FILESET_CACHE.pop(data_dir, None)
+
+
+def append_batch(data_dir: str, rels: list[str]) -> int | None:
+    """Commit one append's files: publish the next batch id by CAS
+    (losers retry the next id — concurrent append-scope writers
+    serialize on ids with no lock), compacting the full fileset every
+    ``COMPACT_INTERVAL``-th id. Publishing the batch file IS the
+    commit: a crash before it leaves the moved files invisible
+    (unlogged), and the batch's at-least-once replay lands them under
+    fresh names — exactly-once in effect. Returns the claimed id, or
+    None when there is nothing to commit OR no log to extend.
+
+    Never CREATES a log: if the log dir is empty — ``invalidate`` ran
+    concurrently (an in-place rewrite by a writer that does not
+    conflict with lockless appenders, e.g. a partitioned compaction
+    racing a bronze ingest) — publishing a lone batch 0 would make
+    that fresh log THE fileset and hide every previously committed
+    file. Returning None instead leaves the dir log-less: the moved
+    files and all prior data stay visible through the LIST fallback,
+    which is exactly the invalidation contract.
+
+    Compaction carries the PRIOR batches' entry lines forward instead
+    of re-statting the union (the per-append cost stays O(batch), one
+    stat per NEW file only), and refuses to compact when the prior
+    entries are unreadable/foreign (``_resolved_entries`` None): a
+    blind compact would replace a merely-unusable log with an actively
+    WRONG one that hides the pre-relocation files."""
+    if not rels:
+        return None
+    d = _log_dir(data_dir)
+    while True:
+        names = _batch_files(data_dir)
+        if not names:
+            _FILESET_CACHE.pop(data_dir, None)
+            return None  # invalidated concurrently: stay log-less
+        nid = max(_batch_id(n) for n in names) + 1
+        compact = (nid + 1) % COMPACT_INTERVAL == 0
+        prior: dict[str, dict] | None = None
+        if compact:
+            compacts = [n for n in names if n.endswith(".compact")]
+            start = max((_batch_id(n) for n in compacts), default=-1)
+            read = [n for n in compacts if _batch_id(n) == start] + sorted(
+                (
+                    n
+                    for n in names
+                    if not n.endswith(".compact") and _batch_id(n) > start
+                ),
+                key=_batch_id,
+            )
+            prior = _resolved_entries(data_dir, read)
+        if compact and prior is not None:
+            new = set(rels)
+            entries = [
+                prior[rel] for rel in sorted(prior.keys() - new)
+            ] + [_entry_for(data_dir, rel) for rel in sorted(new)]
+            text = _text_of(entries)
+            target = os.path.join(d, f"{nid}.compact")
+        else:
+            text = _entries_text(data_dir, rels)
+            target = os.path.join(d, str(nid))
+        if fsio.publish_exclusive(target, text):
+            _FILESET_CACHE.pop(data_dir, None)
+            return nid
+        # CAS lost: another appender claimed this id — re-derive
+
+
+def invalidate(data_dir: str) -> None:
+    """Drop the fileset log BEFORE a rewrite that cannot express its
+    delta (dynamic partition overwrite, in-place partitioned
+    compaction): readers fall back to the directory LIST — always
+    correct, the pre-manifest behavior — until the next whole-table
+    swap records a fresh base. Ordering matters: invalidating first
+    makes a crash mid-rewrite leave a log-less (listable) directory,
+    never a stale log that hides the rewrite's files or resurrects the
+    replaced ones. Idempotent."""
+    fsio.remove_tree(_log_dir(data_dir))
+    _FILESET_CACHE.pop(data_dir, None)
