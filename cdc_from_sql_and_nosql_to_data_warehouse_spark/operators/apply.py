@@ -128,11 +128,22 @@ VERSIONS_LOG = "_versions"
 # Superseded version dirs (and, after an upgrade commit, legacy root
 # files) younger than this many seconds survive the commit-time GC so
 # in-flight readers that resolved the old pointer can finish their
-# scan. The default 0 matches the pre-pointer behavior (the old dir was
-# removed right after the rename); production object-store deployments
-# should set it above the longest-running read (Delta's VACUUM
-# retention knob, in miniature).
-VERSION_GC_GRACE_SECONDS: float = 0.0
+# scan. Readers PIN a version at plan time (``read_warehouse`` /
+# ``read_changes`` resolve the pointer exactly once and plan against
+# that version dir), so this grace is what makes the pin SAFE: a
+# commit that lands between a reader's plan and its collect must not
+# delete the planned fileset out from under it. The default (10
+# minutes) covers any scan the swap-maintained table shapes run —
+# whole-table swaps are the small/medium-table commit path; huge
+# tables take appends/partition overwrites, which never GC — and is
+# deliberately above one maintenance cadence. The retention trade
+# (Delta's VACUUM knob, in miniature): a table swapped every T seconds
+# retains ~grace/T superseded copies, so a swap-per-micro-batch table
+# pays grace/trigger x its (small) size in storage; raise the grace
+# for longer time travel (``read_warehouse_version``), lower it — or
+# zero it, the pre-round-10 behavior — only where no reader can
+# outlive a commit.
+VERSION_GC_GRACE_SECONDS: float = 600.0
 
 
 def table_data_dir(path: str) -> str:
@@ -273,9 +284,9 @@ def read_warehouse_version(
     of a past COMMITTED version. The name must appear in the commit
     log (an aborted commit's orphan staging is never readable — the
     log is what distinguishes them on disk) and its fileset must still
-    exist (set ``VERSION_GC_GRACE_SECONDS`` above the travel horizon;
-    at the default 0 superseded versions are collected at the next
-    commit). A version dir is a complete table fileset — the schema
+    exist (superseded versions are retained ``VERSION_GC_GRACE_SECONDS``
+    — default 10 minutes — past supersession; set it above the travel
+    horizon you need). A version dir is a complete table fileset — the schema
     manifest and sidecar markers are carried into it at commit time —
     so this is the ordinary ``read_warehouse`` reader pointed at that
     dir; all its kwargs (``with_seq``, ``as_of_seq``, ``predicates``)
@@ -346,6 +357,9 @@ def _drop_path_caches(data_dir: str) -> None:
     without this, every swap would strand one parsed-sidecar copy in
     the process-lifetime caches."""
     _SEQ_CANONICAL_CACHE.pop(data_dir, None)
+    from . import fileset
+
+    fileset._FILESET_CACHE.pop(data_dir, None)
     try:
         from .layout import _SIDECAR_CACHE
 
@@ -821,23 +835,32 @@ def _lock_path(target_path: str) -> str:
     return target_path.rstrip("/") + _LOCK_SUFFIX
 
 
-def break_table_lock(target_path: str) -> bool:
-    """Manually remove EVERY writer lock of a table — the whole-table
-    fence, all partition/append locks under ``{table}__plocks/``, and
-    the schema-stamp mutex — the operator escape hatch for locks
-    stranded by a writer that died on ANOTHER host (same-host dead
-    writers are detected and adopted automatically by pid liveness;
-    cross-host, opt into the lease instead). Breaking a lock whose
-    owner is alive re-opens the lost-commit window the fences exist to
-    close; the caller owns that judgment, as with any lease-break.
-    Returns True if anything was removed."""
+def break_table_lock(target_path: str, all_locks: bool = False) -> bool:
+    """Manually remove stranded writer locks of a table: the
+    whole-table fence and the schema-stamp mutex unconditionally (they
+    are what the operator is pointing the tool at — e.g. a FENCE left
+    by a writer that died on another host; breaking a live owner's
+    fence is the documented judgment call), plus any partition/append
+    lock under ``{table}__plocks/`` whose owner PROVABLY fails the
+    liveness check (``_adopt_dead_lock``'s TOCTOU-free dance). A
+    foreign-host or live-local partition lock survives the default
+    break — wiping those alongside one dead fence would re-open the
+    lost-commit window for healthy CONCURRENT writers — so a
+    partition lock stranded by a death on a host this one cannot
+    probe needs the explicit ``all_locks=True`` wipe (or the opt-in
+    ``LOCK_LEASE_SECONDS`` for automatic recovery). Returns True if
+    anything was removed."""
     removed = fsio.remove(_lock_path(target_path))
     removed = fsio.remove(
         target_path.rstrip("/") + _STAMP_SUFFIX
     ) or removed
     d = _plocks_dir(target_path)
     for name in fsio.listdir(d):
-        removed = fsio.remove(os.path.join(d, name)) or removed
+        p = os.path.join(d, name)
+        if all_locks:
+            removed = fsio.remove(p) or removed
+        elif _lock_owner_is_dead(p):
+            removed = (_adopt_dead_lock(p) == "freed") or removed
     return removed
 
 
@@ -965,9 +988,11 @@ def _acquire_lock_file(lock: str, what: str) -> None:
     payload = _owner_payload()
     conflict = ConcurrentWriteError(
         f"{what} is locked by another writer ({lock}); if its owner "
-        "is dead on another host, break_table_lock() releases every "
-        "lock class of the table, or opt into the lease "
-        "(LOCK_LEASE_SECONDS) for automatic recovery"
+        "is dead on another host, break_table_lock() frees the fence, "
+        "the stamp mutex, and provably-dead partition locks "
+        "(all_locks=True for foreign-host partition locks this host "
+        "cannot probe), or opt into the lease (LOCK_LEASE_SECONDS) "
+        "for automatic recovery"
     )
     for _ in range(3):
         if fsio.create_exclusive(lock, payload):
@@ -1041,8 +1066,10 @@ def _write_lock(target_path: str):
 # check with NO waiting: table scope acquires the table lock, then
 # aborts if any live plock exists; partition/append scope creates its
 # plocks, then aborts if the table lock has a live owner. In the
-# overlap window both may abort (mutual abort — callers retry), but
-# both can never proceed, and with no blocking there is no deadlock.
+# overlap window both may abort (mutual abort — the engine's OCC
+# layer, ``_retrying_mutation_scope``, re-acquires with jittered
+# backoff), but both can never proceed, and with no blocking there is
+# no deadlock.
 # Dead owners are detected by the same (pid, start-time) liveness the
 # table fence uses and cleaned through the same TOCTOU-free rename
 # dance. Commit-time VALIDATION (true lakehouse OCC) is deliberately
@@ -1159,6 +1186,73 @@ def _mutation_scope(
         finally:
             for lock in held:
                 fsio.remove(lock)
+
+    return _cm()
+
+
+# --- Engine-side optimistic retry over the scoped fences -------------------
+#
+# The scopes above FAIL FAST at acquisition (never block, never
+# deadlock). Round 9 left conflict retry to the caller; this layer
+# moves it into the engine — the plain-parquet equivalent of lakehouse
+# optimistic concurrency: a writer that loses the race re-acquires and
+# RE-RUNS its mutation against the new current state (every mutation
+# body reads the table INSIDE its scope, so re-running IS the rebase —
+# the max-seq merge, the fold, and the vacuum are all convergent over
+# whatever state they find). Only ACQUISITION failures retry: a
+# ConcurrentWriteError raised after the body started (e.g. the stamp
+# mutex timing out post-write) propagates, because re-running a
+# partially-applied body is exactly the double-apply the fences exist
+# to prevent. ConcurrentWriteError therefore reaches callers only for
+# conflicts that persisted through the full backoff budget — genuinely
+# long-held fences (a large compaction) or a stuck foreign writer.
+
+OCC_MAX_ATTEMPTS = 8
+OCC_BACKOFF_BASE_SECONDS = 0.05
+OCC_BACKOFF_CAP_SECONDS = 2.0
+
+
+def _retrying_mutation_scope(
+    target_path: str,
+    kind: str = "table",
+    partition_by: list[str] | None = None,
+    partitions: list[tuple] | None = None,
+):
+    """``_mutation_scope`` with engine-side bounded-backoff retry of
+    the ACQUISITION (see the section comment above). Jittered
+    exponential backoff so two symmetric losers (the partition/table
+    mutual-abort window) don't re-collide in lockstep."""
+    import contextlib
+    import random
+    import sys
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        delay = OCC_BACKOFF_BASE_SECONDS
+        attempt = 0
+        while True:
+            attempt += 1
+            scope = _mutation_scope(
+                target_path, kind, partition_by, partitions
+            )
+            try:
+                scope.__enter__()
+            except ConcurrentWriteError:
+                if attempt >= OCC_MAX_ATTEMPTS:
+                    raise
+                time.sleep(delay * (1.0 + random.random()))
+                delay = min(delay * 2.0, OCC_BACKOFF_CAP_SECONDS)
+                continue
+            try:
+                yield
+            except BaseException:
+                if not scope.__exit__(*sys.exc_info()):
+                    raise
+                return
+            else:
+                scope.__exit__(None, None, None)
+                return
 
     return _cm()
 
@@ -1302,7 +1396,10 @@ def _table_exists(path: str) -> bool:
     dirs never count: under a pointer-less root they are aborted-
     commit staging (a crashed FIRST commit must replay as table
     creation, not trip a read of the junk), and a resolved version dir
-    never nests one."""
+    never nests one. Hidden (``_``/``.``-prefixed) entries never count
+    either, matching Spark's listing: an in-flight ``_temporary`` task
+    dir or a crashed ``_staged_append_*`` holds uncommitted files, not
+    a table."""
     if not os.path.exists(path):
         return False
     stack = [path]
@@ -1311,6 +1408,8 @@ def _table_exists(path: str) -> bool:
         try:
             with os.scandir(cur) as it:
                 for entry in it:
+                    if entry.name.startswith(("_", ".")):
+                        continue
                     if entry.is_dir(follow_symlinks=False):
                         if _is_version_name(entry.name):
                             continue
@@ -1334,6 +1433,89 @@ def _canonical_seq(seq) -> F.Column:
 def _canonical_seq_py(seq) -> str:
     """Driver-side twin of ``_canonical_seq`` (40-char zero-pad)."""
     return str(seq).rjust(40, "0")
+
+
+def append_to_table(
+    df: DataFrame, target_path: str, partition_by: list[str] | None = None
+) -> None:
+    """Every engine blind-append routes here so the fileset-manifest
+    contract cannot drift between call sites (the CDC append/history
+    modes, the staging->warehouse bulk load, the bronze CSV ingest).
+
+    Legacy-layout tables (no fileset log) append exactly as before —
+    one ``mode("append")`` parquet write into the table dir. Once the
+    table's current version dir carries a fileset log (every swap
+    commit writes one), the append must extend it or readers would
+    never see the new rows (logged dirs plan from the log): the batch
+    is written to a hidden staging dir inside the version dir, its
+    files are moved to their final hive locations (O(batch) single-file
+    moves — copy+delete on an object store, bounded by the batch, and
+    Spark's globally-unique part-file names cannot collide), and ONE
+    log batch entry is published, which is the commit point. Crash
+    anywhere before that publish leaves only unlogged, reader-invisible
+    junk; the at-least-once replay then lands the batch under fresh
+    names — exactly-once in effect, strictly stronger than the legacy
+    append's torn-batch exposure. Stale ``_staged_append_*`` dirs from
+    crashes are invisible (hidden prefix) and are discarded wholesale
+    when the next whole-table swap supersedes the version dir."""
+    import uuid as _uuid
+
+    from . import fileset
+
+    data_dir = table_data_dir(target_path)
+    if not fileset.has_log(data_dir):
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        return
+    staged = os.path.join(
+        data_dir, f"_staged_append_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+    )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+    rels = fileset.walk_data_files(staged)
+    for rel in rels:
+        dst = os.path.join(data_dir, rel)
+        fsio.makedirs(os.path.dirname(dst))
+        fsio.move(os.path.join(staged, rel), dst)
+    fileset.append_batch(data_dir, rels)
+    fsio.remove_tree(staged)
+
+
+def _partition_scoped_read(
+    spark: SparkSession, data_dir: str, dirs: list[str]
+) -> DataFrame | None:
+    """Stored rows under ``dirs`` (hive partition dirs of ``data_dir``)
+    honoring the fileset manifest when the dir carries one: the
+    manifest's files under those dirs are read EXPLICITLY, so a crashed
+    append's unlogged junk inside a touched partition can never be read
+    back — and thereby re-committed as live rows — by a
+    partition-scoped rewrite (the merge, the partitioned vacuum, the
+    fragmented-partition compaction). Manifest-less tables keep the
+    plain dir-scoped read. Returns None when the manifest proves the
+    touched dirs hold no committed files."""
+    from . import fileset
+
+    reader = spark.read.option("mergeSchema", "true").option(
+        "basePath", data_dir
+    )
+    logged = fileset.read_fileset(data_dir)
+    if logged is None:
+        return reader.parquet(*dirs)
+    prefixes = tuple(
+        os.path.relpath(d, data_dir) + os.sep for d in dirs
+    )
+    files = [
+        os.path.join(data_dir, rel)
+        for rel in logged
+        if rel.startswith(prefixes)
+    ]
+    if not files:
+        return None
+    return reader.parquet(*files)
 
 
 def latest_per_key(df: DataFrame, key: str, seq_col: str = "seq") -> DataFrame:
@@ -1394,6 +1576,15 @@ def _swap_into(
     carried[SCHEMA_MANIFEST] = _nullable_schema(df.schema).json()
     for fname, content in carried.items():
         fsio.atomic_write_text(os.path.join(tmp, fname), content)
+    # fileset manifest (operators/fileset.py): record the version's
+    # file list IN the commit, before the pointer flip — cold reads of
+    # a served version then plan from the manifest (Spark's
+    # MetadataLogFileIndex, zero per-file storage calls) instead of
+    # recursively LISTing the version dir, and later blind appends
+    # extend it one batch entry at a time.
+    from . import fileset
+
+    fileset.write_base(tmp)
     fsio.atomic_write_text(
         os.path.join(target_path, CURRENT_POINTER), ver
     )
@@ -1407,15 +1598,25 @@ def _swap_into(
     # grow one line per swap forever — O(commits^2) total rewrite cost
     # on a table swapped every micro-batch. The log therefore holds
     # exactly the readable history (retained versions), which is what
-    # VERSION AS OF needs.
+    # VERSION AS OF needs. The PRIOR pointer value is reconciled back
+    # in even when its log line is missing (a crash between a previous
+    # flip and ITS log append lost only that line): while it was
+    # current the pointer proved it committed, and pruning the rebuilt
+    # log from prior lines alone would otherwise permanently drop a
+    # genuinely committed, still-retained version from
+    # ``committed_versions`` the moment it is superseded.
     log_path = os.path.join(target_path, VERSIONS_LOG)
     prior_log = fsio.read_text(log_path) or ""
+    prior_lines = [
+        ln.strip() for ln in prior_log.splitlines() if ln.strip()
+    ]
+    prior_ver = os.path.basename(src) if src != target_path else None
+    if prior_ver and prior_ver not in prior_lines:
+        prior_lines.append(prior_ver)
     keep_lines = [
         ln
-        for ln in prior_log.splitlines()
-        if ln.strip()
-        and ln.strip() != ver
-        and os.path.isdir(os.path.join(target_path, ln.strip()))
+        for ln in prior_lines
+        if ln != ver and fsio.isdir(os.path.join(target_path, ln))
     ]
     fsio.atomic_write_text(
         log_path, "".join(ln + "\n" for ln in keep_lines) + ver + "\n"
@@ -1602,7 +1803,7 @@ def apply_changes(
     kind, parts, probed = _scope_for(
         changes, target_path, mode, propagate_deletes, partition_by
     )
-    with _mutation_scope(target_path, kind, partition_by, parts):
+    with _retrying_mutation_scope(target_path, kind, partition_by, parts):
         _apply_changes_locked(
             spark, changes, target_path, key, mode, propagate_deletes,
             partition_by, scope_touched=probed,
@@ -1683,10 +1884,7 @@ def _apply_changes_locked(
         # row per event; REMOVE never reaches the warehouse (README.md:30).
         rows = changes.filter(F.col("op").isin("INSERT", "MODIFY")).select("after.*")
         _prestamp_schema_union(spark, target_path, rows.schema)
-        writer = rows.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        append_to_table(rows, target_path, partition_by)
         _stamp_schema_union(spark, target_path, rows.schema)
         return
 
@@ -1709,10 +1907,7 @@ def _apply_changes_locked(
             (F.col("op") == "REMOVE").alias(DELETED_COL),
         )
         _prestamp_schema_union(spark, target_path, rows.schema)
-        writer = rows.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        append_to_table(rows, target_path, partition_by)
         _stamp_schema_union(spark, target_path, rows.schema)
         return
 
@@ -1792,11 +1987,7 @@ def _apply_changes_locked(
             )
         existing: DataFrame | None
         if dirs:
-            existing = (
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", data_dir)
-                .parquet(*dirs)
-            )
+            existing = _partition_scoped_read(spark, data_dir, dirs)
         elif dirs is not None:
             existing = None
         else:
@@ -1858,6 +2049,9 @@ def _apply_changes_locked(
         )
         return
     if partition_by:
+        from . import fileset
+
+        fileset.invalidate(data_dir)  # whole-dir overwrite below
         result.write.mode("overwrite").partitionBy(*partition_by).parquet(data_dir)
         _write_table_schema(target_path, result.schema)
         return
@@ -1891,6 +2085,8 @@ def overwrite_partitions_dropping_emptied(
     table-level swap — the standard exposure of every dynamic-partition
     MERGE on plain parquet (a lakehouse table format makes it
     transactional)."""
+    from . import fileset
+
     data_dir = table_data_dir(target_path)
     remaining: set[tuple] = set()
     if candidates:
@@ -1901,6 +2097,12 @@ def overwrite_partitions_dropping_emptied(
             .collect()
         }
     _prestamp_schema_union(spark, target_path, df.schema)
+    # dynamic overwrite rewrites matched partitions in place without
+    # knowing its file delta: drop the fileset manifest FIRST (readers
+    # fall back to the LIST — correct under every crash window; a stale
+    # manifest would hide the rewrite's files and resurrect replaced
+    # ones). The next whole-table swap records a fresh base.
+    fileset.invalidate(data_dir)
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -2093,6 +2295,16 @@ def read_warehouse(
     # planning cost; manifest-less tables fall back to the footer
     # union (mergeSchema) — see _read_table.
     _recover_swap(target_path)
+    # SNAPSHOT PIN: resolve the version pointer exactly ONCE per
+    # logical read and plan every sub-read (schema manifest, sidecar,
+    # pruned scans, horizon marker) against that version dir. Without
+    # this, a commit landing between two resolutions could hand one
+    # read a MIX of two versions; with it, the read is a consistent
+    # snapshot, and VERSION_GC_GRACE_SECONDS keeps the pinned fileset
+    # alive until the scan finishes. Re-resolution inside the helpers
+    # is idempotent (a version dir holds no pointer), and legacy
+    # root-layout tables resolve to themselves.
+    target_path = table_data_dir(target_path)
     df = _read_table(spark, target_path)
     is_history = KEY_COL in df.columns
     if is_history:
@@ -2200,6 +2412,10 @@ def read_changes(
     itself becomes a change source downstream consumers can tail by seq.
     """
     _recover_swap(target_path)
+    # snapshot pin — one pointer resolution per feed read, same
+    # rationale as read_warehouse's pin (a commit between resolutions
+    # must not hand one window a mix of two versions)
+    target_path = table_data_dir(target_path)
     df = _read_table(spark, target_path)
     if to_seq is not None:
         # upper-bound file pruning is SOUND here (unlike from_seq,

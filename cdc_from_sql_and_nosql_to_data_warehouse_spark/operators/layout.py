@@ -842,13 +842,44 @@ def _list_data_files(path: str, preds: list[tuple] | None = None) -> list[str]:
     version-named dirs (``apply._is_version_name``): under a
     pointer-less root those are an aborted commit's staging, and
     walking into one would feed uncommitted rows into pruned reads and
-    advance the feed-tip probe past seqs that were never committed."""
+    advance the feed-tip probe past seqs that were never committed.
+    Hidden (``_``/``.``-prefixed) dirs are skipped like Spark's own
+    listing skips them (a crashed append's staging dir must not leak
+    uncommitted files into pruned reads).
+
+    When the directory carries a fileset manifest
+    (``operators/fileset.py``), the committed fileset comes from the
+    manifest — O(retained log batches) small reads, ZERO storage calls
+    per data file — and stays consistent with what Spark's own
+    manifest-planned scan of the dir reads: on-disk files absent from
+    the manifest (crashed append attempts) are invisible to both. The
+    walk below is the legacy/no-manifest fallback."""
     from .apply import _is_version_name
+    from . import fileset
 
     path = table_data_dir(path)
+    logged = fileset.read_fileset(path)
+    if logged is not None:
+        if not preds:
+            return list(logged)
+        keep = []
+        for rel in logged:
+            ok = True
+            for comp in rel.split(os.sep)[:-1]:
+                hv = _hive_dir_value(comp)
+                if hv is not None and not _dir_passes(hv[0], hv[1], preds):
+                    ok = False
+                    break
+            if ok:
+                keep.append(rel)
+        return keep
     out = []
     for cur, dirs, names in os.walk(path):
-        dirs[:] = [d for d in dirs if not _is_version_name(d)]
+        dirs[:] = [
+            d
+            for d in dirs
+            if not _is_version_name(d) and not d.startswith(("_", "."))
+        ]
         if preds:
             kept_dirs = []
             for d in dirs:

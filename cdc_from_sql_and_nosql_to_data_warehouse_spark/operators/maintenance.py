@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import col as F_col
 
+from . import fileset
 from .apply import _swap_into, read_table_schema, table_data_dir
 
 
@@ -105,18 +106,20 @@ def _no_partition_type_inference(spark: SparkSession):
 
 def _locked_on_path(fn):
     """Run a (spark, path, ...) table mutation at WHOLE-TABLE scope
-    (``apply._mutation_scope``): it conflicts with every other writer —
-    including in-flight partition-scoped merges and append tokens —
-    serializing-or-failing-cleanly (ConcurrentWriteError) instead of
-    interleaving swap/overwrite/sidecar windows and silently losing a
-    commit."""
+    (``apply._retrying_mutation_scope``): it conflicts with every other
+    writer — including in-flight partition-scoped merges and append
+    tokens — and a lost acquisition race retries with bounded backoff
+    inside the engine (the round-10 OCC layer: the body reads the table
+    inside the scope, so a retry IS a rebase against the winner's
+    state). ConcurrentWriteError surfaces only for conflicts that
+    outlive the backoff budget."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(spark, path, *args, **kwargs):
-        from .apply import _mutation_scope
+        from .apply import _retrying_mutation_scope
 
-        with _mutation_scope(path, "table"):
+        with _retrying_mutation_scope(path, "table"):
             return fn(spark, path, *args, **kwargs)
 
     return wrapper
@@ -164,7 +167,7 @@ def compact_parquet(
     (flat) — per-partition replace vs whole-table rename; neither is a
     cross-partition atomic transaction on plain parquet.
     """
-    from .apply import _recover_swap
+    from .apply import _partition_scoped_read, _recover_swap
 
     _recover_swap(path)  # adopt a swap a previous crash left undone
     data = table_data_dir(path)  # physical fileset (pointer-resolved)
@@ -193,12 +196,16 @@ def compact_parquet(
                 n_files, total_bytes, spark.read.parquet(data).count()
             )
         with _no_partition_type_inference(spark):
-            sub = (
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", data)
-                .parquet(*frag_dirs)
-                .repartition(*[F_col(c) for c in partition_by])
-            )
+            # manifest-honoring read of the fragmented dirs: a crashed
+            # append's unlogged junk must not be read back into the
+            # compacted files (None: every "fragment" is junk — skip)
+            scoped = _partition_scoped_read(spark, data, frag_dirs)
+            if scoped is None:
+                return table_stats(spark, path)
+            sub = scoped.repartition(*[F_col(c) for c in partition_by])
+            # in-place partitioned rewrite: manifest can't express the
+            # delta — drop it first, readers LIST until the next swap
+            fileset.invalidate(data)
             (
                 sub.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -282,6 +289,9 @@ def _optimize_zorder(
                 .sortWithinPartitions(*keys)
                 .drop("_z")
             )
+            # in-place partitioned rewrite: manifest can't express the
+            # delta — drop it first, readers LIST until the next swap
+            fileset.invalidate(data)
             (
                 clustered.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -377,6 +387,7 @@ def vacuum_tombstones(
 
     from .apply import (
         DELETED_COL,
+        _partition_scoped_read,
         _recover_swap,
         _touched_partition_dirs,
         overwrite_partitions_dropping_emptied,
@@ -403,12 +414,10 @@ def vacuum_tombstones(
                 return 0
             touched = [tuple(r[c] for c in partition_by) for r in dead_groups]
             dirs = _touched_partition_dirs(data, partition_by, touched, False)
-            if dirs:
-                sub = (
-                    spark.read.option("mergeSchema", "true")
-                    .option("basePath", data)
-                    .parquet(*dirs)
-                )
+            sub = (
+                _partition_scoped_read(spark, data, dirs) if dirs else None
+            )
+            if sub is not None:
                 overwrite_partitions_dropping_emptied(
                     spark, sub.filter(~is_dead), path, partition_by, touched
                 )

@@ -54,8 +54,12 @@ def read_csv_bronze(spark: SparkSession, path: str) -> DataFrame:
 def append_to_bronze(df: DataFrame, table_path: str) -> None:
     """K1/K6: append-only write, no key, no dedup — N ingest runs of the
     same file produce N copies of every row, matching the reference's
-    no-primary-key MySQL table."""
-    df.write.mode("append").parquet(table_path)
+    no-primary-key MySQL table. Routed through the shared append helper
+    so a bronze table that has been compacted into the version-pointer
+    layout keeps its fileset manifest current."""
+    from ..operators.apply import append_to_table
+
+    append_to_table(df, table_path)
 
 
 def ingest_csv(spark: SparkSession, csv_path: str, table_path: str) -> DataFrame:

@@ -176,14 +176,16 @@ def run_staging_to_warehouse(
     def load_batch(batch: DataFrame, epoch_id: int) -> None:
         if cfg.apply_mode == "append":
             # reference bug-compat: straight COPY-append of each staged
-            # row (pointer-resolved: appends land in the table's
-            # current version dir once a swap has upgraded it)
-            from ..operators.apply import table_data_dir
+            # row (pointer-resolved, fileset-manifest-maintained: the
+            # shared append helper extends the table's commit log when
+            # the current version dir carries one)
+            from ..operators.apply import append_to_table
 
-            writer = batch.drop("_seq", "_ts_ms").write.mode("append")
-            if cfg.partition_by:
-                writer = writer.partitionBy(*cfg.partition_by)
-            writer.parquet(table_data_dir(warehouse_path))
+            append_to_table(
+                batch.drop("_seq", "_ts_ms"),
+                warehouse_path,
+                cfg.partition_by,
+            )
             return
         envelope = batch.select(
             F.lit("MODIFY").alias("op"),

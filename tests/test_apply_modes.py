@@ -953,9 +953,24 @@ def test_validate_warehouse_audit(spark, tmp_path):
     # audit reports what compaction/readers are absorbing
     assert h.n_duplicate_keys == 2
 
-    # corrupt an upsert table: append a duplicate live row for t0's key
+    # corrupt an upsert table: append a duplicate live row for t0's key.
+    # The version dir carries a fileset manifest (round 10), so a raw
+    # external append is INVISIBLE by design — commit the corruption
+    # into the manifest (what a buggy engine writer would have done) so
+    # the audit can see it.
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        fileset,
+    )
+
     extra = spark.read.parquet(tdd(up)).filter(F.col("id") == t0["id"])
+    before = set(fileset.read_fileset(tdd(up)) or [])
     extra.write.mode("append").parquet(tdd(up))
+    clean = validate_warehouse(spark, up, "id")
+    assert clean.n_duplicate_keys == 0  # unlogged junk stays invisible
+    new = [
+        r for r in fileset.walk_data_files(tdd(up)) if r not in before
+    ]
+    fileset.append_batch(tdd(up), new)
     bad = validate_warehouse(spark, up, "id")
     assert bad.n_duplicate_keys == 1
 

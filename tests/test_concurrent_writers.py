@@ -48,11 +48,16 @@ def _seed_partitioned(spark, tmp_path, wh):
     return t1, t2
 
 
-def test_disjoint_partition_merges_do_not_serialize(spark, tmp_path):
+def test_disjoint_partition_merges_do_not_serialize(
+    spark, tmp_path, monkeypatch
+):
     """While one writer HOLDS partition tk1's lock, a merge touching
-    only tk2 commits; a merge touching tk1 fails fast on the contended
+    only tk2 commits; a merge touching tk1 conflicts on the contended
     partition — the disjoint-writers contract, pinned deterministically
-    by holding the scope open rather than racing threads."""
+    by holding the scope open rather than racing threads. Retry budget
+    pinned to 1 attempt: this test is about ACQUISITION semantics; the
+    engine-side retry layer has its own tests below."""
+    monkeypatch.setattr(A, "OCC_MAX_ATTEMPTS", 1)
     wh = str(tmp_path / "wh_disj")
     t1, t2 = _seed_partitioned(spark, tmp_path, wh)
 
@@ -77,10 +82,15 @@ def test_disjoint_partition_merges_do_not_serialize(spark, tmp_path):
     assert out[t1["id"]] == make_trade(1)["shares"]  # conflicted merge never landed
 
 
-def test_whole_table_ops_conflict_with_inflight_partition_work(spark, tmp_path):
+def test_whole_table_ops_conflict_with_inflight_partition_work(
+    spark, tmp_path, monkeypatch
+):
     """Both directions of the two-phase check: a whole-table operation
     refuses while a live partition lock exists, and a partition-scoped
-    merge refuses while the table fence is held."""
+    merge refuses while the table fence is held. Retry budget pinned to
+    1 attempt — acquisition semantics only (a held-for-the-duration
+    lock would otherwise just stretch the test by the backoff)."""
+    monkeypatch.setattr(A, "OCC_MAX_ATTEMPTS", 1)
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
         compact_parquet,
     )
@@ -104,10 +114,13 @@ def test_whole_table_ops_conflict_with_inflight_partition_work(spark, tmp_path):
             )
 
 
-def test_appends_never_conflict_with_each_other(spark, tmp_path):
+def test_appends_never_conflict_with_each_other(spark, tmp_path, monkeypatch):
     """Two blind appenders (append/history modes) hold unique tokens —
     one appending while another's token is live succeeds; a whole-table
-    swap refuses while any token is live."""
+    swap refuses while any token is live. Retry budget pinned to 1:
+    acquisition semantics only (the token is held for the whole block,
+    so the backoff would only stretch the test)."""
+    monkeypatch.setattr(A, "OCC_MAX_ATTEMPTS", 1)
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
         compact_history,
     )
@@ -169,21 +182,115 @@ def test_threaded_disjoint_merges_both_commit_first_try(spark, tmp_path):
     assert not os.path.exists(A._lock_path(wh))
 
 
-def test_overlapping_merge_retry_converges(spark, tmp_path):
-    """The conflict contract end to end: an overlapping-partition merge
-    raises, and retrying it after the holder finishes lands exactly the
-    serial result."""
+def test_overlapping_merge_engine_retry_converges(spark, tmp_path):
+    """Round-10 OCC: an overlapping-partition merge no longer surfaces
+    the conflict to the caller when the holder finishes within the
+    backoff budget — the engine re-acquires and lands exactly the
+    serial result, with NO manual retry. A holder that outlives the
+    budget still raises (pinned with the budget shrunk to 1)."""
+    import time
+
     wh = str(tmp_path / "wh_retry")
     t1, _ = _seed_partitioned(spark, tmp_path, wh)
     env = _feed(spark, tmp_path, [("MODIFY", dict(t1, shares=33), 9)], "r1")
-    with A._mutation_scope(wh, "partitions", ["ticker"], [("tk1",)]):
-        with pytest.raises(ConcurrentWriteError):
-            apply_changes(
-                spark, env, wh, "id", mode="upsert", partition_by=["ticker"]
-            )
-    apply_changes(spark, env, wh, "id", mode="upsert", partition_by=["ticker"])
+
+    holder = A._mutation_scope(wh, "partitions", ["ticker"], [("tk1",)])
+    holder.__enter__()
+    release = threading.Timer(1.0, lambda: holder.__exit__(None, None, None))
+    release.start()
+    try:
+        # engine-side retry outlasts the 1s holder: one call, no raise
+        apply_changes(
+            spark, env, wh, "id", mode="upsert", partition_by=["ticker"]
+        )
+    finally:
+        release.join()
     out = {r["id"]: r["shares"] for r in read_warehouse(spark, wh).collect()}
     assert out[t1["id"]] == 33
+
+
+def test_concurrent_upsert_and_compaction_both_commit(spark, tmp_path):
+    """The round-9 verdict's OCC acceptance case: a whole-table upsert
+    merge racing a whole-table compaction — both commit without the
+    caller retrying anything, and the end state equals serial
+    execution (the merge's winner arbitration is order-independent)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    wh = str(tmp_path / "wh_occ")
+    trades = [make_trade(i) for i in range(6)]
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path,
+              [("INSERT", t, i + 1) for i, t in enumerate(trades)], "o0"),
+        wh, "id", mode="upsert",
+    )
+    env = _feed(
+        spark, tmp_path,
+        [("MODIFY", dict(trades[0], shares=777), 100)], "o1",
+    )
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def upserter():
+        try:
+            barrier.wait(timeout=60)
+            apply_changes(spark, env, wh, "id", mode="upsert")
+        except Exception as e:  # pragma: no cover - failure evidence
+            errors.append(e)
+
+    def compactor():
+        try:
+            barrier.wait(timeout=60)
+            compact_parquet(spark, wh, min_files_to_compact=1)
+        except Exception as e:  # pragma: no cover - failure evidence
+            errors.append(e)
+
+    ts = [threading.Thread(target=upserter), threading.Thread(target=compactor)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(180)
+    assert errors == [], errors
+    out = {r["id"]: r["shares"] for r in read_warehouse(spark, wh).collect()}
+    assert len(out) == 6
+    assert out[trades[0]["id"]] == 777  # the merge landed
+    # scope state fully released
+    assert A._live_plocks(wh) == []
+    assert not os.path.exists(A._lock_path(wh))
+
+
+def test_conflicting_swaps_converge_to_serial_state(spark, tmp_path):
+    """Two whole-table upsert swaps racing on the SAME key: whichever
+    commit order the retry layer produces, the end state equals serial
+    execution — max-seq arbitration makes the rebase order-free."""
+    wh = str(tmp_path / "wh_ser")
+    t0 = make_trade(0)
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "s0"),
+        wh, "id", mode="upsert",
+    )
+    lo = _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=50), 5)], "s5")
+    hi = _feed(spark, tmp_path, [("MODIFY", dict(t0, shares=60), 6)], "s6")
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def run(env):
+        try:
+            barrier.wait(timeout=60)
+            apply_changes(spark, env, wh, "id", mode="upsert")
+        except Exception as e:  # pragma: no cover - failure evidence
+            errors.append(e)
+
+    ts = [threading.Thread(target=run, args=(e,)) for e in (lo, hi)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(180)
+    assert errors == [], errors
+    out = {r["id"]: r["shares"] for r in read_warehouse(spark, wh).collect()}
+    assert out == {t0["id"]: 60}  # seq-6 wins in every commit order
 
 
 def test_null_partition_remove_falls_back_to_table_scope(spark, tmp_path):

@@ -1,0 +1,393 @@
+"""Commit-recorded fileset manifest (operators/fileset.py).
+
+A version-pointer commit records the version's file list in Spark's
+own streaming-file-sink log format (``_spark_metadata``), so cold
+reads plan from the manifest (MetadataLogFileIndex — zero per-file
+storage calls, no directory walk) instead of recursively LISTing the
+version dir, blind appends extend it one CAS-published batch at a
+time, and on-disk files ABSENT from the manifest (crashed append
+attempts) are invisible to every reader — engine and Spark alike.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+from pyspark.sql import functions as F
+
+from cdc_from_sql_and_nosql_to_data_warehouse_spark import fsio
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+    apply as A,
+    fileset,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+    apply_changes,
+    current_max_seq,
+    read_changes,
+    read_warehouse,
+    table_data_dir,
+)
+from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.layout import (
+    _list_data_files,
+)
+
+
+def _env(spark, rows, parts=1):
+    """rows: [(key, value, seq)] -> envelope frame."""
+    df = spark.createDataFrame(
+        [(str(k), "INSERT", (str(k), float(v)), int(s)) for k, v, s in rows],
+        "key string, op string, after struct<k:string,v:double>, seq long",
+    )
+    return df.repartition(parts)
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- unit: the log format itself -------------------------------------------
+
+
+def test_fileset_log_roundtrip_and_compact(tmp_path):
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    for name in ("a.parquet", "b.parquet"):
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+    assert fileset.read_fileset(d) is None
+    fileset.write_base(d)
+    assert fileset.read_fileset(d) == ["a.parquet", "b.parquet"]
+    # appends accumulate; every 10th id compacts the full union
+    for i in range(12):
+        name = f"f{i:02d}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        bid = fileset.append_batch(d, [name])
+        assert bid == i + 1
+    names = os.listdir(os.path.join(d, fileset.LOG_DIR))
+    assert "9.compact" in names
+    got = fileset.read_fileset(d)
+    assert got == sorted(["a.parquet", "b.parquet"] + [
+        f"f{i:02d}.parquet" for i in range(12)
+    ])
+    # empty batch is a no-op, invalidate drops the log entirely
+    assert fileset.append_batch(d, []) is None
+    fileset.invalidate(d)
+    assert fileset.read_fileset(d) is None
+
+
+def test_fileset_append_batch_cas_under_contention(tmp_path):
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "base.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    n = 16
+    for i in range(n):
+        with open(os.path.join(d, f"c{i}.parquet"), "wb") as f:
+            f.write(b"x")
+    ids, errs = [], []
+
+    def worker(i):
+        try:
+            ids.append(fileset.append_batch(d, [f"c{i}.parquet"]))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert sorted(ids) == list(range(1, n + 1))  # unique ids, no gaps
+    got = fileset.read_fileset(d)
+    assert got == sorted(["base.parquet"] + [f"c{i}.parquet" for i in range(n)])
+
+
+# --- integration: swaps, appends, invisibility ------------------------------
+
+
+def test_swap_records_manifest_and_read_plans_from_it(spark, tmp_path):
+    """An upsert swap commits a fileset manifest with the version; the
+    hot read plans from it (MetadataLogFileIndex), and a data file
+    planted in the version dir WITHOUT a manifest entry — the residue
+    of a crashed append attempt — is invisible to the read, to the
+    feed-tip probe, and to the file lister."""
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [(1, 1.0, 1), (2, 2.0, 2)]), wh, "k",
+        mode="upsert",
+    )
+    d = table_data_dir(wh)
+    assert d != wh and fileset.has_log(d)
+
+    df = read_warehouse(spark, wh)
+    assert "MetadataLogFileIndex" in _plan_str(df)
+    assert sorted(r["k"] for r in df.collect()) == ["1", "2"]
+
+    # plant an unlogged orphan: a byte-copy of a committed file under a
+    # fresh name (valid parquet, would read fine if listed)
+    committed = _list_data_files(wh)
+    src = os.path.join(d, committed[0])
+    orphan = os.path.join(d, "part-orphan-deadbeef.c000.parquet")
+    shutil.copyfile(src, orphan)
+
+    assert sorted(r["k"] for r in read_warehouse(spark, wh).collect()) == [
+        "1",
+        "2",
+    ]
+    assert _list_data_files(wh) == committed  # lister = manifest
+    assert current_max_seq(spark, wh) == A._canonical_seq_py(2)
+
+
+def test_history_appends_extend_manifest(spark, tmp_path):
+    """Blind appends to a manifest-carrying history table commit
+    through the staged-move-publish path: rows visible to the reader
+    and the change feed, the manifest fileset matches disk reality,
+    and a dozen appends roll through a compact entry."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark,
+        _env(spark, [(1, 1.0, 1), (1, 1.5, 2), (2, 2.0, 3)]),
+        wh, "k", mode="history",
+    )
+    # folds key 1's two versions -> a real swap -> pointer + manifest
+    compact_history(spark, wh, before_seq=3)
+    d = table_data_dir(wh)
+    assert d != wh and fileset.has_log(d)
+
+    for i in range(12):
+        apply_changes(
+            spark, _env(spark, [(10 + i, float(i), 10 + i)]), wh, "k",
+            mode="history",
+        )
+    assert fileset.has_log(d)
+    names = os.listdir(os.path.join(d, fileset.LOG_DIR))
+    assert any(n.endswith(".compact") for n in names)
+
+    got = sorted(int(r["k"]) for r in read_warehouse(spark, wh).collect())
+    assert got == [1, 2] + list(range(10, 22))
+    # the manifest IS the lister's source and matches the walk
+    logged = sorted(_list_data_files(wh))
+    walked = sorted(fileset.walk_data_files(d))
+    assert logged == walked
+    # the change feed window over appended rows classifies normally
+    win = read_changes(spark, wh, from_seq=3, to_seq=21)
+    assert win.count() == 12
+
+
+def test_partitioned_fold_manifest_and_vacuum_invalidation(spark, tmp_path):
+    """A partitioned history fold commits a manifest (hive relpaths);
+    a partitioned tombstone vacuum — an in-place dynamic partition
+    overwrite that cannot express its file delta — drops the manifest
+    FIRST and the table stays correct through the LIST fallback."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+        vacuum_tombstones,
+    )
+
+    wh = str(tmp_path / "wh")
+    rows = [
+        ("a", "INSERT", ("a", 1.0, "x"), 1),
+        ("b", "INSERT", ("b", 2.0, "y"), 2),
+        ("a", "REMOVE", ("a", None, "x"), 3),
+        ("c", "INSERT", ("c", 3.0, "y"), 4),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "key string, op string, after struct<k:string,v:double,p:string>, "
+        "seq long",
+    )
+    apply_changes(
+        spark, env, wh, "k", mode="history", partition_by=["p"],
+    )
+    compact_history(spark, wh, before_seq=4, partition_by=["p"])
+    d = table_data_dir(wh)
+    assert d != wh and fileset.has_log(d)
+    assert any(os.sep in rel for rel in _list_data_files(wh))  # hive rels
+
+    n = vacuum_tombstones(spark, wh, before_seq=100, partition_by=["p"])
+    assert n == 1  # a's folded tombstone vacuumed
+    assert not fileset.has_log(table_data_dir(wh))  # invalidated first
+    got = sorted(r["k"] for r in read_warehouse(spark, wh).collect())
+    assert got == ["b", "c"]
+
+
+def test_bronze_append_after_flat_compaction(spark, tmp_path):
+    """The bronze CSV append keeps working after a flat compaction
+    upgraded the table to the pointer layout: the shared helper extends
+    the manifest, so N ingest runs keep producing N copies."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.csv_source import (
+        append_to_bronze,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    df = spark.range(24).selectExpr("cast(id as string) as account_no")
+    for _ in range(3):
+        append_to_bronze(df.repartition(4), bronze)
+    compact_parquet(spark, bronze, min_files_to_compact=2)
+    d = table_data_dir(bronze)
+    assert d != bronze and fileset.has_log(d)
+    append_to_bronze(df.repartition(4), bronze)
+    assert spark.read.parquet(d).count() == 24 * 4
+    assert sorted(_list_data_files(bronze)) == sorted(
+        fileset.walk_data_files(d)
+    )
+
+
+def test_manifest_planning_touches_no_data_files(spark, tmp_path):
+    """The 100 TB property, pinned structurally: planning a
+    manifest-carrying table's read issues ZERO storage calls per data
+    file (MetadataLogFileIndex serves paths, sizes, and mtimes straight
+    from the log). Proven by moving every data file away — planning
+    (DataFrame construction + file-index materialization) still
+    enumerates the full committed fileset; only an actual scan would
+    notice. A directory-LIST planner cannot do this: its index is the
+    walk's result, which is empty here."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [(1, 1.0, 1), (1, 1.5, 2), (2, 2.0, 3)]),
+        wh, "k", mode="history",
+    )
+    compact_history(spark, wh, before_seq=3)  # -> pointer + manifest
+    # a multi-file blind append through the staged-move-publish commit
+    apply_changes(
+        spark, _env(spark, [(i, float(i), 10 + i) for i in range(8)], 4),
+        wh, "k", mode="history",
+    )
+    d = table_data_dir(wh)
+    n = len(read_warehouse(spark, wh).inputFiles())
+    assert n >= 4
+
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for rel in fileset.walk_data_files(d):
+        shutil.move(os.path.join(d, rel), os.path.join(stash, rel))
+
+    planned = read_warehouse(spark, wh).inputFiles()
+    assert len(planned) == n
+    assert all(p.endswith(".parquet") for p in planned)
+
+
+def test_append_batch_never_creates_a_log(tmp_path):
+    """The lockless-appender race (review finding): an in-place rewrite
+    invalidates the log while an appender is mid-write; the appender's
+    publish must NOT recreate the log as a lone batch holding only its
+    own files (that would hide every previously committed file).
+    Returning None leaves the dir log-less — the LIST fallback sees
+    everything."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    with open(os.path.join(d, "b.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.invalidate(d)  # the racing rewrite wins
+    assert fileset.append_batch(d, ["b.parquet"]) is None
+    assert not os.path.isdir(os.path.join(d, fileset.LOG_DIR))
+    assert fileset.read_fileset(d) is None  # LIST fallback stays active
+
+
+def test_foreign_log_never_compacts_into_data_loss(tmp_path):
+    """A relocated table's log carries foreign absolute URIs:
+    read_fileset refuses it (None -> LIST fallback). Appends may keep
+    publishing plain batches, but the 10th-id COMPACT must not rebuild
+    from `None or []` — that would replace a merely-unusable log with
+    one that actively hides every pre-relocation file."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    log = os.path.join(d, fileset.LOG_DIR)
+    os.makedirs(log)
+    with open(os.path.join(log, "0"), "w") as f:
+        f.write(
+            'v1\n{"path":"file:///somewhere/else/x.parquet","size":1,'
+            '"isDir":false,"modificationTime":0,"blockReplication":1,'
+            '"blockSize":1,"action":"add"}\n'
+        )
+    assert fileset.read_fileset(d) is None  # foreign: LIST fallback
+    for i in range(1, 15):
+        name = f"n{i}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        fileset.append_batch(d, [name])
+    # the foreign base makes every resolution refuse — including any
+    # compact the id cadence would have written
+    assert fileset.read_fileset(d) is None
+    names = os.listdir(log)
+    for n in names:
+        if n.endswith(".compact"):
+            # a compact may only exist if it still resolves to None
+            # (i.e. it did not drop the foreign base silently)
+            assert fileset.read_fileset(d) is None
+
+
+def test_partitioned_compaction_never_commits_unlogged_junk(spark, tmp_path):
+    """Review finding: partition-dir-scoped maintenance reads used to
+    bypass the manifest, so a crashed append's unlogged junk inside a
+    fragmented partition would be read back and COMMITTED by the
+    rewrite. The manifest-honoring partition read excludes it: after a
+    partitioned compaction the table holds no duplicate (key, seq)."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        KEY_COL,
+        SEQ_COL,
+        _read_table,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+        compact_parquet,
+    )
+
+    wh = str(tmp_path / "wh")
+    env = spark.createDataFrame(
+        [
+            ("a", "INSERT", ("a", 1.0, "x"), 1),
+            ("a", "INSERT", ("a", 1.5, "x"), 2),
+            ("b", "INSERT", ("b", 2.0, "y"), 3),
+        ],
+        "key string, op string, after struct<k:string,v:double,p:string>, "
+        "seq long",
+    )
+    apply_changes(spark, env, wh, "k", mode="history", partition_by=["p"])
+    compact_history(spark, wh, before_seq=3, partition_by=["p"])
+    d = table_data_dir(wh)
+    assert fileset.has_log(d)
+
+    # crashed append: a duplicate file moved into place, never logged
+    committed = [r for r in _list_data_files(wh) if r.startswith("p=x")]
+    src = os.path.join(d, committed[0])
+    junk = os.path.join(
+        d, "p=x", "part-junk-cafebabe.c000.snappy.parquet"
+    )
+    shutil.copyfile(src, junk)
+
+    compact_parquet(
+        spark, wh, partition_by=["p"], min_files_to_compact=1,
+        target_file_bytes=1 << 30,
+    )
+    dup = (
+        _read_table(spark, wh)
+        .groupBy(KEY_COL, SEQ_COL)
+        .count()
+        .filter(F.col("count") > 1)
+        .collect()
+    )
+    assert dup == [], dup
+    got = sorted(
+        (r["k"], r["v"]) for r in read_warehouse(spark, wh).collect()
+    )
+    assert got == [("a", 1.5), ("b", 2.0)]

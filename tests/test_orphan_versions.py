@@ -21,6 +21,7 @@ where the two-phase lock check proves no commit can be mid-staging.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -200,22 +201,50 @@ def test_orphan_never_advances_feed_tip(spark, tmp_path):
 
 def test_break_table_lock_releases_every_lock_class(tmp_path):
     """The remediation the ConcurrentWriteError message advertises must
-    actually free the table: fence, partition/append locks, AND the
-    schema-stamp mutex (a dead foreign-host writer can strand any of
-    them)."""
+    free the table WITHOUT collateral damage: the fence and the
+    schema-stamp mutex go unconditionally (they are what the operator
+    points the tool at), a provably-DEAD same-host partition lock goes
+    too, but a partition lock whose owner cannot be proven dead (a
+    foreign host, or a live local writer) survives the default break —
+    wiping it would re-open the lost-commit window for a healthy
+    concurrent writer. ``all_locks=True`` is the explicit wipe."""
     wh = str(tmp_path / "wh")
     os.makedirs(wh)
-    payload = b'{"pid": 1, "host": "other-host", "acquired_unix": 0}'
+    foreign = b'{"pid": 1, "host": "other-host", "acquired_unix": 0}'
+    # a pid that provably does not exist on this host
+    probe = os.fork()
+    if probe == 0:
+        os._exit(0)
+    os.waitpid(probe, 0)
+    dead_local = json.dumps(
+        {
+            "pid": probe,
+            "host": __import__("socket").gethostname(),
+            "acquired_unix": 0,
+        }
+    ).encode()
+    live_local = A._owner_payload()
     fence = A._lock_path(wh)
     stamp = wh.rstrip("/") + A._STAMP_SUFFIX
     plocks = A._plocks_dir(wh)
     os.makedirs(plocks)
-    plock = os.path.join(plocks, "p-deadbeef")
-    for p in (fence, stamp, plock):
-        assert fsio.create_exclusive(p, payload)
+    p_foreign = os.path.join(plocks, "p-foreign")
+    p_dead = os.path.join(plocks, "p-dead")
+    p_live = os.path.join(plocks, "p-live")
+    assert fsio.create_exclusive(fence, foreign)
+    assert fsio.create_exclusive(stamp, foreign)
+    assert fsio.create_exclusive(p_foreign, foreign)
+    assert fsio.create_exclusive(p_dead, dead_local)
+    assert fsio.create_exclusive(p_live, live_local)
 
     assert break_table_lock(wh) is True
     assert not os.path.exists(fence)
     assert not os.path.exists(stamp)
-    assert not os.path.exists(plock)
+    assert not os.path.exists(p_dead)  # provably dead: freed
+    assert os.path.exists(p_foreign)  # unprovable: kept by default
+    assert os.path.exists(p_live)  # live local writer: kept
+
+    assert break_table_lock(wh, all_locks=True) is True
+    assert not os.path.exists(p_foreign)
+    assert not os.path.exists(p_live)
     assert break_table_lock(wh) is False  # idempotent

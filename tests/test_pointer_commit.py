@@ -109,7 +109,10 @@ def test_swap_commits_via_pointer_not_rename(spark, tmp_path, monkeypatch):
 def test_crash_before_pointer_flip_serves_old_version(spark, tmp_path, monkeypatch):
     """A crash after the new version dir is fully written but before
     the pointer flips must leave the table serving its previous
-    version; the replayed commit converges and the orphan is GC'd."""
+    version; the replayed commit converges and the orphan is GC'd.
+    Grace pinned to 0: the final assertions are about the GC actually
+    collecting (the round-10 default retains for in-flight readers)."""
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 0.0)
     t0, t1 = make_trade(0), make_trade(1)
     up = str(tmp_path / "wh_crash")
     apply_changes(
@@ -213,10 +216,12 @@ def test_gc_grace_keeps_superseded_version(spark, tmp_path, monkeypatch):
     assert {r["shares"] for r in read_warehouse(spark, up).collect()} == {8}
 
 
-def test_legacy_table_upgrades_on_first_swap(spark, tmp_path):
+def test_legacy_table_upgrades_on_first_swap(spark, tmp_path, monkeypatch):
     """A table written pre-pointer (data files at the root) reads as
     itself, upgrades to the pointer layout on its first swap, and the
-    legacy root fileset is cleared by the commit's GC."""
+    legacy root fileset is cleared by the commit's GC (grace pinned to
+    0 — the default retains superseded state for in-flight readers)."""
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 0.0)
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
         compact_parquet,
     )
@@ -482,3 +487,83 @@ def test_version_time_travel_on_the_commit_log(spark, tmp_path, monkeypatch):
     assert [v["available"] for v in vs3] == [False, True]  # this append)
     with pytest.raises(ValueError, match="not a committed version"):
         A.read_warehouse_version(spark, wh, v1)
+
+
+def test_lost_log_line_reconciles_from_prior_pointer(
+    spark, tmp_path, monkeypatch
+):
+    """A crash between the pointer flip and the commit-log append loses
+    that version's log LINE while the pointer proves it committed. The
+    NEXT swap must reconcile the prior pointer's version back into the
+    rebuilt log (its dir is still retained within grace) — otherwise a
+    genuinely committed version would silently drop out of
+    ``committed_versions`` the moment it is superseded, and
+    ``read_warehouse_version`` would refuse a readable snapshot."""
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 3600.0)
+    wh = str(tmp_path / "wh")
+    t0, t1 = make_trade(0), make_trade(1)
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t0, 1)], "f1"),
+        wh, "id", mode="upsert",
+    )
+    v1 = (fsio.read_text(os.path.join(wh, CURRENT_POINTER)) or "").strip()
+    assert v1
+    # simulate the crash window: the log line for v1 never landed
+    fsio.remove(os.path.join(wh, A.VERSIONS_LOG))
+    assert A.committed_versions(wh) == [v1]  # pointer alone proves it
+
+    apply_changes(
+        spark,
+        _feed(spark, tmp_path, [("INSERT", t1, 2)], "f2"),
+        wh, "id", mode="upsert",
+    )
+    v2 = (fsio.read_text(os.path.join(wh, CURRENT_POINTER)) or "").strip()
+    assert v2 != v1
+    # the rebuilt log reconciled v1 even though its line was lost
+    assert A.committed_versions(wh) == [v1, v2]
+    old = A.read_warehouse_version(spark, wh, v1)
+    assert sorted(r["id"] for r in old.collect()) == [t0["id"]]
+    assert _ids(spark, wh) == sorted([t0["id"], t1["id"]])
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 0.0)
+
+
+def test_pinned_read_survives_concurrent_commit_and_gc(spark, tmp_path):
+    """Snapshot pinning under the DEFAULT GC grace (deliberately not
+    monkeypatched — this test pins the default being safe): a read
+    plans against one resolved version; a commit (swap + GC) lands
+    between plan and collect; the collect still returns the OLD
+    version's complete, unmixed snapshot, and every planned file lives
+    under that one version dir. At grace 0 this exact sequence dies
+    with FileNotFound — the exposure the round-9 verdict flagged."""
+    assert A.VERSION_GC_GRACE_SECONDS >= 60.0  # the safe-default pin
+    wh = str(tmp_path / "wh")
+    t0, t1 = make_trade(0), make_trade(1)
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "pin1"),
+        wh, "id", mode="upsert",
+    )
+    v1 = table_data_dir(wh)
+    planned = read_warehouse(spark, wh)  # pinned to v1 at plan time
+
+    apply_changes(
+        spark,
+        _feed(
+            spark, tmp_path,
+            [("MODIFY", dict(t0, shares=99), 2), ("INSERT", t1, 3)],
+            "pin2",
+        ),
+        wh, "id", mode="upsert",
+    )
+    assert table_data_dir(wh) != v1  # the commit really landed
+
+    rows = planned.collect()  # scan of the pinned (superseded) version
+    assert [(r["id"], r["shares"]) for r in rows] == [
+        (t0["id"], t0["shares"])
+    ]
+    assert all(v1 in f for f in planned.inputFiles())  # one version only
+
+    fresh = read_warehouse(spark, wh)
+    assert sorted((r["id"], r["shares"]) for r in fresh.collect()) == sorted(
+        [(t0["id"], 99), (t1["id"], t1["shares"])]
+    )

@@ -292,7 +292,12 @@ def test_streaming_apply_compacts_every_n_batches(spark, tmp_path):
     import glob as _glob
 
     def n_files(p):
-        return len(_glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        # count the CURRENT version's fileset (tdd): under the round-10
+        # GC grace default, superseded version dirs are retained for
+        # in-flight readers and must not count as "the table's files"
+        return len(
+            _glob.glob(os.path.join(tdd(p), "**", "*.parquet"), recursive=True)
+        )
 
     trades = [make_trade(i) for i in range(8)]
     for variant, knob in (("off", None), ("on", 2)):
@@ -1361,3 +1366,84 @@ def test_stream_classified_changes_partitioned_across_upgrade(
     got.clear()
     _await(stream_classified_changes(spark, src, ck, proc))
     assert got == [(t0["id"], 4, "update", t0["ticker"])]
+
+
+def test_bridge_bootstrap_gates_already_applied_history_rows(
+    spark, tmp_path
+):
+    """A horizon-lapsed bridge consumer bootstraps by re-applying the
+    source's retained history — which, for a HISTORY-mode replica,
+    is a blind append: the bootstrap must first gate the frame
+    through the re-delivery filter (exact stored (key, seq) pairs) or
+    every retained row the replica already holds would be appended a
+    second time (doubled storage, duplicate read_changes events). The
+    content-stream path gates exactly this case; this pins the bridge
+    path doing the same."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        KEY_COL,
+        SEQ_COL,
+        _read_table,
+        apply_changes,
+        read_warehouse as _rw,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.change_feed import (
+        read_envelope_feed,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_changes,
+    )
+
+    src = str(tmp_path / "boot_src")
+    dst = str(tmp_path / "boot_dst")
+    ck = str(tmp_path / "boot_ck")
+
+    def feed(events, name):
+        d = str(tmp_path / name)
+        write_envelope_file(d, "b.json", events)
+        return read_envelope_feed(spark, d, TRADE_SCHEMA, streaming=False)
+
+    t0, t1 = make_trade(0), make_trade(1)
+    apply_changes(
+        spark,
+        feed([("INSERT", t0, 1), ("MODIFY", dict(t0, shares=5), 2),
+              ("INSERT", t1, 3)], "boot1"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    # partitioned source -> the bridge path; history-mode replica
+    _await(stream_sync_changes(spark, src, dst, ck, "id", mode="history"))
+    assert _read_table(spark, dst).count() == 3
+
+    # two more versions, then compact PAST the bridge's offset (3):
+    # the next drain lapses below the horizon and must bootstrap
+    apply_changes(
+        spark,
+        feed([("MODIFY", dict(t1, shares=7), 4),
+              ("MODIFY", dict(t0, shares=9), 5)], "boot2"),
+        src, "id", mode="history", partition_by=["ticker"],
+    )
+    compact_history(spark, src, before_seq=5, partition_by=["ticker"])
+
+    _await(stream_sync_changes(spark, src, dst, ck, "id", mode="history"))
+
+    # no (key, seq) version row may appear twice in the replica
+    dup = (
+        _read_table(spark, dst)
+        .groupBy(KEY_COL, SEQ_COL)
+        .count()
+        .filter(F.col("count") > 1)
+        .collect()
+    )
+    assert dup == [], dup
+    # and the replica's reconstructed state equals the source's
+    a = sorted(
+        (r["id"], r["shares"]) for r in _rw(spark, src).collect()
+    )
+    b = sorted(
+        (r["id"], r["shares"]) for r in _rw(spark, dst).collect()
+    )
+    assert a == b == sorted(
+        [(t0["id"], 9), (t1["id"], 7)]
+    )
