@@ -241,7 +241,16 @@ def _replica_applied_state(
     micro-batches, and re-deriving this from the full replica per batch
     would turn the gate's win into an O(N·replica) tax exactly in the
     big-table scenario pacing exists for (measured: the paced leg of
-    scripts/probe_change_feed_scale.py --stream-compact)."""
+    scripts/probe_change_feed_scale.py --stream-compact).
+
+    Size note (the episode cache pins this via ``localCheckpoint``):
+    the pinned state is two narrow columns x one row per DISTINCT KEY
+    (latest-wins targets) or per retained version row (history
+    targets) — executor block-manager memory/disk, spillable, but
+    still O(keys): at billion-key replica scale budget roughly
+    keys x ~60 bytes across the cluster for the episode's lifetime,
+    or lower ``max_files_per_trigger`` pressure by compacting the
+    source less often (fewer re-delivery episodes)."""
     from ..operators.apply import _read_table
 
     tgt = _read_table(spark, target_path)
@@ -396,13 +405,26 @@ def stream_sync_changes(
             # A compaction folded versions PAST this consumer's seq
             # offset — the lapsed window can no longer be reconstructed
             # event-by-event, but a replica does not need it event-by-
-            # event: re-applying the ENTIRE retained history (folded
+            # event: re-applying the retained history (folded
             # latest-per-key rows, tombstones included) through the
             # convergent merge lands the same end state the content-
             # stream path reaches when the file source re-delivers the
-            # fold. Offset written only after the apply, so a crash
-            # mid-bootstrap re-runs it convergently.
-            from ..operators.apply import _read_table, current_max_seq
+            # fold. Like that path, the frame is first gated through
+            # the re-delivery filter against the replica's stored
+            # (key, seq) state: for a HISTORY-mode target apply_changes
+            # is a blind append, so an ungated bootstrap would
+            # duplicate every retained version row the replica already
+            # holds (doubled storage, duplicate read_changes events) —
+            # the gate drops exactly the already-applied rows, and for
+            # latest-wins targets it only spares the merge work the
+            # max-seq arbitration would discard anyway. Offset written
+            # only after the apply, so a crash mid-bootstrap re-runs
+            # it convergently.
+            from ..operators.apply import (
+                _read_table,
+                _table_exists,
+                current_max_seq,
+            )
 
             cur = current_max_seq(spark, source_path)
             if cur is None:
@@ -410,6 +432,12 @@ def stream_sync_changes(
             versions = _read_table(spark, source_path).filter(
                 _canonical_seq(F.col(SEQ_COL)) <= F.lit(cur)
             )
+            if mode in ("upsert", "history") and _table_exists(
+                table_data_dir(target_path)
+            ):
+                versions = _already_applied_filter(
+                    spark, versions, target_path, key, mode
+                )
             apply_changes(
                 spark, envelope_from_versions(versions), target_path,
                 key, mode=mode, propagate_deletes=True,
