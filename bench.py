@@ -49,7 +49,11 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "rollup_acctbal_by_region_nation",
     "top3_orders_per_customer",
-    "customers_without_orders",
+    # customers_without_orders retired round 10 (registry budget; see
+    # plans/analytics.py) — its headline slot keeps the semi/anti-join
+    # family via the EXISTS twin. Cross-round totals: comparable cost
+    # class (same customer/orders-sized probe), noted in COVERAGE.md.
+    "suppliers_with_shipments_semi",
     "pivot_order_status_by_priority",
     "events_hourly_rollup",
     "asof_last_click_before_purchase",

@@ -82,7 +82,7 @@ PROBE_QUERIES = [
     "top3_orders_per_customer",
     "running_total_per_customer",
     "moving_7d_revenue",
-    "customers_without_orders",
+    "suppliers_with_shipments_semi",  # anti-join twin retired round 10
     "pivot_order_status_by_priority",
     "asof_last_click_before_purchase",
     "events_hourly_rollup",
