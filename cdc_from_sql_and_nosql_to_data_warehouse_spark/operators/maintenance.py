@@ -352,6 +352,46 @@ def expire_files(
 
 
 @_locked_on_path
+def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
+    """Reclaim uncommitted residue from a fileset-manifest table: data
+    files on disk but absent from the manifest (a crashed append's
+    moved-but-never-published files — invisible to every reader by the
+    manifest contract, pure storage junk) and stale ``_staged_append_*``
+    staging dirs. Sound under the whole-table scope this runs in: the
+    two-phase fence check means no append can be mid-move while we
+    hold it, so an unlogged data file here is PROVABLY a dead writer's
+    leftover, never a commit in flight (version dirs are engine-owned;
+    external writers target legacy roots, which have no manifest and
+    are untouched — a manifest-less table is a no-op). Also keeps the
+    LIST fallback honest: an in-place rewrite that later invalidates
+    the manifest would otherwise resurrect the junk into reads whose
+    table semantics don't absorb duplicates. Returns the number of
+    files/dirs removed. The lakehouse analogue is VACUUM's
+    unreferenced-file sweep, grace-free here because the fence — not a
+    clock — proves no writer is active."""
+    import shutil as _shutil
+
+    from .. import fsio
+    from . import fileset as _fileset
+
+    data = table_data_dir(path)
+    removed = 0
+    for name in list(fsio.listdir(data)):
+        if name.startswith("_staged_append_"):
+            _shutil.rmtree(os.path.join(data, name), ignore_errors=True)
+            removed += 1
+    logged = _fileset.read_fileset(data)
+    if logged is None:
+        return removed
+    committed = set(logged)
+    for rel in _fileset.walk_data_files(data):
+        if rel not in committed:
+            fsio.remove(os.path.join(data, rel))
+            removed += 1
+    return removed
+
+
+@_locked_on_path
 def vacuum_tombstones(
     spark: SparkSession,
     path: str,

@@ -391,3 +391,39 @@ def test_partitioned_compaction_never_commits_unlogged_junk(spark, tmp_path):
         (r["k"], r["v"]) for r in read_warehouse(spark, wh).collect()
     )
     assert got == [("a", 1.5), ("b", 2.0)]
+
+
+def test_vacuum_uncommitted_reclaims_invisible_junk(spark, tmp_path):
+    """The disk-reconcile counterpart of manifest invisibility: a
+    crashed append's moved-but-unpublished files and its staging dir
+    are reader-invisible junk; vacuum_uncommitted removes exactly them
+    (committed files untouched, reads unchanged), so a LATER manifest
+    invalidation's LIST fallback cannot resurrect them."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_uncommitted,
+    )
+
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [(1, 1.0, 1), (2, 2.0, 2)]), wh, "k",
+        mode="upsert",
+    )
+    d = table_data_dir(wh)
+    committed = set(fileset.read_fileset(d))
+
+    # crashed append residue: an unlogged data file + a staging dir
+    src = os.path.join(d, sorted(committed)[0])
+    shutil.copyfile(src, os.path.join(d, "part-junk-feedface.parquet"))
+    staging = os.path.join(d, "_staged_append_999_deadbeef")
+    os.makedirs(staging)
+    shutil.copyfile(src, os.path.join(staging, "part-x.parquet"))
+
+    n = vacuum_uncommitted(spark, wh)
+    assert n == 2  # the junk file + the staging dir
+    assert set(fileset.walk_data_files(d)) == committed
+    assert not os.path.isdir(staging)
+    assert sorted(r["k"] for r in read_warehouse(spark, wh).collect()) == [
+        "1", "2",
+    ]
+    # idempotent; manifest-less tables are a no-op
+    assert vacuum_uncommitted(spark, wh) == 0
