@@ -326,30 +326,56 @@ def _next_version_name(root: str) -> str:
     return f"{_VERSION_PREFIX}{best + 1:010d}_{uuid.uuid4().hex[:8]}"
 
 
+# Supersession clock: {entry name: unix time it was FIRST seen
+# superseded}, maintained beside the pointer under the table fence.
+# The grace window must run from SUPERSESSION, not from the entry's
+# mtime — a version that was current for longer than the grace would
+# otherwise be deleted the instant it is superseded, defeating the
+# snapshot pin for every table swapped less often than the grace
+# (the slow-compaction cadence case). One small JSON, rewritten per
+# commit (a PUT on an object store), entries dropped as they are
+# collected.
+GC_CLOCK = "_gc_clock"
+
+
 def _gc_superseded(root: str, keep: str) -> None:
-    """Commit-time GC: every root entry other than the pointer and the
-    just-committed version dir is superseded state — old version dirs,
-    orphan stagings from crashed commits, and (after the upgrade
-    commit) the legacy root fileset. Entries younger than
-    ``VERSION_GC_GRACE_SECONDS`` survive for in-flight readers.
-    Deleting a directory tree is DATA-plane cleanup (a batch of
-    object-store DELETEs), not a coordination primitive — atomicity is
-    carried entirely by the pointer flip that precedes it."""
+    """Commit-time GC: every root entry other than the pointer, the
+    commit log, the supersession clock, and the just-committed version
+    dir is superseded state — old version dirs, orphan stagings from
+    crashed commits, and (after the upgrade commit) the legacy root
+    fileset. An entry is deleted only once it has been superseded for
+    ``VERSION_GC_GRACE_SECONDS`` (clock recorded at the first commit
+    that sees it superseded — see ``GC_CLOCK``), so in-flight readers
+    pinned to the previous version always get the full grace. Deleting
+    a directory tree is DATA-plane cleanup (a batch of object-store
+    DELETEs), not a coordination primitive — atomicity is carried
+    entirely by the pointer flip that precedes it; the clock itself is
+    fence-serialized like the commit log."""
+    import json
     import time
 
+    clock_path = os.path.join(root, GC_CLOCK)
+    try:
+        clock = json.loads(fsio.read_text(clock_path) or "{}")
+    except ValueError:
+        clock = {}
     now = time.time()
+    new_clock: dict[str, float] = {}
     for entry in fsio.listdir(root):
-        if entry in (CURRENT_POINTER, VERSIONS_LOG, keep):
+        if entry in (CURRENT_POINTER, VERSIONS_LOG, GC_CLOCK, keep):
+            continue
+        superseded_at = clock.get(entry, now)
+        if now - superseded_at < VERSION_GC_GRACE_SECONDS:
+            new_clock[entry] = superseded_at
             continue
         p = os.path.join(root, entry)
-        m = fsio.mtime(p)
-        if m is None or now - m < VERSION_GC_GRACE_SECONDS:
-            continue
         if os.path.isdir(p):
             fsio.remove_tree(p)
             _drop_path_caches(p)
         else:
             fsio.remove(p)
+    if new_clock or clock:
+        fsio.atomic_write_text(clock_path, json.dumps(new_clock))
 
 
 def _drop_path_caches(data_dir: str) -> None:
@@ -1436,7 +1462,10 @@ def _canonical_seq_py(seq) -> str:
 
 
 def append_to_table(
-    df: DataFrame, target_path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    target_path: str,
+    partition_by: list[str] | None = None,
+    scoped: bool = False,
 ) -> None:
     """Every engine blind-append routes here so the fileset-manifest
     contract cannot drift between call sites (the CDC append/history
@@ -1456,12 +1485,28 @@ def append_to_table(
     junk; the at-least-once replay then lands the batch under fresh
     names — exactly-once in effect, strictly stronger than the legacy
     append's torn-batch exposure. Stale ``_staged_append_*`` dirs from
-    crashes are invisible (hidden prefix) and are discarded wholesale
-    when the next whole-table swap supersedes the version dir."""
+    crashes are invisible (hidden prefix) and are reclaimed by
+    ``maintenance.vacuum_uncommitted`` or discarded wholesale when the
+    next whole-table swap supersedes the version dir.
+
+    Concurrency: the append runs under its own APPEND scope (a unique
+    token — appends never conflict with each other, and whole-table
+    writers exclude them via the two-phase check), acquired here with
+    the OCC retry unless the caller already holds one
+    (``scoped=True`` — the apply paths do). Without the token, a
+    direct caller like the bronze ingest would race a whole-table
+    sweep: ``vacuum_uncommitted`` could delete files this append just
+    moved but has not yet published, and ``adopt_fileset_manifest``
+    could record a mid-move walk as the manifest base — both fence
+    soundness claims depend on every engine append holding a token."""
     import uuid as _uuid
 
     from . import fileset
 
+    if not scoped:
+        with _retrying_mutation_scope(target_path, "append"):
+            append_to_table(df, target_path, partition_by, scoped=True)
+        return
     data_dir = table_data_dir(target_path)
     if not fileset.has_log(data_dir):
         writer = df.write.mode("append")
@@ -1884,7 +1929,7 @@ def _apply_changes_locked(
         # row per event; REMOVE never reaches the warehouse (README.md:30).
         rows = changes.filter(F.col("op").isin("INSERT", "MODIFY")).select("after.*")
         _prestamp_schema_union(spark, target_path, rows.schema)
-        append_to_table(rows, target_path, partition_by)
+        append_to_table(rows, target_path, partition_by, scoped=True)
         _stamp_schema_union(spark, target_path, rows.schema)
         return
 
@@ -1907,7 +1952,7 @@ def _apply_changes_locked(
             (F.col("op") == "REMOVE").alias(DELETED_COL),
         )
         _prestamp_schema_union(spark, target_path, rows.schema)
-        append_to_table(rows, target_path, partition_by)
+        append_to_table(rows, target_path, partition_by, scoped=True)
         _stamp_schema_union(spark, target_path, rows.schema)
         return
 

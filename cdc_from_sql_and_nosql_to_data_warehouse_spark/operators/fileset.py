@@ -146,12 +146,29 @@ def _entry_lines(data_dir: str, name: str) -> list[dict]:
     return out
 
 
+def _replay_order(names: list[str]) -> list[str]:
+    """Spark's resolution order for a set of batch-file names: the
+    latest ``.compact`` (it holds the full set), then every later
+    plain batch by ascending id. The ONE copy of the rule —
+    ``read_fileset`` and ``append_batch``'s compaction both replay
+    through it, so the ordering cannot drift between them."""
+    compacts = [n for n in names if n.endswith(".compact")]
+    start = max((_batch_id(n) for n in compacts), default=-1)
+    return [n for n in compacts if _batch_id(n) == start] + sorted(
+        (
+            n
+            for n in names
+            if not n.endswith(".compact") and _batch_id(n) > start
+        ),
+        key=_batch_id,
+    )
+
+
 def read_fileset(data_dir: str) -> list[str] | None:
     """The committed fileset as sorted relative paths, or None when the
     directory carries no log (reader falls back to the LIST walk).
-    Resolution matches Spark's: the latest ``.compact`` holds the full
-    set, later plain batches add to it. One small-file read per
-    retained batch — O(commits since the last swap), never O(data
+    Resolution matches Spark's (``_replay_order``). One small-file read
+    per retained batch — O(commits since the last swap), never O(data
     files) storage calls. Memoized per log-dir listing (batch files
     are immutable once published)."""
     names = _batch_files(data_dir)
@@ -162,13 +179,7 @@ def read_fileset(data_dir: str) -> list[str] | None:
     hit = _FILESET_CACHE.get(data_dir)
     if hit is not None and hit[0] == key:
         return hit[1]
-    compacts = [n for n in names if n.endswith(".compact")]
-    start = max((_batch_id(n) for n in compacts), default=-1)
-    read = [n for n in compacts if _batch_id(n) == start] + sorted(
-        (n for n in names if not n.endswith(".compact") and _batch_id(n) > start),
-        key=_batch_id,
-    )
-    resolved = _resolved_entries(data_dir, read)
+    resolved = _resolved_entries(data_dir, _replay_order(names))
     if resolved is None:
         return None
     rels = sorted(resolved)
@@ -291,17 +302,7 @@ def append_batch(data_dir: str, rels: list[str]) -> int | None:
         compact = (nid + 1) % COMPACT_INTERVAL == 0
         prior: dict[str, dict] | None = None
         if compact:
-            compacts = [n for n in names if n.endswith(".compact")]
-            start = max((_batch_id(n) for n in compacts), default=-1)
-            read = [n for n in compacts if _batch_id(n) == start] + sorted(
-                (
-                    n
-                    for n in names
-                    if not n.endswith(".compact") and _batch_id(n) > start
-                ),
-                key=_batch_id,
-            )
-            prior = _resolved_entries(data_dir, read)
+            prior = _resolved_entries(data_dir, _replay_order(names))
         if compact and prior is not None:
             new = set(rels)
             entries = [
@@ -312,7 +313,18 @@ def append_batch(data_dir: str, rels: list[str]) -> int | None:
         else:
             text = _entries_text(data_dir, rels)
             target = os.path.join(d, str(nid))
-        if fsio.publish_exclusive(target, text):
+        try:
+            published = fsio.publish_exclusive(target, text)
+        except FileNotFoundError:
+            # the log dir vanished between the listing and the publish
+            # (a concurrent invalidate): same outcome as the empty-dir
+            # check above — stay log-less, files visible via LIST.
+            # Engine writers can no longer race this way (appends hold
+            # a token, invalidators hold table/partition scope), so
+            # this guards crash-replay leftovers and external misuse.
+            _FILESET_CACHE.pop(data_dir, None)
+            return None
+        if published:
             _FILESET_CACHE.pop(data_dir, None)
             return nid
         # CAS lost: another appender claimed this id — re-derive
@@ -323,9 +335,32 @@ def invalidate(data_dir: str) -> None:
     delta (dynamic partition overwrite, in-place partitioned
     compaction): readers fall back to the directory LIST — always
     correct, the pre-manifest behavior — until the next whole-table
-    swap records a fresh base. Ordering matters: invalidating first
-    makes a crash mid-rewrite leave a log-less (listable) directory,
-    never a stale log that hides the rewrite's files or resurrects the
-    replaced ones. Idempotent."""
-    fsio.remove_tree(_log_dir(data_dir))
+    swap records a fresh base. Ordering matters twice over:
+
+    - Invalidating before the rewrite makes a crash mid-rewrite leave
+      a log-less (listable) directory, never a stale log that hides
+      the rewrite's files or resurrects the replaced ones.
+    - The batch files are deleted NEWEST-ID-FIRST: add-only logs make
+      every id-prefix a COMMITTED HISTORICAL fileset (batches are
+      pure increments), so a lock-free concurrent reader that resolves
+      the log mid-deletion sees a consistent slightly-stale snapshot —
+      the same class as reading a just-superseded pointer — never a
+      torn subset missing the base (which arbitrary-order deletion
+      could expose: unlink '0' first and a concurrent resolution
+      serves only the newest append's files as the whole table). A
+      reader that already listed a deleted batch reads it as empty
+      (``_entry_lines`` None -> []), which under newest-first deletion
+      still lands on an id-prefix state. Spark's own
+      MetadataLogFileIndex mid-deletion either resolves a prefix the
+      same way or errors on the vanished dir — never silently serves
+      a base-less subset.
+
+    Idempotent; crash mid-invalidate is finished by the next call or
+    by the LIST fallback simply never engaging the remnant (a log with
+    only its base deleted resolves to a prefix... of nothing once '0'
+    goes last — the final remove_tree clears tmp junk and the dir)."""
+    d = _log_dir(data_dir)
+    for name in sorted(_batch_files(data_dir), key=_batch_id, reverse=True):
+        fsio.remove(os.path.join(d, name))
+    fsio.remove_tree(d)
     _FILESET_CACHE.pop(data_dir, None)

@@ -352,6 +352,33 @@ def expire_files(
 
 
 @_locked_on_path
+def adopt_fileset_manifest(spark: SparkSession, path: str) -> int:
+    """Opt-in manifest adoption for tables that never swap — the
+    append-only event logs that are the LARGEST tables at 100 TB, and
+    that would otherwise pay the recursive LIST on every cold read
+    forever (a whole-table swap is what normally records the first
+    manifest, and these tables never take one). Records the current
+    fileset as the manifest base under the whole-table scope (the
+    fence proves no append is mid-flight, so the walk IS the committed
+    set); every later engine append extends it through
+    ``apply.append_to_table``'s staged-move-publish commit.
+
+    Adoption DECLARES the table engine-owned: a writer that bypasses
+    ``append_to_table`` after adoption writes files no reader will
+    ever see (the manifest-invisibility contract). Tables that must
+    keep accepting raw external appends should not adopt — the LIST
+    fallback is exactly the external-writer mode. Idempotent (a table
+    that already carries a manifest is a no-op). Returns the number of
+    files recorded (0 for the no-op)."""
+    data = table_data_dir(path)
+    if fileset.has_log(data):
+        return 0
+    rels = fileset.walk_data_files(data)
+    fileset.write_base(data, rels)
+    return len(rels)
+
+
+@_locked_on_path
 def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
     """Reclaim uncommitted residue from a fileset-manifest table: data
     files on disk but absent from the manifest (a crashed append's
@@ -368,23 +395,21 @@ def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
     table semantics don't absorb duplicates. Returns the number of
     files/dirs removed. The lakehouse analogue is VACUUM's
     unreferenced-file sweep, grace-free here because the fence — not a
-    clock — proves no writer is active."""
-    import shutil as _shutil
-
+    clock — proves no writer is active (every engine append holds an
+    append token, which the whole-table scope excludes)."""
     from .. import fsio
-    from . import fileset as _fileset
 
     data = table_data_dir(path)
     removed = 0
-    for name in list(fsio.listdir(data)):
+    for name in fsio.listdir(data):
         if name.startswith("_staged_append_"):
-            _shutil.rmtree(os.path.join(data, name), ignore_errors=True)
+            fsio.remove_tree(os.path.join(data, name))
             removed += 1
-    logged = _fileset.read_fileset(data)
+    logged = fileset.read_fileset(data)
     if logged is None:
         return removed
     committed = set(logged)
-    for rel in _fileset.walk_data_files(data):
+    for rel in fileset.walk_data_files(data):
         if rel not in committed:
             fsio.remove(os.path.join(data, rel))
             removed += 1

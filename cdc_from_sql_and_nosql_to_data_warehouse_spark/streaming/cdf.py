@@ -83,6 +83,19 @@ def stream_changes(
     Structured Streaming; for replica maintenance use
     ``stream_sync_changes``, which wires the convergent apply.
 
+    Commit-visibility caveat (round 10): the file source lists RAW
+    files, not the fileset manifest, so on a manifest-carrying source
+    it can deliver a crashed append's moved-but-unpublished files that
+    every BATCH reader correctly treats as uncommitted. Under the
+    at-least-once contract this is benign — the replay commits the
+    same rows (duplicate (key, seq) version rows converge everywhere
+    downstream) — but a batch that is ABANDONED (never replayed, its
+    junk later reclaimed by ``maintenance.vacuum_uncommitted``) leaves
+    a streaming consumer holding rows the source never committed.
+    Abandoning an at-least-once batch is an upstream contract
+    violation; consumers that must re-converge after one can rebuild
+    from a snapshot read (the bridge's bootstrap path).
+
     Hive-partitioned sources: refused in the pointer layout (below),
     and a LEGACY partitioned source is pinned to its root layout — the
     first compaction upgrades the table to the pointer layout and this

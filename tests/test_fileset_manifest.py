@@ -427,3 +427,44 @@ def test_vacuum_uncommitted_reclaims_invisible_junk(spark, tmp_path):
     ]
     # idempotent; manifest-less tables are a no-op
     assert vacuum_uncommitted(spark, wh) == 0
+
+
+def test_adopt_fileset_manifest_on_append_only_table(spark, tmp_path):
+    """Append-only event logs never swap, so they never get a manifest
+    organically; adoption records the current fileset as the base and
+    later engine appends extend it — cold reads then plan from the
+    manifest (MetadataLogFileIndex) on the table shape that is LARGEST
+    at scale. Idempotent, and the engine-owned contract holds: raw
+    post-adoption writes are invisible until vacuumed or re-adopted."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        adopt_fileset_manifest,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.sources.csv_source import (
+        append_to_bronze,
+    )
+
+    log_tbl = str(tmp_path / "events_log")
+    df = spark.range(24).selectExpr("cast(id as string) as account_no")
+    for _ in range(2):
+        append_to_bronze(df.repartition(2), log_tbl)
+    assert not fileset.has_log(log_tbl)
+
+    n = adopt_fileset_manifest(spark, log_tbl)
+    assert n == 4  # 2 appends x 2 files
+    assert fileset.has_log(log_tbl)
+    assert adopt_fileset_manifest(spark, log_tbl) == 0  # idempotent
+
+    planned = spark.read.parquet(log_tbl)
+    assert "MetadataLogFileIndex" in _plan_str(planned)
+    assert planned.count() == 48
+
+    # engine appends keep extending the manifest
+    append_to_bronze(df.repartition(2), log_tbl)
+    assert spark.read.parquet(log_tbl).count() == 72
+    assert sorted(_list_data_files(log_tbl)) == sorted(
+        fileset.walk_data_files(log_tbl)
+    )
+
+    # a raw bypass write is invisible (the engine-owned contract)
+    df.limit(5).write.mode("append").parquet(log_tbl)
+    assert spark.read.parquet(log_tbl).count() == 72

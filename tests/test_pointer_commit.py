@@ -567,3 +567,77 @@ def test_pinned_read_survives_concurrent_commit_and_gc(spark, tmp_path):
     assert sorted((r["id"], r["shares"]) for r in fresh.collect()) == sorted(
         [(t0["id"], 99), (t1["id"], t1["shares"])]
     )
+
+
+def test_gc_grace_runs_from_supersession_not_mtime(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding: grace measured from the version dir's mtime
+    deletes any version that was CURRENT for longer than the grace the
+    instant it is superseded — zero protection for slowly-swapped
+    tables (the compaction-cadence case). The supersession clock
+    (GC_CLOCK) starts the window at the commit that supersedes, so an
+    old-but-just-superseded version always gets the full grace."""
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 3600.0)
+    wh = str(tmp_path / "wh")
+    t0, t1 = make_trade(0), make_trade(1)
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "g1"),
+        wh, "id", mode="upsert",
+    )
+    v1 = table_data_dir(wh)
+    # the version has been current far longer than the grace
+    old = 1_000_000_000.0
+    os.utime(v1, (old, old))
+
+    planned = read_warehouse(spark, wh)  # pinned to v1
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t1, 2)], "g2"),
+        wh, "id", mode="upsert",
+    )
+    assert os.path.isdir(v1), (
+        "a just-superseded version must get the FULL grace regardless "
+        "of how long it was current"
+    )
+    assert sorted(r["id"] for r in planned.collect()) == [t0["id"]]
+
+    # and once its recorded supersession ages past the grace, the next
+    # commit collects it (clock, not mtime, decides)
+    import json as _json
+
+    clock_path = os.path.join(wh, A.GC_CLOCK)
+    clock = _json.loads(fsio.read_text(clock_path))
+    v1_name = os.path.basename(v1)
+    assert v1_name in clock
+    clock[v1_name] = old  # age the supersession record
+    fsio.atomic_write_text(clock_path, _json.dumps(clock))
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("MODIFY", dict(t1, shares=9), 3)], "g3"),
+        wh, "id", mode="upsert",
+    )
+    assert not os.path.isdir(v1)
+
+
+def test_unscoped_append_holds_a_token(spark, tmp_path, monkeypatch):
+    """Review finding: direct appends (bronze ingest, bulk load) used
+    to run lock-free, so a whole-table sweep (vacuum_uncommitted,
+    adopt_fileset_manifest) could interleave with a mid-move append.
+    append_to_table now acquires an append token itself: a held table
+    fence makes it conflict (budget pinned to 1 — acquisition
+    semantics), and the apply paths' scoped=True calls still work
+    under their own token."""
+    monkeypatch.setattr(A, "OCC_MAX_ATTEMPTS", 1)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        ConcurrentWriteError,
+        append_to_table,
+    )
+
+    wh = str(tmp_path / "wh")
+    df = spark.range(4).selectExpr("cast(id as string) as k")
+    append_to_table(df, wh)  # unscoped: acquires its own token
+    with A._write_lock(wh):
+        with pytest.raises(ConcurrentWriteError):
+            append_to_table(df, wh)
+    append_to_table(df, wh)
+    assert spark.read.parquet(wh).count() == 8
+    assert A._live_plocks(wh) == []  # tokens released
