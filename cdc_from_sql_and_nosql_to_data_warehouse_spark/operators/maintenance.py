@@ -379,6 +379,30 @@ def adopt_fileset_manifest(spark: SparkSession, path: str) -> int:
 
 
 @_locked_on_path
+def vacuum_versions(spark: SparkSession, path: str) -> int:
+    """On-demand retention sweep for a version-pointer table: run the
+    same grace-bounded GC a commit runs (superseded version dirs,
+    aborted-commit stagings, post-upgrade legacy files — all judged on
+    the supersession clock against ``VERSION_GC_GRACE_SECONDS``).
+    Commits are the only other place the GC runs, so a table that is
+    swapped once and then goes IDLE would otherwise retain its
+    superseded versions forever; this is the explicit VACUUM for that
+    tail (Delta's VACUUM, reduced to the pointer substrate). No-op on
+    legacy (never-swapped) tables. Returns the number of entries
+    still retained inside the grace after the sweep (0 means fully
+    clean)."""
+    from .apply import CURRENT_POINTER, GC_CLOCK, VERSIONS_LOG, _gc_superseded
+    from .. import fsio
+
+    cur = fsio.read_text(os.path.join(path, CURRENT_POINTER))
+    if cur is None:
+        return 0  # legacy layout: nothing versioned to sweep
+    _gc_superseded(path, cur.strip())
+    control = {CURRENT_POINTER, VERSIONS_LOG, GC_CLOCK, cur.strip()}
+    return sum(1 for e in fsio.listdir(path) if e not in control)
+
+
+@_locked_on_path
 def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
     """Reclaim uncommitted residue from a fileset-manifest table: data
     files on disk but absent from the manifest (a crashed append's

@@ -641,3 +641,45 @@ def test_unscoped_append_holds_a_token(spark, tmp_path, monkeypatch):
     append_to_table(df, wh)
     assert spark.read.parquet(wh).count() == 8
     assert A._live_plocks(wh) == []  # tokens released
+
+
+def test_vacuum_versions_sweeps_idle_table(spark, tmp_path, monkeypatch):
+    """Commits are the only other place the GC runs, so an idle table
+    would retain superseded versions forever; vacuum_versions runs the
+    same supersession-clock sweep on demand: inside the grace the
+    version is retained (and counted), past it the sweep collects it
+    with no new commit required."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_versions,
+    )
+
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 3600.0)
+    wh = str(tmp_path / "wh")
+    t0, t1 = make_trade(0), make_trade(1)
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "vv1"),
+        wh, "id", mode="upsert",
+    )
+    v1 = table_data_dir(wh)
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t1, 2)], "vv2"),
+        wh, "id", mode="upsert",
+    )
+    assert os.path.isdir(v1)  # retained inside the grace
+    assert vacuum_versions(spark, wh) == 1  # still inside: counted, kept
+    assert os.path.isdir(v1)
+
+    # age the supersession record past the grace; the sweep collects
+    # with NO new commit
+    import json as _json
+
+    clock_path = os.path.join(wh, A.GC_CLOCK)
+    clock = _json.loads(fsio.read_text(clock_path))
+    clock[os.path.basename(v1)] = 1.0
+    fsio.atomic_write_text(clock_path, _json.dumps(clock))
+    assert vacuum_versions(spark, wh) == 0
+    assert not os.path.isdir(v1)
+    # legacy (never-swapped) tables are a no-op
+    legacy = str(tmp_path / "legacy")
+    spark.range(3).write.parquet(legacy)
+    assert vacuum_versions(spark, legacy) == 0
