@@ -338,7 +338,7 @@ def _next_version_name(root: str) -> str:
 GC_CLOCK = "_gc_clock"
 
 
-def _gc_superseded(root: str, keep: str) -> None:
+def _gc_superseded(root: str, keep: str) -> int:
     """Commit-time GC: every root entry other than the pointer, the
     commit log, the supersession clock, and the just-committed version
     dir is superseded state — old version dirs, orphan stagings from
@@ -350,15 +350,31 @@ def _gc_superseded(root: str, keep: str) -> None:
     a directory tree is DATA-plane cleanup (a batch of object-store
     DELETEs), not a coordination primitive — atomicity is carried
     entirely by the pointer flip that precedes it; the clock itself is
-    fence-serialized like the commit log."""
+    fence-serialized like the commit log. Returns the number of
+    entries RETAINED inside the grace (what ``vacuum_versions``
+    reports — keeping the count here avoids a second listing and a
+    second copy of the control-file exclusion set)."""
     import json
     import time
 
     clock_path = os.path.join(root, GC_CLOCK)
     try:
-        clock = json.loads(fsio.read_text(clock_path) or "{}")
+        raw = json.loads(fsio.read_text(clock_path) or "{}")
     except ValueError:
-        clock = {}
+        raw = {}
+    # shape-validate, not just parse: a clock holding valid JSON of
+    # the wrong shape (null, a list, non-numeric values) must degrade
+    # to "first seen now" — crashing here would fail every later
+    # commit AND the rewrite below that repairs the file
+    clock = (
+        {
+            k: float(v)
+            for k, v in raw.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        }
+        if isinstance(raw, dict)
+        else {}
+    )
     now = time.time()
     new_clock: dict[str, float] = {}
     for entry in fsio.listdir(root):
@@ -376,6 +392,7 @@ def _gc_superseded(root: str, keep: str) -> None:
             fsio.remove(p)
     if new_clock or clock:
         fsio.atomic_write_text(clock_path, json.dumps(new_clock))
+    return len(new_clock)
 
 
 def _drop_path_caches(data_dir: str) -> None:
@@ -572,6 +589,11 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
         else spark.read.option("mergeSchema", "true")
     )
     if paths is None:
+        # a crash-stranded EMPTY _spark_metadata dir would make Spark
+        # plan zero files over live data; repair it before the read
+        from . import fileset
+
+        fileset.repair_stranded_log(d)
         return reader.parquet(d)
     if not paths:
         raise FileNotFoundError(

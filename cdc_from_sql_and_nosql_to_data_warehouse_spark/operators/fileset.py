@@ -170,21 +170,40 @@ def read_fileset(data_dir: str) -> list[str] | None:
     Resolution matches Spark's (``_replay_order``). One small-file read
     per retained batch — O(commits since the last swap), never O(data
     files) storage calls. Memoized per log-dir listing (batch files
-    are immutable once published)."""
-    names = _batch_files(data_dir)
-    if not names:
-        _FILESET_CACHE.pop(data_dir, None)
-        return None
-    key = tuple(sorted(names))
-    hit = _FILESET_CACHE.get(data_dir)
-    if hit is not None and hit[0] == key:
-        return hit[1]
-    resolved = _resolved_entries(data_dir, _replay_order(names))
-    if resolved is None:
-        return None
-    rels = sorted(resolved)
-    _FILESET_CACHE[data_dir] = (key, rels)
-    return rels
+    are immutable once published).
+
+    Churn safety: batch files listed here can vanish before they are
+    read (a concurrent ``invalidate``). A vanished file reads as empty,
+    which under newest-first deletion still resolves to an id-prefix
+    (a committed historical state) — EXCEPT when every listed batch
+    vanished, where "resolved to nothing" must become None (the LIST
+    fallback), not an 'empty committed fileset' that reads the table
+    as zero rows. So the listing is re-taken after resolution: any
+    deletion observed re-resolves, an unchanged-or-grown listing
+    proves the resolution was a consistent prefix, and sustained churn
+    conservatively lands on None (mid-invalidate, log-less is the
+    incoming truth)."""
+    for _ in range(8):
+        names = _batch_files(data_dir)
+        if not names:
+            _FILESET_CACHE.pop(data_dir, None)
+            return None
+        key = tuple(sorted(names))
+        hit = _FILESET_CACHE.get(data_dir)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        resolved = _resolved_entries(data_dir, _replay_order(names))
+        if resolved is None:
+            return None
+        after = set(_batch_files(data_dir))
+        if not set(names) <= after:
+            continue  # deletions in flight: re-list (ends at None)
+        rels = sorted(resolved)
+        if after == set(names):
+            _FILESET_CACHE[data_dir] = (key, rels)
+        return rels
+    _FILESET_CACHE.pop(data_dir, None)
+    return None  # sustained churn: conservative LIST fallback
 
 
 def _resolved_entries(
@@ -325,6 +344,21 @@ def append_batch(data_dir: str, rels: list[str]) -> int | None:
             _FILESET_CACHE.pop(data_dir, None)
             return None
         if published:
+            if not any(
+                _batch_id(n) < nid for n in _batch_files(data_dir)
+            ):
+                # an invalidate deleted the prior batches between our
+                # listing and the publish, but our publish landed (the
+                # dir still existed): a surviving LONE batch would BE
+                # the manifest and hide every previously committed
+                # file (a lone compact is equally anomalous — prior
+                # batches are never deleted by appends, only by
+                # invalidate). Withdraw it and stay log-less — the
+                # moved files and all prior data remain visible
+                # through the LIST fallback.
+                fsio.remove(target)
+                _FILESET_CACHE.pop(data_dir, None)
+                return None
             _FILESET_CACHE.pop(data_dir, None)
             return nid
         # CAS lost: another appender claimed this id — re-derive
@@ -350,17 +384,48 @@ def invalidate(data_dir: str) -> None:
       serves only the newest append's files as the whole table). A
       reader that already listed a deleted batch reads it as empty
       (``_entry_lines`` None -> []), which under newest-first deletion
-      still lands on an id-prefix state. Spark's own
-      MetadataLogFileIndex mid-deletion either resolves a prefix the
-      same way or errors on the vanished dir — never silently serves
-      a base-less subset.
+      still lands on an id-prefix state (``read_fileset`` re-lists and
+      returns None — the LIST fallback — when every listed batch
+      vanished). Spark's own MetadataLogFileIndex mid-deletion
+      resolves a prefix the same way, errors on a vanished dir, or —
+      in the window where the dir exists EMPTY — plans zero files;
+      that window is kept to microseconds by rmdir-ing the dir
+      immediately after the last batch file, and a crash exactly
+      there is repaired by ``repair_stranded_log`` at the next engine
+      dir-read. (On an object store the window does not exist at all:
+      no objects under the prefix means no directory.)
 
-    Idempotent; crash mid-invalidate is finished by the next call or
-    by the LIST fallback simply never engaging the remnant (a log with
-    only its base deleted resolves to a prefix... of nothing once '0'
-    goes last — the final remove_tree clears tmp junk and the dir)."""
+    Idempotent; crash mid-invalidate is finished by the next call, by
+    the repair above, or by the LIST fallback simply never engaging
+    the remnant."""
     d = _log_dir(data_dir)
     for name in sorted(_batch_files(data_dir), key=_batch_id, reverse=True):
         fsio.remove(os.path.join(d, name))
-    fsio.remove_tree(d)
+    try:
+        os.rmdir(d)  # atomic disappearance of the (now empty) dir
+    except OSError:
+        fsio.remove_tree(d)  # tmp junk remained: best-effort sweep
     _FILESET_CACHE.pop(data_dir, None)
+
+
+def repair_stranded_log(data_dir: str) -> bool:
+    """Remove a STRANDED EMPTY log dir — the residue of a crash inside
+    ``invalidate``'s final microseconds (or ``write_base``'s
+    makedirs-to-first-write window). An existing-but-empty
+    ``_spark_metadata`` makes Spark's reader plan ZERO files while the
+    data sits on disk — silently wrong — so engine dir-reads call this
+    before handing Spark the directory. ``os.rmdir`` only removes an
+    EMPTY dir: a live ``write_base`` mid-write keeps a tmp file inside
+    (rmdir then fails, harmless), and the sub-microsecond
+    makedirs-but-no-tmp-yet race at worst fails that writer LOUDLY
+    (its batch-0 write errors; the swap aborts pre-flip / the adopt
+    re-runs) — never silently empties a read. Returns True when a
+    stranded dir was removed."""
+    d = _log_dir(data_dir)
+    if not os.path.isdir(d) or _batch_files(data_dir):
+        return False
+    try:
+        os.rmdir(d)
+        return True
+    except OSError:
+        return False  # not empty after all (tmp in flight) or racing

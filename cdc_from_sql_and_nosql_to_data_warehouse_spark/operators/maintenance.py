@@ -395,11 +395,12 @@ def vacuum_versions(spark: SparkSession, path: str) -> int:
     from .. import fsio
 
     cur = fsio.read_text(os.path.join(path, CURRENT_POINTER))
-    if cur is None:
-        return 0  # legacy layout: nothing versioned to sweep
-    _gc_superseded(path, cur.strip())
-    control = {CURRENT_POINTER, VERSIONS_LOG, GC_CLOCK, cur.strip()}
-    return sum(1 for e in fsio.listdir(path) if e not in control)
+    if cur is None or not cur.strip():
+        # legacy layout (including the defended empty-pointer state,
+        # which table_data_dir also reads as legacy): the root files
+        # ARE the live table — sweeping them would clock live data
+        return 0
+    return _gc_superseded(path, cur.strip())
 
 
 @_locked_on_path

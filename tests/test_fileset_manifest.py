@@ -468,3 +468,81 @@ def test_adopt_fileset_manifest_on_append_only_table(spark, tmp_path):
     # a raw bypass write is invisible (the engine-owned contract)
     df.limit(5).write.mode("append").parquet(log_tbl)
     assert spark.read.parquet(log_tbl).count() == 72
+
+
+def test_read_fileset_mid_invalidate_falls_back_not_empty(
+    tmp_path, monkeypatch
+):
+    """Review finding: a reader that listed the log's batches and then
+    lost ALL of them to a concurrent invalidate must take the LIST
+    fallback (None), never resolve an 'empty committed fileset' ([])
+    that reads the table as zero rows."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+
+    real = fileset._entry_lines
+    fired = {"n": 0}
+
+    def racing(ddir, name):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            fileset.invalidate(ddir)  # the race: deletes before the read
+        return real(ddir, name)
+
+    monkeypatch.setattr(fileset, "_entry_lines", racing)
+    assert fileset.read_fileset(d) is None  # fallback, not []
+
+
+def test_append_batch_withdraws_lone_batch_after_invalidate(
+    tmp_path, monkeypatch
+):
+    """Review finding: a publish that lands AFTER an invalidate deleted
+    the prior batches (but before the dir vanished) would leave a lone
+    batch as the entire manifest, hiding every previously committed
+    file. The post-publish predecessor check withdraws it."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    with open(os.path.join(d, "b.parquet"), "wb") as f:
+        f.write(b"x")
+
+    real = fsio.publish_exclusive
+    log = os.path.join(d, fileset.LOG_DIR)
+
+    def racing(path, text):
+        # the invalidate wins the file-deletion race but the dir
+        # survives long enough for this publish to land
+        for name in list(os.listdir(log)):
+            if name != os.path.basename(path):
+                os.remove(os.path.join(log, name))
+        return real(path, text)
+
+    monkeypatch.setattr(fsio, "publish_exclusive", racing)
+    assert fileset.append_batch(d, ["b.parquet"]) is None
+    monkeypatch.setattr(fsio, "publish_exclusive", real)
+    # no lone batch survived; readers take the LIST fallback
+    assert fileset.read_fileset(d) is None
+
+
+def test_repair_stranded_empty_log_dir(spark, tmp_path):
+    """Review finding: a crash in invalidate's final microseconds can
+    strand an EMPTY _spark_metadata dir, which makes Spark plan zero
+    files over live data. The engine dir-read repairs it first."""
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [(1, 1.0, 1), (2, 2.0, 2)]), wh, "k",
+        mode="upsert",
+    )
+    d = table_data_dir(wh)
+    log = os.path.join(d, fileset.LOG_DIR)
+    for name in os.listdir(log):
+        os.remove(os.path.join(log, name))  # the crashed invalidate
+    assert os.path.isdir(log)
+    got = sorted(r["k"] for r in read_warehouse(spark, wh).collect())
+    assert got == ["1", "2"]  # repaired, not silently empty
+    assert not os.path.isdir(log)

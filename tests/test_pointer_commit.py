@@ -683,3 +683,52 @@ def test_vacuum_versions_sweeps_idle_table(spark, tmp_path, monkeypatch):
     legacy = str(tmp_path / "legacy")
     spark.range(3).write.parquet(legacy)
     assert vacuum_versions(spark, legacy) == 0
+
+
+def test_gc_clock_tolerates_wrong_shaped_json(spark, tmp_path, monkeypatch):
+    """Review finding: a _gc_clock holding VALID JSON of the wrong
+    shape (null, lists, non-numeric values) must degrade to
+    'first seen now' and be repaired by the commit's rewrite — not
+    crash every later commit after the pointer flip."""
+    monkeypatch.setattr(A, "VERSION_GC_GRACE_SECONDS", 3600.0)
+    wh = str(tmp_path / "wh")
+    t0, t1, t2 = make_trade(0), make_trade(1), make_trade(2)
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t0, 1)], "cc1"),
+        wh, "id", mode="upsert",
+    )
+    for poison in ("null", "[1, 2]", '{"v_x": "abc", "v_y": true}'):
+        fsio.atomic_write_text(os.path.join(wh, A.GC_CLOCK), poison)
+        apply_changes(
+            spark,
+            _feed(spark, tmp_path, [("INSERT", t1, 2)], f"cc_{len(poison)}"),
+            wh, "id", mode="upsert",
+        )
+    # commits kept succeeding and the clock is valid again
+    import json as _json
+
+    clock = _json.loads(fsio.read_text(os.path.join(wh, A.GC_CLOCK)))
+    assert isinstance(clock, dict)
+    assert all(isinstance(v, (int, float)) for v in clock.values())
+    apply_changes(
+        spark, _feed(spark, tmp_path, [("INSERT", t2, 3)], "cc4"),
+        wh, "id", mode="upsert",
+    )
+    assert len(_ids(spark, wh)) == 3
+
+
+def test_vacuum_versions_refuses_empty_pointer(spark, tmp_path):
+    """Review finding: an empty _current file reads as LEGACY layout
+    everywhere else (the root files ARE the live table) — the sweep
+    must not clock those live files as superseded."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_versions,
+    )
+
+    legacy = str(tmp_path / "legacy")
+    spark.range(5).write.parquet(legacy)
+    fsio.atomic_write_text(os.path.join(legacy, CURRENT_POINTER), "")
+    assert table_data_dir(legacy) == legacy  # defended empty-pointer state
+    assert vacuum_versions(spark, legacy) == 0
+    assert not os.path.exists(os.path.join(legacy, A.GC_CLOCK))
+    assert spark.read.parquet(legacy).count() == 5
