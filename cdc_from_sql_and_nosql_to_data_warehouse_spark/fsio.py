@@ -168,22 +168,31 @@ def publish_exclusive(path: str, text: str) -> bool:
     claim, and the content is complete before it. Object store: one
     conditional PUT (``If-None-Match: *``) carries content and claim in
     a single request, exactly like ``create_exclusive``'s mapping.
-    Returns False when the path already exists (CAS lost)."""
+    Returns False when the path already exists (CAS lost).
+
+    The tmp write lives INSIDE the try: a failed content write (ENOSPC)
+    must not leak the ``.pub.*`` sibling, and a concurrent sweep that
+    deletes the tmp between write and link surfaces as the link's own
+    FileNotFoundError (the caller's vanished-dir signal) — the cleanup
+    in ``finally`` suppresses its own FileNotFoundError so it can never
+    REPLACE the link's outcome with a confusing secondary error."""
     import uuid
+    from contextlib import suppress
 
     tmp = os.path.join(
         os.path.dirname(path),
         f".pub.{os.getpid()}.{uuid.uuid4().hex[:6]}",
     )
-    with open(tmp, "w") as f:
-        f.write(text)
     try:
+        with open(tmp, "w") as f:
+            f.write(text)
         os.link(tmp, path)
         return True
     except FileExistsError:
         return False
     finally:
-        os.remove(tmp)
+        with suppress(FileNotFoundError):
+            os.remove(tmp)
 
 
 def isdir(path: str) -> bool:

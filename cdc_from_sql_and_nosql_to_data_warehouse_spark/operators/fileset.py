@@ -76,8 +76,40 @@ COMPACT_INTERVAL = 10
 # data_dir -> (freshness key over the log dir listing, relpaths).
 # Batch files are immutable once published (CAS create), so the sorted
 # name tuple is a sound freshness key; invalidate() empties the
-# listing, which changes the key.
+# listing, which changes the key. BOUNDED: a long-lived session over
+# many tables must not retain one fileset list per table forever —
+# least-recently-used entries are evicted past the cap (insertion
+# order is maintained by re-inserting on hit).
 _FILESET_CACHE: dict = {}
+_FILESET_CACHE_MAX = 64
+
+# data_dir -> count of reads that found a PRESENT-but-unusable log
+# (foreign URIs after a relocation, sustained invalidate churn) and
+# fell back to the directory LIST. Purely observational — at 100 TB a
+# table silently running without its manifest is an operations smell
+# (every cold read pays O(files) LIST again); `fallback_counts()`
+# surfaces it and each occurrence logs a warning. Legitimately
+# log-less dirs (legacy tables, post-invalidate windows) don't count.
+_LIST_FALLBACKS: dict = {}
+
+
+def fallback_counts() -> dict:
+    """{data_dir: times a present-but-unusable fileset log forced the
+    LIST fallback this session} — see ``_note_fallback``."""
+    return dict(_LIST_FALLBACKS)
+
+
+def _note_fallback(data_dir: str, reason: str) -> None:
+    import logging
+
+    _LIST_FALLBACKS[data_dir] = _LIST_FALLBACKS.get(data_dir, 0) + 1
+    logging.getLogger(__name__).warning(
+        "fileset log at %s is present but unusable (%s); reads fall "
+        "back to the directory LIST — re-swap or repair the table to "
+        "restore manifest planning",
+        data_dir,
+        reason,
+    )
 
 
 def _log_dir(data_dir: str) -> str:
@@ -191,18 +223,25 @@ def read_fileset(data_dir: str) -> list[str] | None:
         key = tuple(sorted(names))
         hit = _FILESET_CACHE.get(data_dir)
         if hit is not None and hit[0] == key:
+            # LRU refresh: re-insert so eviction tracks recency
+            _FILESET_CACHE.pop(data_dir, None)
+            _FILESET_CACHE[data_dir] = hit
             return hit[1]
         resolved = _resolved_entries(data_dir, _replay_order(names))
         if resolved is None:
+            _note_fallback(data_dir, "foreign or unreadable entries")
             return None
         after = set(_batch_files(data_dir))
         if not set(names) <= after:
             continue  # deletions in flight: re-list (ends at None)
         rels = sorted(resolved)
         if after == set(names):
+            while len(_FILESET_CACHE) >= _FILESET_CACHE_MAX:
+                _FILESET_CACHE.pop(next(iter(_FILESET_CACHE)))
             _FILESET_CACHE[data_dir] = (key, rels)
         return rels
     _FILESET_CACHE.pop(data_dir, None)
+    _note_fallback(data_dir, "sustained log churn")
     return None  # sustained churn: conservative LIST fallback
 
 
@@ -364,48 +403,119 @@ def append_batch(data_dir: str, rels: list[str]) -> int | None:
         # CAS lost: another appender claimed this id — re-derive
 
 
+_INVALIDATED_PREFIX = ".invalidated_log."
+
+
 def invalidate(data_dir: str) -> None:
     """Drop the fileset log BEFORE a rewrite that cannot express its
     delta (dynamic partition overwrite, in-place partitioned
     compaction): readers fall back to the directory LIST — always
     correct, the pre-manifest behavior — until the next whole-table
-    swap records a fresh base. Ordering matters twice over:
+    swap records a fresh base. Invalidating before the rewrite makes a
+    crash mid-rewrite leave a log-less (listable) directory, never a
+    stale log that hides the rewrite's files or resurrects the
+    replaced ones.
 
-    - Invalidating before the rewrite makes a crash mid-rewrite leave
-      a log-less (listable) directory, never a stale log that hides
-      the rewrite's files or resurrects the replaced ones.
-    - The batch files are deleted NEWEST-ID-FIRST: add-only logs make
-      every id-prefix a COMMITTED HISTORICAL fileset (batches are
-      pure increments), so a lock-free concurrent reader that resolves
-      the log mid-deletion sees a consistent slightly-stale snapshot —
-      the same class as reading a just-superseded pointer — never a
-      torn subset missing the base (which arbitrary-order deletion
-      could expose: unlink '0' first and a concurrent resolution
-      serves only the newest append's files as the whole table). A
-      reader that already listed a deleted batch reads it as empty
-      (``_entry_lines`` None -> []), which under newest-first deletion
-      still lands on an id-prefix state (``read_fileset`` re-lists and
-      returns None — the LIST fallback — when every listed batch
-      vanished). Spark's own MetadataLogFileIndex mid-deletion
-      resolves a prefix the same way, errors on a vanished dir, or —
-      in the window where the dir exists EMPTY — plans zero files;
-      that window is kept to microseconds by rmdir-ing the dir
-      immediately after the last batch file, and a crash exactly
-      there is repaired by ``repair_stranded_log`` at the next engine
-      dir-read. (On an object store the window does not exist at all:
-      no objects under the prefix means no directory.)
+    SINGLE-STEP (round-11, closing the round-10 advisor's findings):
+    the whole ``_spark_metadata`` dir is atomically RENAMED to a
+    hidden sibling and swept afterwards. The previous per-file
+    newest-first deletion left two holes the rename closes at once:
 
-    Idempotent; crash mid-invalidate is finished by the next call, by
-    the repair above, or by the LIST fallback simply never engaging
-    the remnant."""
+    - Crash MID-DELETION left a valid-looking manifest PREFIX — an
+      arbitrarily old committed snapshot readers would keep serving
+      (silently missing later committed appends) until the abandoned
+      mutation replayed. With the rename there is no intermediate
+      state: crash before it leaves the intact (still-correct, the
+      rewrite has not started) manifest; crash after it leaves a
+      log-less dir (the LIST fallback) plus invisible hidden junk.
+    - A lockless appender racing the deletion could land ONE batch
+      that survived as the entire manifest (hiding every previously
+      committed file). The rename is atomic: a batch published before
+      it is carried away wholesale (the appender's post-publish
+      predecessor re-check then sees no log and withdraws — returns
+      None, exactly the invalidation contract), and a publish after it
+      dies on the vanished dir (FileNotFoundError -> None). No
+      interleaving leaves a lone surviving batch.
+
+    Readers mid-flight: one that already listed batch files reads the
+    vanished files as empty and ``read_fileset``'s re-list lands on
+    None — the LIST fallback; Spark's own MetadataLogFileIndex either
+    resolved before the rename (a committed snapshot) or finds no
+    ``_spark_metadata`` and lists raw. Hidden ``.invalidated_log.*``
+    residue from a crash between rename and sweep is invisible to
+    every reader (hidden prefix) and reclaimed by the next invalidate
+    or ``maintenance.vacuum_uncommitted``.
+
+    Object-store mapping: stores have no atomic directory rename, so a
+    port deletes the log objects newest-id-first (every id-prefix of
+    an add-only log is a committed historical fileset) and accepts the
+    bounded-staleness crash window this rename eliminates on POSIX —
+    or hides the log behind a same-key poison object where the store
+    supports conditional writes. Idempotent."""
+    import uuid
+
     d = _log_dir(data_dir)
-    for name in sorted(_batch_files(data_dir), key=_batch_id, reverse=True):
-        fsio.remove(os.path.join(d, name))
+    doomed = os.path.join(
+        data_dir,
+        f"{_INVALIDATED_PREFIX}{os.getpid()}.{uuid.uuid4().hex[:6]}",
+    )
     try:
-        os.rmdir(d)  # atomic disappearance of the (now empty) dir
-    except OSError:
-        fsio.remove_tree(d)  # tmp junk remained: best-effort sweep
+        os.rename(d, doomed)  # THE invalidation: atomic disappearance
+    except FileNotFoundError:
+        pass  # already log-less (idempotent re-run / lost a race)
+    except NotADirectoryError:
+        pass  # junk file squatting the log name: not a manifest
     _FILESET_CACHE.pop(data_dir, None)
+    # sweep the renamed dir and any prior crash's residue — data-plane
+    # cleanup, correctness already committed by the rename above
+    for name in fsio.listdir(data_dir):
+        if name.startswith(_INVALIDATED_PREFIX):
+            fsio.remove_tree(os.path.join(data_dir, name))
+
+
+def foreign_log_rels(data_dir: str) -> list[str] | None:
+    """Recover the RELATIVE paths a relocated table's foreign-URI log
+    records, or None when no consistent mapping exists. A wholesale
+    table copy carries its log's absolute URIs from the OLD location
+    (``_resolved_entries`` refuses them, so engine reads LIST-fallback
+    — correct but slow, and Spark's native reader would keep following
+    the stale URIs). The old data-dir prefix is not recorded anywhere,
+    so it is recovered structurally: try each ancestor directory of
+    the first entry's path, longest first, and accept the first
+    candidate under which EVERY logged entry (a) lives and (b) maps to
+    a file that exists under ``data_dir`` — existence under the new
+    location is the disambiguator (a wholesale copy moved every
+    committed file along). Resolution replays the same latest-compact
+    + later-batches order as a normal read, so the recovered set is
+    the log's committed fileset, never a torn union."""
+    names = _batch_files(data_dir)
+    if not names:
+        return None
+    raw: dict[str, dict] = {}
+    for name in _replay_order(names):
+        for entry in _entry_lines(data_dir, name):
+            p = entry.get("path", "")
+            if entry.get("action") == "delete":
+                raw.pop(p, None)
+            else:
+                raw[p] = entry
+    paths = sorted(raw)
+    if not paths:
+        return None
+    first = paths[0]
+    if not first.startswith("file://"):
+        return None
+    cand = os.path.dirname(first[len("file://"):])
+    while cand and cand != os.sep:
+        pre = "file://" + cand + os.sep
+        if all(p.startswith(pre) for p in paths):
+            rels = [p[len(pre):] for p in paths]
+            if all(
+                os.path.isfile(os.path.join(data_dir, rel)) for rel in rels
+            ):
+                return sorted(rels)
+        cand = os.path.dirname(cand)
+    return None
 
 
 def repair_stranded_log(data_dir: str) -> bool:

@@ -37,3 +37,46 @@ def ensure_started(
             on_already_running()
         return q
     return start()
+
+
+def schedule_maintenance(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    cfg=None,
+    interval: str = "60 seconds",
+    checkpoint_path: str | None = None,
+) -> StreamingQuery:
+    """Run ``operators.maintenance.run_maintenance`` on a cadence under
+    Spark's own streaming machinery — the engine analog of the
+    reference's lifecycle rule (``cdk_infrastructure/__init__.py:
+    301-307``), which is configured once and fires forever without an
+    operator remembering it. A rate-source tick stream paces the
+    triggers (its rows are never read — one row/second of driver-side
+    noise, no files, no shuffle); each trigger runs one maintenance
+    pass, which takes its own table fences, so the scheduler composes
+    with live writers exactly as a manual call does. Idempotent per
+    name (``ensure_started``): re-calling with a query of the same
+    name already active returns it instead of double-scheduling.
+    Stop via the returned query or the session's stream manager."""
+    from ..operators.maintenance import MaintenanceConfig, run_maintenance
+
+    eff = cfg if cfg is not None else MaintenanceConfig()
+
+    def _tick(_df, _epoch_id) -> None:
+        run_maintenance(spark, path, eff)
+
+    def _start() -> StreamingQuery:
+        writer = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .load()
+            .writeStream.foreachBatch(_tick)
+            .queryName(name)
+            .trigger(processingTime=interval)
+        )
+        if checkpoint_path is not None:
+            writer = writer.option("checkpointLocation", checkpoint_path)
+        return writer.start()
+
+    return ensure_started(spark, name, _start)
