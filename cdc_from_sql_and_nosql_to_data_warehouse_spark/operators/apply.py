@@ -1652,6 +1652,19 @@ def _swap_into(
     from . import fileset
 
     fileset.write_base(tmp)
+    if os.path.abspath(src) == os.path.abspath(target_path):
+        # legacy->pointer UPGRADE: the root itself was the fileset and
+        # (since manifests-from-birth, round 11) may carry a root-level
+        # _spark_metadata. Retire it BEFORE the flip: after the flip it
+        # would describe a superseded fileset while still sitting at
+        # the path raw file streams watch — Spark's file source would
+        # detect it (sourceHasMetadata) and plan the STALE file list
+        # forever, silently starving the stream of every post-upgrade
+        # append. Pre-flip removal only degrades concurrent legacy
+        # readers to the LIST walk (correct); a crash here leaves a
+        # manifest-less legacy table (correct) and the replayed swap
+        # finishes the upgrade.
+        fileset.invalidate(src)
     fsio.atomic_write_text(
         os.path.join(target_path, CURRENT_POINTER), ver
     )
@@ -1904,6 +1917,12 @@ def _scope_for(
     partitions of rows superseded WITHIN the batch — a strictly rarer
     cost than a second full batch scan per micro-batch)."""
     if mode in ("append", "history"):
+        # table CREATION commits the birth manifest, which needs the
+        # whole-table fence (a concurrent appender that raced the base
+        # walk could land files the walk missed AND skip logging them —
+        # invisible rows); steady-state appends keep the lock-free token
+        if not _table_exists(table_data_dir(target_path)):
+            return "table", None, None
         return "append", None, None
     if (
         mode == "upsert"
@@ -1929,6 +1948,32 @@ def _scope_for(
     return "table", None, None
 
 
+def _adopt_at_creation(data_dir: str, created: bool) -> None:
+    """Manifest from birth (round 11): when an append/history apply
+    CREATED the table this apply ran under the whole-table fence
+    (``_scope_for``), which is exactly ``adopt_fileset_manifest``'s
+    soundness condition — no other append can be mid-move — so the
+    just-written fileset is recorded as the manifest base immediately.
+    Every later engine append extends the log (``append_to_table``),
+    batch readers plan O(log) from the first cold read, and the
+    streaming source (``streaming/manifest_source``) gets commit-exact
+    visibility from the feed's first trigger instead of only after its
+    first compaction. ``apply_changes`` tables are engine-owned by
+    definition (their seq arbitration already forbids raw external
+    appends), so adoption's writes-must-route-through-the-engine
+    contract adds no new constraint. No-op on the steady-state append
+    path (``created`` False) and on an effectively empty creation
+    (zero data files: an all-REMOVE first append-mode batch must keep
+    reading as "no table yet", not as an empty committed fileset)."""
+    from . import fileset
+
+    if not created or fileset.has_log(data_dir):
+        return
+    rels = fileset.walk_data_files(data_dir)
+    if rels:
+        fileset.write_base(data_dir, rels)
+
+
 def _apply_changes_locked(
     spark: SparkSession,
     changes: DataFrame,
@@ -1950,9 +1995,11 @@ def _apply_changes_locked(
         # Reference behavior: INSERT+MODIFY append their after-image, one
         # row per event; REMOVE never reaches the warehouse (README.md:30).
         rows = changes.filter(F.col("op").isin("INSERT", "MODIFY")).select("after.*")
+        created = not _table_exists(data_dir)
         _prestamp_schema_union(spark, target_path, rows.schema)
         append_to_table(rows, target_path, partition_by, scoped=True)
         _stamp_schema_union(spark, target_path, rows.schema)
+        _adopt_at_creation(data_dir, created)
         return
 
     if mode == "history":
@@ -1973,9 +2020,11 @@ def _apply_changes_locked(
             _canonical_seq(F.col("seq")).alias(SEQ_COL),
             (F.col("op") == "REMOVE").alias(DELETED_COL),
         )
+        created = not _table_exists(data_dir)
         _prestamp_schema_union(spark, target_path, rows.schema)
         append_to_table(rows, target_path, partition_by, scoped=True)
         _stamp_schema_union(spark, target_path, rows.schema)
+        _adopt_at_creation(data_dir, created)
         return
 
     if mode != "upsert":

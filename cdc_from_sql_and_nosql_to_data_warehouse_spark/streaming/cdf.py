@@ -71,6 +71,7 @@ def stream_changes(
     source_path: str,
     ignore_missing_files: bool = False,
     max_files_per_trigger: int | None = None,
+    plan_from_manifest: bool | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of a history-mode table's VERSION ROWS (one
     row per change event, ``_key``/``_seq``/``_deleted`` included) via
@@ -83,18 +84,37 @@ def stream_changes(
     Structured Streaming; for replica maintenance use
     ``stream_sync_changes``, which wires the convergent apply.
 
-    Commit-visibility caveat (round 10): the file source lists RAW
-    files, not the fileset manifest, so on a manifest-carrying source
-    it can deliver a crashed append's moved-but-unpublished files that
-    every BATCH reader correctly treats as uncommitted. Under the
-    at-least-once contract this is benign — the replay commits the
-    same rows (duplicate (key, seq) version rows converge everywhere
-    downstream) — but a batch that is ABANDONED (never replayed, its
-    junk later reclaimed by ``maintenance.vacuum_uncommitted``) leaves
-    a streaming consumer holding rows the source never committed.
-    Abandoning an at-least-once batch is an upstream contract
-    violation; consumers that must re-converge after one can rebuild
-    from a snapshot read (the bridge's bootstrap path).
+    Source selection (round 11, closing round 10's commit-visibility
+    caveat): a flat manifest-carrying table can stream through the
+    MANIFEST-PLANNED source (``manifest_source.stream_feed``): each
+    micro-batch's file delta comes from the fileset log, so a crashed
+    append's moved-but-unpublished files are never delivered (the
+    streaming reader then has exactly the batch readers' commit
+    visibility) and per-trigger planning is O(retained log batches) —
+    no raw walk, no re-listing of grace-retained superseded version
+    dirs. A compaction swap still re-delivers the new version's full
+    committed fileset (the same at-least-once contract as the file
+    source, converged by the downstream gate/arbitration).
+
+    ``plan_from_manifest`` picks the source: True forces manifest
+    planning (commit-exact visibility — the pin for compliance-grade
+    consumers), False forces the raw file source, None (default)
+    applies the MEASURED policy ``manifest_source.planning_default``:
+    a Python data source costs ~1.3s per query START while the raw
+    source costs O(retained dirs x files) per TRIGGER, so bounded
+    availableNow drains on small retained state keep the raw source
+    and flip to the manifest past the retained-dir threshold
+    (``stream_sync_changes`` additionally defaults its CONTINUOUS
+    processingTime streams to manifest planning, where the start cost
+    amortizes to zero). Paced streams (``max_files_per_trigger``) and
+    manifest-less tables always use the raw file source: the Python
+    source API has no admission control and self-paced offsets break
+    availableNow. Raw-source visibility is the file-source contract:
+    benign under at-least-once (the replay converges), with the one
+    documented exception that an ABANDONED crashed append's junk —
+    later reclaimed by ``vacuum_uncommitted`` — can reach a raw-source
+    consumer; use ``plan_from_manifest=True`` (or a continuous
+    trigger) where that exposure is unacceptable.
 
     Hive-partitioned sources: refused in the pointer layout (below),
     and a LEGACY partitioned source is pinned to its root layout — the
@@ -161,6 +181,32 @@ def stream_changes(
     if not _is_hive_partitioned(phys):
         import os
 
+        from . import manifest_source
+        from ..operators import fileset
+
+        if plan_from_manifest and max_files_per_trigger is not None:
+            raise ValueError(
+                "plan_from_manifest=True cannot honor "
+                "max_files_per_trigger (the Python source API has no "
+                "admission control); drop one of the two"
+            )
+        use_manifest = (
+            plan_from_manifest
+            if plan_from_manifest is not None
+            else manifest_source.planning_default(
+                source_path, False, fileset.has_log(phys)
+            )
+        )
+        if max_files_per_trigger is None and use_manifest:
+            if not fileset.has_log(phys):
+                raise ValueError(
+                    "plan_from_manifest=True requires a fileset manifest "
+                    "(engine-created tables carry one from birth; adopt "
+                    "one via maintenance.adopt_fileset_manifest)"
+                )
+            return manifest_source.stream_feed(
+                spark, source_path, ignore_missing_files
+            )
         return reader.parquet(os.path.join(source_path, "*"))
     if phys != source_path:
         raise ValueError(
@@ -178,19 +224,27 @@ def _pacing_stream(
     spark: SparkSession,
     source_path: str,
     max_files_per_trigger: int | None = None,
+    continuous: bool = False,
 ) -> DataFrame:
     """A files-appeared WAKE-UP stream over a history table for
     consumers that never act on the batch content (the classified-feed
     bridge and the aggregate drains — their effect comes from a batch
     classifier / swap-atomic offset, the stream only paces triggers).
-    Layout- and partition-proof by construction: ``recursiveFileLookup``
-    lists every data file under the table root each trigger — legacy
-    root files, pointer version dirs, and hive partition dirs alike
-    ('_'-prefixed control files stay hidden) — with partition inference
-    off, and the imposed schema carries only ``_seq``, a physical
-    column of every history file, so no batch plan ever needs
-    partition values. Survives the legacy->pointer upgrade and every
-    compaction swap without re-pinning."""
+    Layout- and partition-proof by construction, on either of two
+    paths: UNPACED streams ride the manifest/walk change-detector
+    pacer (``manifest_source.stream_pacer`` — one pointer read + one
+    log-dir listing, or one current-version data-file walk when no
+    manifest exists, per trigger; rowless batches; never a re-list of
+    grace-retained superseded version dirs). PACED streams keep the
+    raw file source: ``recursiveFileLookup`` lists every data file
+    under the table root each trigger — legacy root files, pointer
+    version dirs, and hive partition dirs alike ('_'-prefixed control
+    files stay hidden) — with partition inference off, and the imposed
+    schema carries only ``_seq``, a physical column of every history
+    file, so no batch plan ever needs partition values. Both survive
+    the legacy->pointer upgrade and every compaction swap without
+    re-pinning (the detector re-resolves the pointer each trigger; the
+    raw glob re-expands)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = read_table_schema(source_path)
@@ -205,6 +259,22 @@ def _pacing_stream(
             "streaming over a change feed requires a history-mode table "
             '(apply_changes(mode="history"))'
         )
+    from . import manifest_source
+
+    if max_files_per_trigger is None and (
+        continuous
+        or manifest_source.planning_default(source_path, False, True)
+    ):
+        # manifest/walk change-detector pacer: one pointer read + one
+        # log-dir listing (or one current-version walk) per trigger —
+        # never the recursive re-list of every retained superseded
+        # version dir the raw file source pays under the GC grace.
+        # Engaged where its fixed query-start cost amortizes
+        # (continuous triggers) or where the raw re-list already lost
+        # (retained-dir count past the threshold); the pacer needs no
+        # manifest (it falls back to a current-version walk), so the
+        # policy's has_log input is pinned True.
+        return manifest_source.stream_pacer(spark, source_path)
     seq_fields = [f for f in schema.fields if f.name == SEQ_COL]
     pace_schema = StructType(
         seq_fields or [StructField(SEQ_COL, StringType())]
@@ -340,6 +410,7 @@ def stream_sync_changes(
     available_now: bool = True,
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
+    plan_from_manifest: bool | None = None,
 ):
     """Maintain a downstream replica of a history-mode table UNDER
     SPARK'S STREAMING MACHINERY: ``stream_changes`` feeds micro-batches
@@ -474,7 +545,12 @@ def stream_sync_changes(
                 _bootstrap_resync()
 
         writer = (
-            _pacing_stream(spark, source_path, max_files_per_trigger)
+            _pacing_stream(
+                spark,
+                source_path,
+                max_files_per_trigger,
+                continuous=processing_time is not None,
+            )
             .writeStream.foreachBatch(_tick)
             .option(
                 "checkpointLocation", os.path.join(checkpoint_path, "stream")
@@ -562,12 +638,23 @@ def stream_sync_changes(
         if applied is None or batch_max > applied:
             _write_marker(batch_max)
 
+    if (
+        plan_from_manifest is None
+        and processing_time is not None
+        and max_files_per_trigger is None
+    ):
+        # continuous replica tails default to manifest planning: the
+        # source-runner start cost amortizes over the stream's life,
+        # every trigger is O(log), and a crashed appender's junk can
+        # never reach the long-running consumer
+        plan_from_manifest = True
     writer = (
         stream_changes(
             spark,
             source_path,
             ignore_missing_files=True,
             max_files_per_trigger=max_files_per_trigger,
+            plan_from_manifest=plan_from_manifest,
         )
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_path)
@@ -628,7 +715,9 @@ def stream_classified_changes(
         follow_changes(spark, source_path, bridge_ck, process, max_ticks=1)
 
     writer = (
-        _pacing_stream(spark, source_path)
+        _pacing_stream(
+            spark, source_path, continuous=processing_time is not None
+        )
         .writeStream.foreachBatch(_tick)
         .option(
             "checkpointLocation", os.path.join(checkpoint_path, "stream")
@@ -736,7 +825,9 @@ def stream_sync_aggregate(
         )
 
     writer = (
-        _pacing_stream(spark, source_path)
+        _pacing_stream(
+            spark, source_path, continuous=processing_time is not None
+        )
         .writeStream.foreachBatch(_tick)
         .option("checkpointLocation", checkpoint_path)
     )

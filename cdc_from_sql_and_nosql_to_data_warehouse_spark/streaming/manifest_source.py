@@ -1,0 +1,523 @@
+"""Manifest-planned Structured-Streaming sources for the change feed.
+
+Round-10 shipped commit-recorded fileset manifests: every batch reader
+plans from the log (zero per-file storage calls) and a crashed append's
+moved-but-unpublished files are invisible. The STREAMING side still
+listed raw directories (``cdf.py``'s round-10 caveat): Spark's file
+source re-walks the source glob every trigger — at the production GC
+grace it lists every retained superseded version dir per trigger, and
+it can deliver uncommitted junk no batch reader would ever plan. This
+module closes both with two Python Data Sources (the public
+``pyspark.sql.datasource`` API, Spark 4) that plan each micro-batch
+from the COMMIT metadata instead:
+
+``cdc_manifest_feed`` — the content source ``cdf.stream_changes`` uses
+for flat (non-hive) manifest-carrying tables. Offsets are
+``{"v": <version dir>, "b": <log tip id>}``; each trigger's file delta
+is resolved from the fileset log (O(retained log batches) small reads,
+never a directory walk), so:
+
+- an UNLOGGED file (crashed append, junk) is never delivered — the
+  streaming reader now has exactly the batch readers' commit
+  visibility;
+- per-trigger planning cost is O(log), independent of file count and
+  of how many superseded version dirs the GC grace retains;
+- a version change (compaction swap) re-delivers the new version's
+  full committed fileset — the same at-least-once-across-rewrites
+  contract the file source had, which the downstream re-delivery gate
+  already converges (``cdf.stream_sync_changes``).
+
+``cdc_feed_pacer`` — the wake-up source behind ``cdf._pacing_stream``
+consumers (the classified-feed bridge, the aggregate drains): its
+batches carry NO rows at all (the drains act on batch-reader state,
+the stream only paces triggers), so its offset is just a change
+detector — the log-batch listing when a manifest exists, a digest of
+the current version's data-file walk otherwise (still cheaper than
+before: the walk covers the CURRENT version dir, not every retained
+one). Layout-proof like the file-source pacer it replaces: pointer
+upgrades and compaction swaps change the detector and fire a tick.
+
+WHEN each source engages (``planning_default`` — measured policy, not
+vibes): a Python data source pays a fixed ~1.3s per QUERY START
+(source-runner process + per-trigger RPC; measured by
+``scripts/probe_stream_planning.py``: idle availableNow pass 1.4s vs
+the raw file source's 0.07s on small retained state), while the raw
+file source pays O(retained version dirs x files) PER TRIGGER
+(measured: 0.07s at 0 retained dirs -> 6.1s at 300x16, diverging).
+So:
+
+- CONTINUOUS streams (``processingTime``) default to the manifest
+  source: the start cost amortizes over the stream's lifetime, every
+  trigger is O(log), and a crashed appender's junk can never reach a
+  long-running consumer.
+- BOUNDED drains (``availableNow``) default to the raw file source
+  while the table's retained-version count is small (the bench/cron
+  shape), and flip to the manifest source past
+  ``RETAINED_DIRS_THRESHOLD`` version dirs — one ``listdir`` decides.
+- ``plan_from_manifest=True/False`` on the ``cdf`` entry points
+  overrides both (the pin for consumers that need commit-exact
+  visibility on bounded drains).
+- Pacing (``max_files_per_trigger``) always takes the raw file
+  source: the Python source API has no admission control, and
+  self-pacing ``latestOffset`` breaks ``availableNow`` (the wrapper
+  memoizes the first answer as the drain target — verified
+  empirically).
+
+availableNow semantics on a Python source: Spark logs a WARN and
+falls back to SINGLE-BATCH execution (one batch from the checkpoint
+offset to the memoized latest) — exactly the drain these consumers
+want; per-trigger slicing under availableNow is the raw source's job
+(the pacing path above).
+
+SELF-CONTAINMENT (load-bearing, not style): a Python data source runs
+in SEPARATE python processes — the driver-side source runner for
+offsets/partitions/schema, executor workers for ``read`` — whose
+``sys.path`` is built independently of the driver process's. A driver
+that imported this package via a path hack (the driver contract does
+exactly that) would register classes those processes cannot import:
+the streaming source runner in particular receives NO python-includes
+path (verified empirically — ``addPyFile`` reaches executor workers
+but not the runner). So this module (a) imports NOTHING from the
+package — the few helpers it needs are SELF-CONTAINED TWINS of
+``operators.apply`` / ``operators.fileset`` functions, each pinned
+against its original by ``tests/test_manifest_source.py`` so they
+cannot drift — and (b) registers itself with cloudpickle's
+``register_pickle_by_value``, so every class and helper ships INSIDE
+the pickle and no worker ever imports the package.
+
+Reference tie: the reference's stream relay never lists either — the
+managed iterator hands it each change exactly once
+(``write_dynamodb_stream_to_s3_lambda/handler.py``); planning triggers
+from commit metadata is the self-hosted equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+# partition-count cap for one micro-batch's file delta: a steady-state
+# trigger is a handful of files (one task each); a full re-delivery
+# after a compaction swap fans out across the cluster without creating
+# one task per file
+_MAX_PARTITIONS = 32
+
+# availableNow drains flip to manifest planning past this many retained
+# version dirs under the table root (the raw glob re-lists every one of
+# them per trigger; see the module doc's measured crossover)
+RETAINED_DIRS_THRESHOLD = 16
+
+
+# --- self-contained twins (see module doc; drift-pinned by tests) ----------
+
+_CURRENT_POINTER = "_current"  # twin of apply.CURRENT_POINTER
+_SCHEMA_MANIFEST = "_table_schema.json"  # twin of apply.SCHEMA_MANIFEST
+_LOG_DIR = "_spark_metadata"  # twin of fileset.LOG_DIR
+_LOG_VERSION = "v1"  # twin of fileset._LOG_VERSION
+_VERSION_RE = re.compile(r"v_\d{10}_[0-9a-f]{8}\Z")  # apply._VERSION_NAME_RE
+
+
+def _read_text(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
+def _data_dir(root: str) -> str:
+    """Twin of ``apply.table_data_dir``: the version dir named by the
+    ``_current`` pointer, or the root itself for legacy tables
+    (missing/empty pointer)."""
+    raw = _read_text(os.path.join(root, _CURRENT_POINTER))
+    if raw is None or not raw.strip():
+        return root
+    return os.path.join(root, raw.strip())
+
+
+def _schema_of(root: str) -> StructType | None:
+    """Twin of ``apply.read_table_schema``."""
+    raw = _read_text(os.path.join(_data_dir(root), _SCHEMA_MANIFEST))
+    if raw is None:
+        return None
+    return StructType.fromJson(json.loads(raw))
+
+
+def _batch_files(data_dir: str) -> list[str]:
+    """Twin of ``fileset._batch_files``."""
+    try:
+        names = os.listdir(os.path.join(data_dir, _LOG_DIR))
+    except FileNotFoundError:
+        return []
+    out = []
+    for name in names:
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        if base.isdigit():
+            out.append(name)
+    return out
+
+
+def _batch_id(name: str) -> int:
+    return int(name[: -len(".compact")] if name.endswith(".compact") else name)
+
+
+def _entry_lines(data_dir: str, name: str) -> list[dict]:
+    """Twin of ``fileset._entry_lines``."""
+    raw = _read_text(os.path.join(data_dir, _LOG_DIR, name))
+    if raw is None:
+        return []
+    lines = raw.splitlines()
+    if not lines or lines[0].strip() != _LOG_VERSION:
+        raise ValueError(
+            f"unrecognized fileset-log version in {name!r} under "
+            f"{os.path.join(data_dir, _LOG_DIR)!r}"
+        )
+    return [json.loads(ln) for ln in lines[1:] if ln.strip()]
+
+
+def _replay_order(names: list[str]) -> list[str]:
+    """Twin of ``fileset._replay_order``: latest compact, then later
+    plain batches ascending."""
+    compacts = [n for n in names if n.endswith(".compact")]
+    start = max((_batch_id(n) for n in compacts), default=-1)
+    return [n for n in compacts if _batch_id(n) == start] + sorted(
+        (
+            n
+            for n in names
+            if not n.endswith(".compact") and _batch_id(n) > start
+        ),
+        key=_batch_id,
+    )
+
+
+def _resolved_rels(data_dir: str, batch_names: list[str]) -> set | None:
+    """Twin of ``fileset._resolved_entries`` reduced to relpaths (the
+    streaming planner needs no sizes): None on foreign URIs."""
+    prefixes = {
+        "file://" + os.path.abspath(data_dir) + os.sep,
+        "file://" + os.path.realpath(data_dir) + os.sep,
+    }
+    out: set = set()
+    for name in batch_names:
+        for entry in _entry_lines(data_dir, name):
+            p = entry.get("path", "")
+            rel = next(
+                (p[len(pre):] for pre in prefixes if p.startswith(pre)),
+                None,
+            )
+            if rel is None:
+                return None
+            if entry.get("action") == "delete":
+                out.discard(rel)  # not emitted by this engine
+            else:
+                out.add(rel)
+    return out
+
+
+def _walk_data_files(root: str) -> list[str]:
+    """Twin of ``fileset.walk_data_files``."""
+    out: list[str] = []
+    root = os.path.abspath(root)
+    for cur, dirs, names in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                out.append(os.path.relpath(os.path.join(cur, n), root))
+    return sorted(out)
+
+
+# --- policy -----------------------------------------------------------------
+
+
+def planning_default(
+    source_path: str, continuous: bool, has_log: bool
+) -> bool:
+    """The measured default for "plan this stream from the manifest?"
+    — see the module doc. ``continuous`` is the caller's trigger mode
+    (processingTime vs availableNow); callers that cannot know pass
+    False (the conservative, raw-source-leaning side)."""
+    if not has_log:
+        return False
+    if continuous:
+        return True
+    n = sum(
+        1 for name in os.listdir(source_path) if _VERSION_RE.match(name)
+    )
+    return n > RETAINED_DIRS_THRESHOLD
+
+
+# --- the content source -------------------------------------------------
+
+
+def _feed_state(root: str) -> tuple[str, str, int]:
+    """(current data dir, its root-relative version name, log tip id).
+    One pointer read + one log-dir listing — the per-trigger planning
+    cost, independent of data-file count and retained-version count."""
+    data = _data_dir(root)
+    ver = os.path.relpath(os.path.abspath(data), os.path.abspath(root))
+    names = _batch_files(data)
+    tip = max((_batch_id(n) for n in names), default=-1)
+    return data, ver, tip
+
+
+class _FeedPartition(InputPartition):
+    def __init__(self, data_dir: str, rels: list[str]):
+        self.data_dir = data_dir
+        self.rels = rels
+
+
+class _ManifestFeedReader(DataSourceStreamReader):
+    """Stream reader planning micro-batch file deltas from the fileset
+    log. Driver-side state is only the resolution cache; progress
+    lives in Spark's checkpoint (the offsets this reader returns)."""
+
+    def __init__(self, root: str, schema: StructType, ignore_missing: bool):
+        self._root = root
+        self._schema = schema
+        self._ignore_missing = ignore_missing
+        self._last: dict | None = None
+        # (version, tip) -> frozenset(rels): the previous trigger's end
+        # is the next trigger's start, so one entry makes each trigger
+        # cost ONE log resolution
+        self._cache: dict[tuple[str, int], frozenset] = {}
+
+    def initialOffset(self) -> dict:
+        return {"v": "", "b": -1}
+
+    def latestOffset(self) -> dict:
+        _, ver, tip = _feed_state(self._root)
+        if tip < 0:
+            # manifest vanished mid-stream (external invalidate): hold
+            # the last offset — readers starve rather than silently
+            # switching to raw listings with different commit
+            # visibility; the next swap records a fresh base and the
+            # version change re-delivers.
+            if self._last is not None:
+                return self._last
+            off = {"v": ver, "b": -1}
+        else:
+            off = {"v": ver, "b": tip}
+        self._last = off
+        return off
+
+    def _files_at(self, off: dict) -> frozenset | None:
+        """The committed fileset at ``off``, resolved from the log
+        batches with id <= the offset's tip; None when unresolvable
+        (version dir GC'd, foreign entries, pre-migration offset)."""
+        ver = off.get("v")
+        tip = off.get("b", -1)
+        if ver is None:
+            return None  # foreign/old checkpoint offset shape
+        if tip < 0:
+            return frozenset()
+        key = (ver, tip)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        data = os.path.normpath(os.path.join(self._root, ver))
+        names = [n for n in _batch_files(data) if _batch_id(n) <= tip]
+        if not names:
+            return None
+        rels = _resolved_rels(data, _replay_order(names))
+        if rels is None:
+            return None
+        out = frozenset(rels)
+        if len(self._cache) > 4:
+            self._cache.clear()
+        self._cache[key] = out
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        end_files = self._files_at(end)
+        if end_files is None:
+            # end state unresolvable (swap+GC raced the trigger, or a
+            # held offset on a vanished manifest): deliver nothing;
+            # the next trigger's version change re-delivers in full
+            return [_FeedPartition("", [])]
+        if start.get("v") == end.get("v"):
+            start_files = self._files_at(start)
+            delta = (
+                end_files - start_files
+                if start_files is not None
+                else end_files
+            )
+        else:
+            # version changed (compaction swap / pointer upgrade) or a
+            # pre-migration checkpoint: full committed fileset — the
+            # file source's at-least-once re-delivery contract, gated
+            # downstream
+            delta = end_files
+        rels = sorted(delta)
+        if not rels:
+            return [_FeedPartition("", [])]
+        data = os.path.normpath(os.path.join(self._root, end["v"]))
+        n = min(len(rels), _MAX_PARTITIONS)
+        chunks = [rels[i::n] for i in range(n)]
+        return [_FeedPartition(data, c) for c in chunks]
+
+    def read(self, partition: _FeedPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        for rel in partition.rels:
+            path = os.path.join(partition.data_dir, rel)
+            try:
+                tbl = pq.read_table(path)
+            except FileNotFoundError:
+                if self._ignore_missing:
+                    continue  # vanished mid-batch (swap GC): see cdf.py
+                raise
+            cols = []
+            for field in target:
+                if field.name in tbl.column_names:
+                    col = tbl.column(field.name)
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                else:
+                    # schema evolution: files written before a column
+                    # was added read as nulls, like mergeSchema
+                    col = pa.nulls(len(tbl), field.type)
+                cols.append(col)
+            for batch in pa.table(cols, schema=target).to_batches():
+                yield batch
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ChangeFeedDataSource(DataSource):
+    """``spark.readStream.format("cdc_manifest_feed").load(path)`` —
+    see the module doc. Use through ``cdf.stream_changes``, which
+    validates the table (history mode, flat layout, manifest present)
+    and picks the right source for the trigger/pacing mode."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_manifest_feed"
+
+    def schema(self) -> StructType:
+        schema = _schema_of(self.options["path"])
+        if schema is None:
+            raise ValueError(
+                "cdc_manifest_feed requires the table's schema manifest "
+                "(_table_schema.json)"
+            )
+        return schema
+
+    def streamReader(self, schema: StructType) -> _ManifestFeedReader:
+        return _ManifestFeedReader(
+            self.options["path"],
+            schema,
+            self.options.get("ignoremissingfiles", "false").lower()
+            == "true",
+        )
+
+
+# --- the pacing source ----------------------------------------------------
+
+
+class _PacerPartition(InputPartition):
+    def __init__(self):
+        pass
+
+
+class _PacerReader(DataSourceStreamReader):
+    """Rowless wake-up reader: the offset is a change detector over
+    the CURRENT version's commit state."""
+
+    def __init__(self, root: str):
+        self._root = root
+
+    def initialOffset(self) -> dict:
+        return {"k": ""}
+
+    def latestOffset(self) -> dict:
+        import hashlib
+
+        data, ver, tip = _feed_state(self._root)
+        if tip >= 0:
+            key = f"log:{ver}:" + ",".join(sorted(_batch_files(data)))
+        else:
+            # no manifest (legacy layout): digest the current version's
+            # data-file walk — one dir's walk, never the retained
+            # superseded versions the old recursive glob re-listed
+            key = f"walk:{ver}:" + "\n".join(_walk_data_files(data))
+        return {"k": hashlib.md5(key.encode()).hexdigest()}
+
+    def partitions(self, start: dict, end: dict):
+        return [_PacerPartition()]
+
+    def read(self, partition):
+        return iter(())
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class FeedPacerDataSource(DataSource):
+    """``spark.readStream.format("cdc_feed_pacer").load(path)`` — a
+    rowless trigger pacer; see the module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_feed_pacer"
+
+    def schema(self) -> StructType:
+        return StructType([StructField("seq", StringType())])
+
+    def streamReader(self, schema: StructType) -> _PacerReader:
+        return _PacerReader(self.options["path"])
+
+
+def _ensure_registered(spark: SparkSession) -> None:
+    """Idempotent per-session registration of both sources. The module
+    is registered with cloudpickle BY VALUE first, so the pickled
+    DataSource classes carry this module's code into every worker
+    process (driver-side source runner included) — no worker ever
+    imports the package; see the module doc's SELF-CONTAINMENT note."""
+    if getattr(spark, "_cdc_manifest_sources_registered", False):
+        return
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(ChangeFeedDataSource)
+    spark.dataSource.register(FeedPacerDataSource)
+    spark._cdc_manifest_sources_registered = True
+
+
+def stream_feed(
+    spark: SparkSession, source_path: str, ignore_missing_files: bool
+) -> DataFrame:
+    """Manifest-planned streaming DataFrame of a flat history table's
+    version rows (``cdf.stream_changes`` routes here when the source
+    carries a manifest and no per-trigger pacing was requested)."""
+    _ensure_registered(spark)
+    return (
+        spark.readStream.format(ChangeFeedDataSource.name())
+        .option(
+            "ignoreMissingFiles", "true" if ignore_missing_files else "false"
+        )
+        .load(source_path)
+    )
+
+
+def stream_pacer(spark: SparkSession, source_path: str) -> DataFrame:
+    """Manifest/walk change-detector pacing stream
+    (``cdf._pacing_stream`` routes here when unpaced)."""
+    _ensure_registered(spark)
+    return (
+        spark.readStream.format(FeedPacerDataSource.name()).load(source_path)
+    )
