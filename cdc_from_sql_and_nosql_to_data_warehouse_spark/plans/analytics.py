@@ -2069,38 +2069,19 @@ def daily_orders_vs_events_full_outer(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
-# Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
-# cardinality (a user purchasing 3x and clicking 2x intersects 2x) —
-# semantics the distinct-based set_ops query cannot express.
+# multiset_ops_purchase_click RETIRED round 11 (registry budget ≤100;
+# its slot funds the manifest-planned streaming-source certificate
+# `cdc_streaming_manifest_replica`, plans/cdc_queries.py). It
+# certified INTERSECT ALL / EXCEPT ALL duplicate-cardinality
+# semantics; the set-op family stays certified by
+# `set_ops_purchasers_vs_clickers` (UNION/INTERSECT/EXCEPT distinct),
+# which exercises the same ReplaceSetOps->aggregate/join physical
+# family — the ALL variants were a second certificate of that plan
+# shape, and both were driver-green every round since landing (last:
+# r10 window + judge drive). `intersectAll`/`exceptAll` remain plain
+# DataFrame API calls available to users; nothing was removed from
+# the engine.
 # ---------------------------------------------------------------------------
-@register_query(
-    "multiset_ops_purchase_click",
-    oracle="""
-    SELECT 'intersect_all' AS setop, user_id FROM (
-      SELECT user_id FROM events WHERE event_type = 'purchase'
-      INTERSECT ALL
-      SELECT user_id FROM events WHERE event_type = 'click'
-    )
-    UNION ALL
-    SELECT 'except_all' AS setop, user_id FROM (
-      SELECT user_id FROM events WHERE event_type = 'purchase'
-      EXCEPT ALL
-      SELECT user_id FROM events WHERE event_type = 'click'
-    )
-    ORDER BY setop, user_id
-    """,
-)
-def multiset_ops_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    c = ev.filter(F.col("event_type") == "click").select("user_id")
-    return (
-        p.intersectAll(c).select(F.lit("intersect_all").alias("setop"), "user_id")
-        .unionByName(
-            p.exceptAll(c).select(F.lit("except_all").alias("setop"), "user_id")
-        )
-        .orderBy("setop", "user_id")
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -1026,3 +1026,126 @@ def cdc_streaming_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 certificate: the MANIFEST-PLANNED streaming source
+# (streaming/manifest_source.py — micro-batch file deltas resolved
+# from the fileset log, never a raw directory listing). Same
+# two-wave replica pipeline as cdc_streaming_replica_sync, forced
+# through plan_from_manifest=True, with ADVERSARIAL unlogged junk
+# planted inside the source's data dir between the waves: a parquet
+# file holding a poison key at a huge seq — exactly the residue a
+# crashed append leaves. Commit visibility is therefore part of the
+# hash: if the streaming source ever planned from the raw listing,
+# the poison row would reach the replica and the oracle (which knows
+# only the real events) would fail on row count and values.
+# ---------------------------------------------------------------------------
+@register_query(
+    "cdc_streaming_manifest_replica",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             {_OP_SQL} AS op,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND op <> 'REMOVE'
+    ORDER BY user_id
+    """,
+)
+def cdc_streaming_manifest_replica(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reference relay parity under commit-exact streaming visibility:
+    the reference's managed iterator hands each committed change
+    exactly once (write_dynamodb_stream_to_s3_lambda/handler.py); the
+    manifest-planned source is the self-hosted equivalent — uncommitted
+    files are structurally invisible to the stream."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.apply import (
+        _canonical_seq_py,
+        apply_changes,
+        read_warehouse,
+        table_data_dir,
+    )
+    from ..streaming.cdf import stream_sync_changes
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        _op_col().alias("op"),
+        F.struct(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ).alias("after"),
+        F.concat(
+            F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("seq"),
+        (F.col("event_id") % 2).alias("_wave"),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_manifest_stream_")
+    src, dst, ck = f"{work}/src", f"{work}/dst", f"{work}/ck"
+    try:
+        apply_changes(
+            spark, env.filter(F.col("_wave") == 0).drop("_wave"),
+            src, "user_id", mode="history",
+        )
+        stream_sync_changes(
+            spark, src, dst, ck, "user_id", plan_from_manifest=True
+        ).awaitTermination()
+
+        # crashed-append residue: a poison version row (absurd key,
+        # max seq) moved into the source's data dir but never logged —
+        # raw-listing planning would deliver it and poison the replica
+        d = table_data_dir(src)
+        poison = spark.createDataFrame(
+            [(
+                -999_999, -1, "poison", 0.0, "-999999",
+                _canonical_seq_py("9" * 39), False,
+            )],
+            "user_id long, event_id long, event_type string, "
+            "value double, _key string, _seq string, _deleted boolean",
+        )
+        tmp = f"{work}/poison"
+        poison.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copyfile(
+            part, os.path.join(d, "part-junk-0badc0de.parquet")
+        )
+
+        apply_changes(
+            spark, env.filter(F.col("_wave") == 1).drop("_wave"),
+            src, "user_id", mode="history",
+        )
+        stream_sync_changes(
+            spark, src, dst, ck, "user_id", plan_from_manifest=True
+        ).awaitTermination()
+        out = (
+            read_warehouse(spark, dst)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out.orderBy("user_id")

@@ -87,6 +87,7 @@ _EXPORT_PRIORITY: list[str] = [
     "cdc_schema_evolution_read",
     "cdc_time_travel_read",
     # streaming CDF certificates
+    "cdc_streaming_manifest_replica",  # NEW r11: manifest-planned source
     "cdc_streaming_classified_feed",
     "cdc_streaming_replica_sync",
     "cdc_minmax_aggregate",
@@ -122,16 +123,32 @@ _EXPORT_PRIORITY: list[str] = [
 
 
 def _round_index() -> int:
-    """The build round this process is running in: the count of the
-    driver's ``CORRECTNESS_r*.json`` ledgers at the repo root (two
-    levels above this package). One lands per round, pass or fail, so
-    the index is deterministic within a round and OUTCOME-INDEPENDENT
-    across rounds — the properties the tail rotation needs. Outside
-    the repo layout (e.g. an installed copy) this is 0 and the
-    rotation degrades to one fixed, still-deterministic order."""
+    """The build round this process is running in. Two sources, both
+    deterministic within a round and OUTCOME-INDEPENDENT across rounds
+    (the properties the tail rotation needs):
+
+    1. ``SPARK_GRAFT_ROUND`` when set — the explicit override for
+       harnesses/deployments that know their own cycle counter, and
+       the answer to the round-10 advisor's objection that filesystem
+       state should not be the only clock.
+    2. Otherwise the count of the driver's ``CORRECTNESS_r*.json``
+       ledgers at the repo root (two levels above this package). These
+       are COMMITTED files (every round's ledger lands in its closing
+       commit), so a clean clone carries the current index; one lands
+       per round, pass or fail. Outside the repo layout (an installed
+       copy, no env var) this is 0 and the rotation degrades to one
+       fixed, still-deterministic order.
+
+    Soundness does not rest on the rotation: every oracle-backed row
+    is swept exhaustively by tests/test_oracle_parity each suite run
+    regardless of export order (pinned there), and the rotation only
+    reorders the tail AFTER the fixed priority block."""
     import glob
     import os
 
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env is not None and env.strip().isdigit():
+        return int(env.strip())
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
