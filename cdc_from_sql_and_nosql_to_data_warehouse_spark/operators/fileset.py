@@ -309,16 +309,39 @@ def _entries_text(data_dir: str, rels: list[str]) -> str:
     return _text_of([_entry_for(data_dir, rel) for rel in sorted(rels)])
 
 
+_EPOCH_FILE = ".epoch"
+
+
+def log_epoch(data_dir: str) -> str:
+    """Identity of the CURRENT log incarnation: a uuid stamped by
+    ``write_base`` (hidden ``.epoch`` file inside the log dir — both
+    this module's and Spark's batch filters ignore non-numeric names).
+    Batch ids are only comparable WITHIN one incarnation: an
+    invalidate + re-adopt (or a relocated-log repair) restarts ids at
+    0 over a different base, so a streaming consumer that compared a
+    checkpointed tip against the new log would silently resolve the
+    wrong snapshot. Consumers put the epoch in their offsets and treat
+    a mismatch like a version change (full gated re-delivery). ''
+    for logs written before epochs existed (both sides of a
+    comparison then read '', preserving their old behavior)."""
+    return (fsio.read_text(os.path.join(_log_dir(data_dir), _EPOCH_FILE)) or "").strip()
+
+
 def write_base(data_dir: str, rels: list[str] | None = None) -> None:
     """Record the directory's full fileset as log batch 0 — the swap
     commit's manifest, written into the staged version dir BEFORE the
     pointer flip so a served version is never manifest-less. ``rels``
     defaults to a walk of the just-written directory (O(new files),
-    the same order of work the write itself performed)."""
+    the same order of work the write itself performed). Stamps a fresh
+    log epoch (see ``log_epoch``) BEFORE batch 0 so no reader can see
+    a new incarnation under the old identity."""
+    import uuid
+
     if rels is None:
         rels = walk_data_files(data_dir)
     d = _log_dir(data_dir)
     fsio.makedirs(d)
+    fsio.atomic_write_text(os.path.join(d, _EPOCH_FILE), uuid.uuid4().hex)
     fsio.atomic_write_text(os.path.join(d, "0"), _entries_text(data_dir, rels))
     _FILESET_CACHE.pop(data_dir, None)
 
@@ -534,6 +557,14 @@ def repair_stranded_log(data_dir: str) -> bool:
     d = _log_dir(data_dir)
     if not os.path.isdir(d) or _batch_files(data_dir):
         return False
+    # a crashed write_base can strand the dir holding ONLY the epoch
+    # stamp (written just before batch 0): zero batches means nothing
+    # was committed, so the stamp is junk — remove it so the rmdir can
+    # land. Anything else (a writer's in-flight tmp) aborts the repair.
+    leftovers = fsio.listdir(d)
+    if leftovers and leftovers != [_EPOCH_FILE]:
+        return False  # a live write_base is mid-flight: not stranded
+    fsio.remove(os.path.join(d, _EPOCH_FILE))
     try:
         os.rmdir(d)
         return True

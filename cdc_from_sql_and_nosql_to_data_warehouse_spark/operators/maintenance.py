@@ -524,7 +524,10 @@ class MaintenanceReport:
     uncommitted_removed: int
     staging_expired: int
     compacted: bool
-    n_files: int
+    # live-fileset file count — measured ONLY when the compaction gate
+    # is configured (None otherwise: a per-tick full-table walk just to
+    # fill a report field would be O(files) on an idle 100 TB table)
+    n_files: int | None
 
 
 def run_maintenance(
@@ -556,9 +559,12 @@ def run_maintenance(
                 expire_files(sp, cfg.expire_staging_after_seconds)
             )
     compacted = False
-    # file count only — no count-star: the fragmentation gate must not
-    # cost a footer read per file per tick on a healthy table
-    n_files = len(fileset.walk_data_files(table_data_dir(path)))
+    # the fragmentation gate costs one file-count walk (no count-star,
+    # no footer reads) and ONLY runs when configured — an idle tick on
+    # an ungated table must not pay O(files) to fill a report field
+    n_files: int | None = None
+    if cfg.compact_when_files_exceed is not None:
+        n_files = len(fileset.walk_data_files(table_data_dir(path)))
     if (
         cfg.compact_when_files_exceed is not None
         and n_files > cfg.compact_when_files_exceed

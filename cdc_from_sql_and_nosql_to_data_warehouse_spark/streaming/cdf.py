@@ -98,23 +98,30 @@ def stream_changes(
 
     ``plan_from_manifest`` picks the source: True forces manifest
     planning (commit-exact visibility — the pin for compliance-grade
-    consumers), False forces the raw file source, None (default)
-    applies the MEASURED policy ``manifest_source.planning_default``:
-    a Python data source costs ~1.3s per query START while the raw
-    source costs O(retained dirs x files) per TRIGGER, so bounded
-    availableNow drains on small retained state keep the raw source
-    and flip to the manifest past the retained-dir threshold
-    (``stream_sync_changes`` additionally defaults its CONTINUOUS
-    processingTime streams to manifest planning, where the start cost
-    amortizes to zero). Paced streams (``max_files_per_trigger``) and
-    manifest-less tables always use the raw file source: the Python
-    source API has no admission control and self-paced offsets break
-    availableNow. Raw-source visibility is the file-source contract:
-    benign under at-least-once (the replay converges), with the one
-    documented exception that an ABANDONED crashed append's junk —
-    later reclaimed by ``vacuum_uncommitted`` — can reach a raw-source
-    consumer; use ``plan_from_manifest=True`` (or a continuous
-    trigger) where that exposure is unacceptable.
+    consumers), False or None keeps the raw file source. The default
+    is DELIBERATELY raw and deterministic here: the two sources write
+    mutually incompatible checkpoint offsets (the raw FileStreamSource
+    cannot parse the manifest source's), and this bare entry point
+    does not know the caller's checkpoint, so it must never flip
+    choices between runs on its own. The engine entry points
+    (``stream_sync_changes`` and the pacing bridges) DO know their
+    checkpoints and choose via the measured policy
+    (``manifest_source.planning_default``: a Python data source costs
+    ~1.3s per query START, the raw source O(retained dirs x files)
+    per TRIGGER — continuous processingTime streams and bounded
+    drains past the retained-dir threshold go manifest, small
+    availableNow drains stay raw), then PIN the choice in a
+    checkpoint marker so it can never silently flip; a pinned
+    manifest checkpoint asked to run raw fails loudly instead of
+    poisoning the stream. Paced streams (``max_files_per_trigger``)
+    and manifest-less tables always use the raw file source: the
+    Python source API has no admission control and self-paced offsets
+    break availableNow. Raw-source visibility is the file-source
+    contract: benign under at-least-once (the replay converges), with
+    the one documented exception that an ABANDONED crashed append's
+    junk — later reclaimed by ``vacuum_uncommitted`` — can reach a
+    raw-source consumer; use ``plan_from_manifest=True`` (or a
+    continuous engine stream) where that exposure is unacceptable.
 
     Hive-partitioned sources: refused in the pointer layout (below),
     and a LEGACY partitioned source is pinned to its root layout — the
@@ -190,14 +197,7 @@ def stream_changes(
                 "max_files_per_trigger (the Python source API has no "
                 "admission control); drop one of the two"
             )
-        use_manifest = (
-            plan_from_manifest
-            if plan_from_manifest is not None
-            else manifest_source.planning_default(
-                source_path, False, fileset.has_log(phys)
-            )
-        )
-        if max_files_per_trigger is None and use_manifest:
+        if plan_from_manifest:
             if not fileset.has_log(phys):
                 raise ValueError(
                     "plan_from_manifest=True requires a fileset manifest "
@@ -208,6 +208,16 @@ def stream_changes(
                 spark, source_path, ignore_missing_files
             )
         return reader.parquet(os.path.join(source_path, "*"))
+    if plan_from_manifest:
+        # a silent downgrade would hand a compliance-grade consumer
+        # raw-listing visibility it explicitly opted out of
+        raise ValueError(
+            "plan_from_manifest=True is flat-table only: hive-"
+            "partitioned feeds stream through the batch classifiers / "
+            "pacing bridge (stream_sync_changes, follow_changes, "
+            "stream_classified_changes), whose drains are batch reads "
+            "that already honor the manifest"
+        )
     if phys != source_path:
         raise ValueError(
             "stream_changes cannot follow a hive-partitioned table in "
@@ -220,11 +230,63 @@ def stream_changes(
     return reader.parquet(source_path)
 
 
+def _sticky_source_kind(
+    ck_dir: str,
+    marker_name: str,
+    explicit: bool | None,
+    default_fn,
+) -> bool:
+    """Checkpoint-STICKY source selection (returns use-manifest/pacer).
+
+    The manifest-planned sources and the raw file source write
+    mutually incompatible checkpoint offsets: the raw FileStreamSource
+    crashes parsing a manifest offset, permanently, until the
+    checkpoint is wiped. The measured selection policy depends on
+    mutable state (trigger mode, retained-dir count — which the
+    scheduled retention sweeps change between runs), so the FIRST
+    start's choice is recorded in a marker file inside the checkpoint
+    dir and later starts follow it instead of re-deriving. The one
+    legal migration is raw -> manifest (the manifest source reads an
+    unrecognized offset as 'deliver the full committed fileset',
+    which the gate converges — pinned by
+    test_checkpoint_migrates_from_file_source); a manifest-pinned
+    checkpoint asked to run raw (explicit False, or pacing re-enabled)
+    fails HERE with remediation instead of poisoning the stream at
+    runtime. An explicit caller choice always updates the marker it is
+    allowed to reach."""
+    import os
+
+    from .. import fsio
+
+    marker = os.path.join(ck_dir, marker_name)
+    raw = fsio.read_text(marker)
+    recorded = raw.strip() if raw and raw.strip() else None
+    if explicit is not None:
+        choice = explicit
+    elif recorded is not None:
+        choice = recorded == "manifest"
+    else:
+        choice = bool(default_fn())
+    if recorded == "manifest" and not choice:
+        raise ValueError(
+            f"checkpoint {ck_dir!r} was written by a manifest-planned "
+            "source; the raw file source cannot read its offsets. "
+            "Keep the prior configuration (plan_from_manifest=True / "
+            "unpaced), or start a fresh checkpoint."
+        )
+    wanted = "manifest" if choice else "raw"
+    if recorded != wanted:
+        fsio.makedirs(ck_dir)
+        fsio.atomic_write_text(marker, wanted)
+    return choice
+
+
 def _pacing_stream(
     spark: SparkSession,
     source_path: str,
     max_files_per_trigger: int | None = None,
     continuous: bool = False,
+    sticky_dir: str | None = None,
 ) -> DataFrame:
     """A files-appeared WAKE-UP stream over a history table for
     consumers that never act on the batch content (the classified-feed
@@ -261,19 +323,32 @@ def _pacing_stream(
         )
     from . import manifest_source
 
-    if max_files_per_trigger is None and (
-        continuous
-        or manifest_source.planning_default(source_path, False, True)
-    ):
-        # manifest/walk change-detector pacer: one pointer read + one
-        # log-dir listing (or one current-version walk) per trigger —
-        # never the recursive re-list of every retained superseded
-        # version dir the raw file source pays under the GC grace.
-        # Engaged where its fixed query-start cost amortizes
-        # (continuous triggers) or where the raw re-list already lost
-        # (retained-dir count past the threshold); the pacer needs no
-        # manifest (it falls back to a current-version walk), so the
-        # policy's has_log input is pinned True.
+    # manifest/walk change-detector pacer vs raw recursive listing:
+    # the pacer costs one pointer read + one small listing per trigger
+    # (never the re-list of every retained superseded version dir the
+    # raw source pays under the GC grace) but ~1.3s per query start;
+    # engaged where the start cost amortizes (continuous triggers) or
+    # where the raw re-list already lost (retained-dir threshold). The
+    # choice is pinned per checkpoint (_sticky_source_kind) because
+    # the raw source cannot read pacer offsets; pacing requests force
+    # raw (loudly, if the checkpoint is pacer-pinned). The pacer needs
+    # no manifest (current-version walk fallback), so the policy's
+    # has_log input is pinned True.
+    def _default() -> bool:
+        return continuous or manifest_source.planning_default(
+            source_path, False, True
+        )
+
+    if sticky_dir is not None:
+        use_pacer = _sticky_source_kind(
+            sticky_dir,
+            "_cdc_pacer_kind",
+            False if max_files_per_trigger is not None else None,
+            _default,
+        )
+    else:
+        use_pacer = max_files_per_trigger is None and _default()
+    if use_pacer:
         return manifest_source.stream_pacer(spark, source_path)
     seq_fields = [f for f in schema.fields if f.name == SEQ_COL]
     pace_schema = StructType(
@@ -288,7 +363,18 @@ def _pacing_stream(
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
-    return reader.parquet(source_path)
+    # one-level glob, NOT the bare root: since manifests-from-birth a
+    # legacy root carries _spark_metadata, and Spark's file source
+    # LATCHES onto a sink log at its source path (sourceHasMetadata) —
+    # a long-running raw pacer would then plan from the root log and
+    # silently stop ticking the moment the upgrade swap retires it.
+    # The glob defeats the latch (no single metadata root) while
+    # matching the same files: legacy root files, version dirs, and
+    # hive partition dirs all sit one level down, and
+    # recursiveFileLookup descends each match.
+    import os
+
+    return reader.parquet(os.path.join(source_path, "*"))
 
 
 def envelope_from_versions(versions: DataFrame) -> DataFrame:
@@ -550,6 +636,7 @@ def stream_sync_changes(
                 source_path,
                 max_files_per_trigger,
                 continuous=processing_time is not None,
+                sticky_dir=os.path.join(checkpoint_path, "stream"),
             )
             .writeStream.foreachBatch(_tick)
             .option(
@@ -638,23 +725,39 @@ def stream_sync_changes(
         if applied is None or batch_max > applied:
             _write_marker(batch_max)
 
-    if (
-        plan_from_manifest is None
-        and processing_time is not None
-        and max_files_per_trigger is None
-    ):
-        # continuous replica tails default to manifest planning: the
-        # source-runner start cost amortizes over the stream's life,
-        # every trigger is O(log), and a crashed appender's junk can
-        # never reach the long-running consumer
-        plan_from_manifest = True
+    # source selection, pinned per checkpoint (_sticky_source_kind):
+    # on a FRESH checkpoint the measured policy decides — continuous
+    # processingTime streams go manifest when the source carries a
+    # log (the start cost amortizes, triggers are O(log), junk can
+    # never reach the long-running consumer; manifest-less legacy
+    # sources stay raw), bounded drains follow the retained-dir
+    # threshold — and the choice is recorded so later runs can never
+    # silently flip to a source that cannot read the offsets.
+    from . import manifest_source
+    from ..operators import fileset
+
+    if plan_from_manifest and max_files_per_trigger is not None:
+        raise ValueError(
+            "plan_from_manifest=True cannot honor max_files_per_trigger "
+            "(the Python source API has no admission control); drop one"
+        )
+    use_manifest = _sticky_source_kind(
+        checkpoint_path,
+        "_cdc_source_kind",
+        False if max_files_per_trigger is not None else plan_from_manifest,
+        lambda: manifest_source.planning_default(
+            source_path,
+            processing_time is not None,
+            fileset.has_log(table_data_dir(source_path)),
+        ),
+    )
     writer = (
         stream_changes(
             spark,
             source_path,
             ignore_missing_files=True,
             max_files_per_trigger=max_files_per_trigger,
-            plan_from_manifest=plan_from_manifest,
+            plan_from_manifest=use_manifest,
         )
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_path)
@@ -716,7 +819,10 @@ def stream_classified_changes(
 
     writer = (
         _pacing_stream(
-            spark, source_path, continuous=processing_time is not None
+            spark,
+            source_path,
+            continuous=processing_time is not None,
+            sticky_dir=os.path.join(checkpoint_path, "stream"),
         )
         .writeStream.foreachBatch(_tick)
         .option(
@@ -826,7 +932,10 @@ def stream_sync_aggregate(
 
     writer = (
         _pacing_stream(
-            spark, source_path, continuous=processing_time is not None
+            spark,
+            source_path,
+            continuous=processing_time is not None,
+            sticky_dir=checkpoint_path,
         )
         .writeStream.foreachBatch(_tick)
         .option("checkpointLocation", checkpoint_path)

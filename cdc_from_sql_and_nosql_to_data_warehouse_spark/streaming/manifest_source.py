@@ -152,6 +152,22 @@ def _schema_of(root: str) -> StructType | None:
     return StructType.fromJson(json.loads(raw))
 
 
+_EPOCH_FILE = ".epoch"  # twin of fileset._EPOCH_FILE
+
+
+def _log_epoch(data_dir: str) -> str:
+    """Twin of ``fileset.log_epoch``: the log incarnation's identity.
+    Batch ids are only comparable within one incarnation (an
+    invalidate + re-adopt or a relocated-log repair restarts ids over
+    a DIFFERENT base), so offsets carry the epoch and a mismatch is
+    treated like a version change — full gated re-delivery instead of
+    a silently wrong delta. '' for pre-epoch logs (both sides of a
+    comparison then read '', preserving their old behavior)."""
+    return (
+        _read_text(os.path.join(data_dir, _LOG_DIR, _EPOCH_FILE)) or ""
+    ).strip()
+
+
 def _batch_files(data_dir: str) -> list[str]:
     """Twin of ``fileset._batch_files``."""
     try:
@@ -258,15 +274,16 @@ def planning_default(
 # --- the content source -------------------------------------------------
 
 
-def _feed_state(root: str) -> tuple[str, str, int]:
-    """(current data dir, its root-relative version name, log tip id).
-    One pointer read + one log-dir listing — the per-trigger planning
-    cost, independent of data-file count and retained-version count."""
+def _feed_state(root: str) -> tuple[str, str, int, str]:
+    """(current data dir, its root-relative version name, log tip id,
+    log epoch). One pointer read + one log-dir listing + one small
+    read — the per-trigger planning cost, independent of data-file
+    count and retained-version count."""
     data = _data_dir(root)
     ver = os.path.relpath(os.path.abspath(data), os.path.abspath(root))
     names = _batch_files(data)
     tip = max((_batch_id(n) for n in names), default=-1)
-    return data, ver, tip
+    return data, ver, tip, _log_epoch(data) if tip >= 0 else ""
 
 
 class _FeedPartition(InputPartition):
@@ -291,10 +308,10 @@ class _ManifestFeedReader(DataSourceStreamReader):
         self._cache: dict[tuple[str, int], frozenset] = {}
 
     def initialOffset(self) -> dict:
-        return {"v": "", "b": -1}
+        return {"v": "", "b": -1, "e": ""}
 
     def latestOffset(self) -> dict:
-        _, ver, tip = _feed_state(self._root)
+        _, ver, tip, epoch = _feed_state(self._root)
         if tip < 0:
             # manifest vanished mid-stream (external invalidate): hold
             # the last offset — readers starve rather than silently
@@ -303,9 +320,9 @@ class _ManifestFeedReader(DataSourceStreamReader):
             # version change re-delivers.
             if self._last is not None:
                 return self._last
-            off = {"v": ver, "b": -1}
+            off = {"v": ver, "b": -1, "e": ""}
         else:
-            off = {"v": ver, "b": tip}
+            off = {"v": ver, "b": tip, "e": epoch}
         self._last = off
         return off
 
@@ -319,7 +336,7 @@ class _ManifestFeedReader(DataSourceStreamReader):
             return None  # foreign/old checkpoint offset shape
         if tip < 0:
             return frozenset()
-        key = (ver, tip)
+        key = (ver, tip, off.get("e", ""))
         hit = self._cache.get(key)
         if hit is not None:
             return hit
@@ -343,7 +360,9 @@ class _ManifestFeedReader(DataSourceStreamReader):
             # held offset on a vanished manifest): deliver nothing;
             # the next trigger's version change re-delivers in full
             return [_FeedPartition("", [])]
-        if start.get("v") == end.get("v"):
+        if start.get("v") == end.get("v") and start.get(
+            "e", ""
+        ) == end.get("e", ""):
             start_files = self._files_at(start)
             delta = (
                 end_files - start_files
@@ -351,10 +370,12 @@ class _ManifestFeedReader(DataSourceStreamReader):
                 else end_files
             )
         else:
-            # version changed (compaction swap / pointer upgrade) or a
-            # pre-migration checkpoint: full committed fileset — the
-            # file source's at-least-once re-delivery contract, gated
-            # downstream
+            # version OR log-epoch changed (compaction swap / pointer
+            # upgrade / invalidate + re-adopt / relocated-log repair)
+            # or a pre-migration checkpoint: batch ids are not
+            # comparable across incarnations, so deliver the full
+            # committed fileset — the file source's at-least-once
+            # re-delivery contract, gated downstream
             delta = end_files
         rels = sorted(delta)
         if not rels:
@@ -445,9 +466,13 @@ class _PacerReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         import hashlib
 
-        data, ver, tip = _feed_state(self._root)
+        data, ver, tip, epoch = _feed_state(self._root)
         if tip >= 0:
-            key = f"log:{ver}:" + ",".join(sorted(_batch_files(data)))
+            # epoch included: an invalidate + re-adopt can reproduce
+            # the same batch-name listing over different content
+            key = f"log:{ver}:{epoch}:" + ",".join(
+                sorted(_batch_files(data))
+            )
         else:
             # no manifest (legacy layout): digest the current version's
             # data-file walk — one dir's walk, never the retained

@@ -373,3 +373,185 @@ def test_self_contained_twins_cannot_drift(spark, tmp_path):
     assert ms._SCHEMA_MANIFEST == A.SCHEMA_MANIFEST
     assert ms._LOG_DIR == fileset.LOG_DIR
     assert ms._VERSION_RE.pattern == A._VERSION_NAME_RE.pattern
+
+
+def test_log_epoch_guards_rebased_offsets(spark, tmp_path):
+    """Review finding (round 11): batch ids are only comparable within
+    one log incarnation. After an in-place rebase (invalidate +
+    re-adopt, or repair_relocated_log) the new log's tip can collide
+    with a checkpointed tip and the delta silently resolves to empty —
+    undelivered committed rows skipped forever. The log EPOCH in the
+    offset turns a rebase into a full gated re-delivery."""
+    src, dst, ck = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    )
+    apply_changes(
+        spark, _env(spark, [("a", "INSERT", 1, 1)]), src, "k",
+        mode="history",
+    )
+    apply_changes(
+        spark, _env(spark, [("b", "INSERT", 2, 2)]), src, "k",
+        mode="history",
+    )
+    q = stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=True)
+    q.awaitTermination()
+    d = table_data_dir(src)
+    assert len(fileset._batch_files(d)) == 2  # birth base + one append
+
+    # the rebase: same version dir, ids restart over a different base
+    fileset.invalidate(d)
+    fileset.write_base(d)
+    apply_changes(
+        spark, _env(spark, [("c", "INSERT", 3, 3)]), src, "k",
+        mode="history",
+    )
+    # tip is now 1 again — equal to the checkpointed tip pre-rebase
+    assert max(map(fileset._batch_id, fileset._batch_files(d))) == 1
+
+    q = stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=True)
+    q.awaitTermination()
+    got = sorted(
+        (r["k"], r["v"]) for r in read_warehouse(spark, dst).collect()
+    )
+    assert got == [("a", 1.0), ("b", 2.0), ("c", 3.0)]
+
+
+def test_source_choice_is_sticky_per_checkpoint(spark, tmp_path):
+    """Review finding (round 11): the raw file source cannot parse the
+    manifest source's offsets, so the per-start selection must be
+    PINNED in the checkpoint — a manifest-pinned checkpoint asked to
+    run raw fails loudly up front instead of poisoning the stream."""
+    import pytest
+
+    src, dst, ck = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    )
+    apply_changes(
+        spark, _env(spark, [("a", "INSERT", 1, 1)]), src, "k",
+        mode="history",
+    )
+    q = stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=True)
+    q.awaitTermination()
+    # explicit raw against the manifest-pinned checkpoint: loud, early
+    with pytest.raises(ValueError, match="manifest-planned"):
+        stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=False)
+    with pytest.raises(ValueError, match="manifest-planned"):
+        stream_sync_changes(spark, src, dst, ck, "k", max_files_per_trigger=1)
+    # the policy default FOLLOWS the pin (no silent flip), and the
+    # stream keeps working
+    apply_changes(
+        spark, _env(spark, [("b", "INSERT", 2, 2)]), src, "k",
+        mode="history",
+    )
+    q = stream_sync_changes(spark, src, dst, ck, "k")
+    q.awaitTermination()
+    assert sorted(
+        (r["k"], r["v"]) for r in read_warehouse(spark, dst).collect()
+    ) == [("a", 1.0), ("b", 2.0)]
+
+
+def test_continuous_sync_of_manifest_less_source(spark, tmp_path):
+    """Review finding (round 11): continuous replica tails of
+    pre-round-11 (manifest-less) tables must fall back to the raw
+    source, not raise — the continuous-goes-manifest default only
+    applies when the source actually carries a log."""
+    import time
+
+    src, dst, ck = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    )
+    apply_changes(
+        spark, _env(spark, [("a", "INSERT", 1, 1)]), src, "k",
+        mode="history",
+    )
+    fileset.invalidate(table_data_dir(src))  # simulate a legacy table
+    q = stream_sync_changes(
+        spark, src, dst, ck, "k", available_now=False,
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = sorted(
+                    r["k"] for r in read_warehouse(spark, dst).collect()
+                )
+            except Exception:
+                rows = []
+            if rows == ["a"]:
+                break
+            time.sleep(1)
+        assert rows == ["a"]
+    finally:
+        q.stop()
+
+
+def test_raw_pacer_does_not_latch_on_birth_manifest(spark, tmp_path):
+    """Review finding (round 11): a long-running RAW pacer pointed at
+    a birth-manifest legacy root would latch Spark's sourceHasMetadata
+    and plan from the root log; the upgrade swap retires that log and
+    the latched source silently stops ticking. The one-level glob
+    defeats the latch: ticks continue across the upgrade within ONE
+    continuous run."""
+    import time
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        compact_history,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        _pacing_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    apply_changes(
+        spark,
+        _env(spark, [("a", "INSERT", 1, 1), ("a", "MODIFY", 2, 2)]),
+        src, "k", mode="history",
+    )
+    ticks = []
+    q = (
+        _pacing_stream(spark, src, max_files_per_trigger=100)  # raw path
+        .writeStream.foreachBatch(lambda df, i: ticks.append(i))
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while not ticks and time.time() < deadline:
+            time.sleep(0.5)
+        assert ticks, "pacer never ticked on the legacy root"
+        compact_history(spark, src, before_seq=3)  # the upgrade swap
+        apply_changes(
+            spark, _env(spark, [("z", "INSERT", 9, 9)]), src, "k",
+            mode="history",
+        )
+        n_before = len(ticks)
+        deadline = time.time() + 60
+        while len(ticks) <= n_before and time.time() < deadline:
+            time.sleep(0.5)
+        assert len(ticks) > n_before, (
+            "pacer stopped ticking after the legacy->pointer upgrade "
+            "(sourceHasMetadata latch)"
+        )
+    finally:
+        q.stop()
+
+
+def test_partitioned_plan_from_manifest_raises(spark, tmp_path):
+    """Review finding (round 11): an explicit commit-exact-visibility
+    pin must never silently downgrade to raw listing on a partitioned
+    legacy source."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    env = spark.createDataFrame(
+        [("a", "INSERT", ("a", 1.0, "x"), 1)],
+        "key string, op string, after struct<k:string,v:double,p:string>, "
+        "seq long",
+    )
+    apply_changes(spark, env, src, "k", mode="history", partition_by=["p"])
+    with pytest.raises(ValueError, match="flat-table only"):
+        stream_changes(spark, src, plan_from_manifest=True)
