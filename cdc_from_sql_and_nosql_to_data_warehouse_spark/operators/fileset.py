@@ -102,6 +102,11 @@ def fallback_counts() -> dict:
 def _note_fallback(data_dir: str, reason: str) -> None:
     import logging
 
+    if data_dir not in _LIST_FALLBACKS:
+        # bounded like _FILESET_CACHE: dirs are version paths that
+        # churn with swaps, so an unbounded counter is a slow leak
+        while len(_LIST_FALLBACKS) >= _FILESET_CACHE_MAX:
+            _LIST_FALLBACKS.pop(next(iter(_LIST_FALLBACKS)))
     _LIST_FALLBACKS[data_dir] = _LIST_FALLBACKS.get(data_dir, 0) + 1
     logging.getLogger(__name__).warning(
         "fileset log at %s is present but unusable (%s); reads fall "
@@ -333,16 +338,22 @@ def write_base(data_dir: str, rels: list[str] | None = None) -> None:
     pointer flip so a served version is never manifest-less. ``rels``
     defaults to a walk of the just-written directory (O(new files),
     the same order of work the write itself performed). Stamps a fresh
-    log epoch (see ``log_epoch``) BEFORE batch 0 so no reader can see
-    a new incarnation under the old identity."""
+    log epoch (see ``log_epoch``) AFTER batch 0 — the order is
+    load-bearing twice over: a reader can never see a new incarnation
+    under the OLD identity (``invalidate`` removed the whole dir,
+    old epoch included, before this runs), and a crash between the two
+    writes leaves a log whose epoch reads '' (detected as a change by
+    any consumer holding a real epoch) rather than an epoch-ONLY dir —
+    a state ``repair_stranded_log`` would otherwise have to
+    disambiguate from a live writer, unfenced."""
     import uuid
 
     if rels is None:
         rels = walk_data_files(data_dir)
     d = _log_dir(data_dir)
     fsio.makedirs(d)
-    fsio.atomic_write_text(os.path.join(d, _EPOCH_FILE), uuid.uuid4().hex)
     fsio.atomic_write_text(os.path.join(d, "0"), _entries_text(data_dir, rels))
+    fsio.atomic_write_text(os.path.join(d, _EPOCH_FILE), uuid.uuid4().hex)
     _FILESET_CACHE.pop(data_dir, None)
 
 
@@ -557,14 +568,6 @@ def repair_stranded_log(data_dir: str) -> bool:
     d = _log_dir(data_dir)
     if not os.path.isdir(d) or _batch_files(data_dir):
         return False
-    # a crashed write_base can strand the dir holding ONLY the epoch
-    # stamp (written just before batch 0): zero batches means nothing
-    # was committed, so the stamp is junk — remove it so the rmdir can
-    # land. Anything else (a writer's in-flight tmp) aborts the repair.
-    leftovers = fsio.listdir(d)
-    if leftovers and leftovers != [_EPOCH_FILE]:
-        return False  # a live write_base is mid-flight: not stranded
-    fsio.remove(os.path.join(d, _EPOCH_FILE))
     try:
         os.rmdir(d)
         return True

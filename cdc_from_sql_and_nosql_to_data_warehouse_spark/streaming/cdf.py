@@ -253,7 +253,14 @@ def _sticky_source_kind(
     checkpoint asked to run raw (explicit False, or pacing re-enabled)
     fails HERE with remediation instead of poisoning the stream at
     runtime. An explicit caller choice always updates the marker it is
-    allowed to reach."""
+    allowed to reach.
+
+    The pin only BINDS once the checkpoint holds committed offsets:
+    a first start that wrote the marker and then failed validation
+    (e.g. manifest planning requested on a manifest-less source) left
+    nothing to poison, so the marker is re-derived freely — otherwise
+    one bad flag would wedge an empty checkpoint behind the very
+    error the pin exists to prevent."""
     import os
 
     from .. import fsio
@@ -261,6 +268,10 @@ def _sticky_source_kind(
     marker = os.path.join(ck_dir, marker_name)
     raw = fsio.read_text(marker)
     recorded = raw.strip() if raw and raw.strip() else None
+    if recorded is not None and not fsio.listdir(
+        os.path.join(ck_dir, "offsets")
+    ):
+        recorded = None  # nothing committed yet: the pin is advisory
     if explicit is not None:
         choice = explicit
     elif recorded is not None:

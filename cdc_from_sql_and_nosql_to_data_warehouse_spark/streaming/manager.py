@@ -59,12 +59,28 @@ def schedule_maintenance(
     name (``ensure_started``): re-calling with a query of the same
     name already active returns it instead of double-scheduling.
     Stop via the returned query or the session's stream manager."""
+    import logging
+
     from ..operators.maintenance import MaintenanceConfig, run_maintenance
 
     eff = cfg if cfg is not None else MaintenanceConfig()
 
     def _tick(_df, _epoch_id) -> None:
-        run_maintenance(spark, path, eff)
+        # a transient failure (e.g. fence contention outlasting the
+        # OCC backoff under a swap-heavy writer) must not terminate
+        # the 'configured once, fires forever' scheduler: every sweep
+        # is idempotent, so log and let the next tick retry. The
+        # lifecycle-rule analogue has the same posture — a skipped
+        # evaluation is retried on the next cycle, never fatal.
+        try:
+            run_maintenance(spark, path, eff)
+        except Exception:
+            logging.getLogger(__name__).warning(
+                "scheduled maintenance tick for %s failed; retrying "
+                "on the next trigger",
+                path,
+                exc_info=True,
+            )
 
     def _start() -> StreamingQuery:
         writer = (

@@ -385,6 +385,47 @@ class _ManifestFeedReader(DataSourceStreamReader):
         chunks = [rels[i::n] for i in range(n)]
         return [_FeedPartition(data, c) for c in chunks]
 
+    @staticmethod
+    def _align(col, target_type):
+        """One column aligned to the declared (union-manifest) type
+        with mergeSchema semantics, which a plain arrow ``cast``
+        cannot give for STRUCTS: casting struct<a> to struct<a,b>
+        raises instead of null-filling the added inner field the way
+        Spark's footer-union read does (an evolving nested column is
+        ordinary schema evolution here). Structs align recursively —
+        present children align, absent children null-fill, parent
+        nulls carry through the mask; everything else takes the plain
+        cast (the manifest records the WIDENED union type, so casts
+        only ever widen). Mismatches beyond that raise loudly, exactly
+        like the batch reader would."""
+        import pyarrow as pa
+
+        if col.type == target_type:
+            return col
+        if pa.types.is_struct(target_type):
+            arr = (
+                col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray)
+                else col
+            )
+            if not pa.types.is_struct(arr.type):
+                return arr.cast(target_type)  # loud on real mismatch
+            have = {f.name for f in arr.type}
+            children = []
+            for f in target_type:
+                if f.name in have:
+                    children.append(
+                        _ManifestFeedReader._align(arr.field(f.name), f.type)
+                    )
+                else:
+                    children.append(pa.nulls(len(arr), f.type))
+            return pa.StructArray.from_arrays(
+                children,
+                fields=list(target_type),
+                mask=arr.is_null(),
+            )
+        return col.cast(target_type)
+
     def read(self, partition: _FeedPartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -402,9 +443,7 @@ class _ManifestFeedReader(DataSourceStreamReader):
             cols = []
             for field in target:
                 if field.name in tbl.column_names:
-                    col = tbl.column(field.name)
-                    if col.type != field.type:
-                        col = col.cast(field.type)
+                    col = self._align(tbl.column(field.name), field.type)
                 else:
                     # schema evolution: files written before a column
                     # was added read as nulls, like mergeSchema

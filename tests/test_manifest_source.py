@@ -373,6 +373,9 @@ def test_self_contained_twins_cannot_drift(spark, tmp_path):
     assert ms._SCHEMA_MANIFEST == A.SCHEMA_MANIFEST
     assert ms._LOG_DIR == fileset.LOG_DIR
     assert ms._VERSION_RE.pattern == A._VERSION_NAME_RE.pattern
+    assert ms._EPOCH_FILE == fileset._EPOCH_FILE
+    d = table_data_dir(src)
+    assert ms._log_epoch(d) == fileset.log_epoch(d) != ""
 
 
 def test_log_epoch_guards_rebased_offsets(spark, tmp_path):
@@ -555,3 +558,119 @@ def test_partitioned_plan_from_manifest_raises(spark, tmp_path):
     apply_changes(spark, env, src, "k", mode="history", partition_by=["p"])
     with pytest.raises(ValueError, match="flat-table only"):
         stream_changes(spark, src, plan_from_manifest=True)
+
+
+def test_sticky_pin_is_advisory_until_offsets_exist(spark, tmp_path):
+    """Review pass 2: a failed FIRST start (marker written, validation
+    raised, no offsets committed) must not wedge the empty checkpoint —
+    the pin only binds once offsets exist."""
+    import pytest
+
+    src, dst, ck = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    )
+    apply_changes(
+        spark, _env(spark, [("a", "INSERT", 1, 1)]), src, "k",
+        mode="history",
+    )
+    fileset.invalidate(table_data_dir(src))  # manifest-less source
+    with pytest.raises(ValueError, match="requires a fileset manifest"):
+        stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=True)
+    # same checkpoint, default policy: recovers onto the raw source
+    q = stream_sync_changes(spark, src, dst, ck, "k")
+    q.awaitTermination()
+    assert sorted(
+        r["k"] for r in read_warehouse(spark, dst).collect()
+    ) == ["a"]
+
+
+def test_struct_schema_evolution_through_manifest_source(spark, tmp_path):
+    """Review pass 2: a plain arrow cast refuses struct<a> ->
+    struct<a,b>; the recursive align must null-fill added inner fields
+    like mergeSchema, so an evolving nested column streams exactly as
+    it batch-reads."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        _read_table,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    env1 = spark.createDataFrame(
+        [("a", "INSERT", (("x",),), 1)],
+        "key string, op string, "
+        "after struct<payload:struct<f1:string>>, seq long",
+    )
+    apply_changes(spark, env1, src, "payload", mode="history")
+    env2 = spark.createDataFrame(
+        [("b", "INSERT", (("y", 7.5),), 2)],
+        "key string, op string, "
+        "after struct<payload:struct<f1:string,f2:double>>, seq long",
+    )
+    apply_changes(spark, env2, src, "payload", mode="history")
+
+    got = []
+    q = (
+        stream_changes(spark, src, plan_from_manifest=True)
+        .writeStream.foreachBatch(
+            lambda df, i: got.append(
+                sorted(
+                    (r[A.KEY_COL], r["payload"]["f1"], r["payload"]["f2"])
+                    for r in df.collect()
+                )
+            )
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = sorted(sum(got, []))
+    batch_rows = sorted(
+        (r[A.KEY_COL], r["payload"]["f1"], r["payload"]["f2"])
+        for r in _read_table(spark, src).collect()
+    )
+    assert stream_rows == batch_rows
+    assert any(r[2] is None for r in stream_rows)  # null-filled f2
+
+
+def test_scheduler_survives_transient_tick_failure(spark, tmp_path, monkeypatch):
+    """Review pass 2: one transient maintenance failure (e.g. fence
+    contention outlasting the OCC backoff) must not terminate the
+    'configured once, fires forever' scheduler — the tick logs and the
+    next trigger retries."""
+    import time
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        maintenance as M,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.manager import (
+        schedule_maintenance,
+    )
+
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [("a", "INSERT", 1, 1)]), wh, "k",
+        mode="upsert",
+    )
+    calls = {"n": 0}
+    real = M.run_maintenance
+
+    def flaky(spark_, path_, cfg_):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient fence contention")
+        return real(spark_, path_, cfg_)
+
+    monkeypatch.setattr(M, "run_maintenance", flaky)
+    q = schedule_maintenance(
+        spark, "maint_flaky_test", wh, interval="1 seconds",
+        checkpoint_path=str(tmp_path / "ck"),
+    )
+    try:
+        deadline = time.time() + 60
+        while calls["n"] < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        assert calls["n"] >= 2, "scheduler died on the transient failure"
+        assert q.isActive
+    finally:
+        q.stop()
