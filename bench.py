@@ -90,6 +90,11 @@ HEADLINE = [
     "text_unigram_logprob",
     "training_dsir_importance",
     "cdc_streaming_classified_feed",
+    # round-11: the manifest-planned streaming source, end to end
+    # (ADDED, not swapped — r11 totals carry one more query than r10;
+    # like-for-like cross-round comparison excludes this row, see
+    # COVERAGE.md "Bench cross-round comparability (r11)")
+    "cdc_streaming_manifest_replica",
 ]
 
 
