@@ -442,6 +442,16 @@ def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
             # leaves behind (reader-invisible either way)
             fsio.remove_tree(os.path.join(data, name))
             removed += 1
+    # a crashed publish_exclusive strands its .pub.* tmp inside the
+    # log dir (a successful publish always removes it); under this
+    # fence no publish can be mid-flight (appends hold tokens), so
+    # any tmp here is a dead writer's — pure junk, invisible to both
+    # batch filters but accumulating forever otherwise
+    log_dir = os.path.join(data, fileset.LOG_DIR)
+    for name in fsio.listdir(log_dir):
+        if name.startswith(".pub."):
+            fsio.remove(os.path.join(log_dir, name))
+            removed += 1
     logged = fileset.read_fileset(data)
     if logged is None:
         return removed

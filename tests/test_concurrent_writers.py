@@ -351,3 +351,116 @@ def test_stamp_mutex_prevents_lost_schema_union(spark, tmp_path, monkeypatch):
     done.set()
     final = A.read_table_schema(wh)
     assert "col_a" in final.fieldNames() and "col_b" in final.fieldNames()
+
+
+def _henv(spark, rows):
+    """rows: [(key, v, seq)] -> history envelope."""
+    return spark.createDataFrame(
+        [(str(k), "INSERT", (str(k), float(v)), int(s)) for k, v, s in rows],
+        "key string, op string, after struct<k:string,v:double>, seq long",
+    ).coalesce(1)
+
+
+def test_concurrent_first_appends_create_one_sound_manifest(
+    spark, tmp_path
+):
+    """Round-11 manifests-from-birth: table CREATION takes the
+    whole-table fence (_scope_for), so two racing FIRST history
+    batches serialize — the winner records the birth manifest, the
+    loser extends it — and the committed fileset covers every row.
+    Without the creation fence, the loser's has_log probe could race
+    the winner's base walk and land unlogged (invisible) rows."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
+        fileset,
+    )
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.apply import (
+        table_data_dir,
+    )
+
+    wh = str(tmp_path / "wh")
+    errs = []
+
+    def writer(lo: int) -> None:
+        try:
+            apply_changes(
+                spark,
+                _henv(spark, [(k, k, lo * 100 + k) for k in range(lo, lo + 4)]),
+                wh, "k", mode="history",
+            )
+        except Exception as e:  # noqa: BLE001 - surface in main thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(lo,)) for lo in (0, 4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == [], errs
+    d = table_data_dir(wh)
+    assert fileset.has_log(d)
+    # the manifest covers EVERY on-disk data file: no invisible rows
+    assert sorted(fileset.read_fileset(d)) == fileset.walk_data_files(d)
+    got = sorted(int(r["k"]) for r in read_warehouse(spark, wh).collect())
+    assert got == list(range(8))
+
+
+def test_manifest_stream_converges_under_concurrent_appends(
+    spark, tmp_path
+):
+    """The manifest-planned stream drains correctly while appenders
+    race it: every trigger's delta comes from the commit log, so
+    whatever interleaving of log batches the stream observes, the
+    union of deltas is exactly the committed rows — the replica ends
+    bit-equal to the source's latest-wins state."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.cdf import (
+        stream_sync_changes,
+    )
+
+    src, dst, ck = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    )
+    apply_changes(
+        spark, _henv(spark, [(0, 0.0, 1)]), src, "k", mode="history"
+    )
+    stop = threading.Event()
+    errs = []
+
+    def appender(tid: int) -> None:
+        try:
+            for i in range(1, 6):
+                apply_changes(
+                    spark,
+                    _henv(
+                        spark,
+                        [(tid * 100 + i, i, 1000 * tid + i)],
+                    ),
+                    src, "k", mode="history",
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            stop.set()
+
+    ts = [threading.Thread(target=appender, args=(t,)) for t in (1, 2)]
+    for t in ts:
+        t.start()
+    # drain repeatedly WHILE appends land (each availableNow pass races
+    # the writers), then once more after they finish
+    while any(t.is_alive() for t in ts):
+        q = stream_sync_changes(
+            spark, src, dst, ck, "k", plan_from_manifest=True
+        )
+        q.awaitTermination()
+    for t in ts:
+        t.join()
+    assert errs == [], errs
+    q = stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=True)
+    q.awaitTermination()
+    want = sorted(
+        (r["k"], r["v"]) for r in read_warehouse(spark, src).collect()
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in read_warehouse(spark, dst).collect()
+    )
+    assert got == want
+    assert len(got) == 11  # seed + 2 writers x 5 distinct keys

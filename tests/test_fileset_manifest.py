@@ -479,8 +479,17 @@ def test_vacuum_uncommitted_reclaims_invisible_junk(spark, tmp_path):
     os.makedirs(staging)
     shutil.copyfile(src, os.path.join(staging, "part-x.parquet"))
 
+    # a crashed publish's stranded tmp inside the log dir
+    with open(
+        os.path.join(d, fileset.LOG_DIR, ".pub.999.deadbeef"), "w"
+    ) as f:
+        f.write("v1\n")
+
     n = vacuum_uncommitted(spark, wh)
-    assert n == 2  # the junk file + the staging dir
+    assert n == 3  # the junk file + the staging dir + the .pub tmp
+    assert ".pub.999.deadbeef" not in os.listdir(
+        os.path.join(d, fileset.LOG_DIR)
+    )
     assert set(fileset.walk_data_files(d)) == committed
     assert not os.path.isdir(staging)
     assert sorted(r["k"] for r in read_warehouse(spark, wh).collect()) == [
