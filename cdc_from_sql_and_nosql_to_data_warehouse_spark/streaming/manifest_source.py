@@ -353,30 +353,63 @@ class _ManifestFeedReader(DataSourceStreamReader):
         self._cache[key] = out
         return out
 
+    def _window_adds(self, start: dict, end: dict) -> frozenset | None:
+        """The STEADY-STATE delta: when every log batch in
+        ``(start_tip, end_tip]`` is a plain add-batch, the delta is
+        exactly the union of their entries — O(new files) small reads
+        and memory, with NO full-fileset resolution (which is O(all
+        files) and what ``_files_at`` materializes). None when the
+        cheap path doesn't apply (a compact landed in the window, a
+        batch vanished, foreign entries): caller takes the full-set
+        diff."""
+        data = os.path.normpath(os.path.join(self._root, end["v"]))
+        lo, hi = start.get("b", -1), end.get("b", -1)
+        window = [
+            n for n in _batch_files(data) if lo < _batch_id(n) <= hi
+        ]
+        if not window or any(n.endswith(".compact") for n in window):
+            return None
+        if {_batch_id(n) for n in window} != set(range(lo + 1, hi + 1)):
+            return None  # a window batch vanished: resolve fully
+        rels = _resolved_rels(data, sorted(window, key=_batch_id))
+        return frozenset(rels) if rels is not None else None
+
     def partitions(self, start: dict, end: dict):
-        end_files = self._files_at(end)
-        if end_files is None:
-            # end state unresolvable (swap+GC raced the trigger, or a
-            # held offset on a vanished manifest): deliver nothing;
-            # the next trigger's version change re-delivers in full
-            return [_FeedPartition("", [])]
-        if start.get("v") == end.get("v") and start.get(
-            "e", ""
-        ) == end.get("e", ""):
-            start_files = self._files_at(start)
-            delta = (
-                end_files - start_files
-                if start_files is not None
-                else end_files
-            )
-        else:
-            # version OR log-epoch changed (compaction swap / pointer
-            # upgrade / invalidate + re-adopt / relocated-log repair)
-            # or a pre-migration checkpoint: batch ids are not
-            # comparable across incarnations, so deliver the full
-            # committed fileset — the file source's at-least-once
-            # re-delivery contract, gated downstream
-            delta = end_files
+        # both offsets must BE this source's shape: on a migrated
+        # checkpoint Spark can replan a pending batch with BOTH ends
+        # in the old FileStreamSource shape (no "v" at all)
+        same_incarnation = (
+            end.get("v") is not None
+            and start.get("v") == end.get("v")
+            and start.get("e", "") == end.get("e", "")
+        )
+        delta: frozenset | None = None
+        if same_incarnation:
+            delta = self._window_adds(start, end)
+        if delta is None:
+            end_files = self._files_at(end)
+            if end_files is None:
+                # end state unresolvable (swap+GC raced the trigger, or
+                # a held offset on a vanished manifest): deliver
+                # nothing; the next trigger's version change
+                # re-delivers in full
+                return [_FeedPartition("", [])]
+            if same_incarnation:
+                start_files = self._files_at(start)
+                delta = (
+                    end_files - start_files
+                    if start_files is not None
+                    else end_files
+                )
+            else:
+                # version OR log-epoch changed (compaction swap /
+                # pointer upgrade / invalidate + re-adopt /
+                # relocated-log repair) or a pre-migration checkpoint:
+                # batch ids are not comparable across incarnations, so
+                # deliver the full committed fileset — the file
+                # source's at-least-once re-delivery contract, gated
+                # downstream
+                delta = end_files
         rels = sorted(delta)
         if not rels:
             return [_FeedPartition("", [])]

@@ -674,3 +674,44 @@ def test_scheduler_survives_transient_tick_failure(spark, tmp_path, monkeypatch)
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_delta_across_compact_boundary(spark, tmp_path):
+    """Steady-state deltas take the O(new files) window-adds path; a
+    window CONTAINING a rolling compact falls back to the full-set
+    diff. Crossing the compact cadence (every 10th id) in one drain
+    must deliver exactly the new rows either way."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    apply_changes(
+        spark, _env(spark, [("seed", "INSERT", 0, 0)]), src, "k",
+        mode="history",
+    )
+    got = []
+    _drain(spark, src, ck, got)
+    assert [r[0] for r in sum(got, [])] == ["seed"]
+
+    # 12 appends: log ids 1..12 with a 9.compact inside the window
+    for i in range(1, 13):
+        apply_changes(
+            spark, _env(spark, [(f"k{i:02d}", "INSERT", i, i)]), src,
+            "k", mode="history",
+        )
+    d = table_data_dir(src)
+    assert any(
+        n.endswith(".compact") for n in fileset._batch_files(d)
+    )
+    got2 = []
+    _drain(spark, src, ck, got2)
+    assert [r[0] for r in sorted(sum(got2, []))] == [
+        f"k{i:02d}" for i in range(1, 13)
+    ]
+    # and one more steady-state (pure add-window) drain after the
+    # compact: only the new row arrives
+    apply_changes(
+        spark, _env(spark, [("zz", "INSERT", 99, 99)]), src, "k",
+        mode="history",
+    )
+    got3 = []
+    _drain(spark, src, ck, got3)
+    assert [r[0] for r in sum(got3, [])] == ["zz"]
