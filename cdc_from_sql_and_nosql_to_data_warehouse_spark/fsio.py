@@ -59,6 +59,32 @@ def makedirs(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+# Does the backing store rename a whole DIRECTORY atomically? True on
+# POSIX; an object-store port sets this False (stores have prefixes,
+# not directories — no multi-key atomic operation exists). The one
+# coordination caller that WANTS a directory rename
+# (``fileset.invalidate``'s single-step log drop) branches on this to
+# its portable poison-marker protocol instead; everything else in the
+# coordination layer already rides single-key primitives.
+ATOMIC_DIR_RENAME: bool = True
+
+
+def rename_dir(src: str, dst: str) -> None:
+    """Atomically rename directory ``src`` onto the non-existent
+    ``dst`` — the POSIX fast path ``fileset.invalidate`` uses to make a
+    log disappear in one step. Callers MUST check
+    ``ATOMIC_DIR_RENAME`` first and take their documented portable
+    protocol when it is False; raising here (rather than silently
+    copy+deleting) keeps 'atomic' honest — a non-atomic emulation would
+    re-open exactly the torn-state windows the caller used the rename
+    to close."""
+    if not ATOMIC_DIR_RENAME:
+        raise NotImplementedError(
+            "no atomic directory rename on this store"
+        )
+    os.rename(src, dst)
+
+
 def create_exclusive(path: str, data: bytes) -> bool:
     """Create ``path`` with ``data`` iff it does not already exist —
     the atomic compare-and-swap every lock acquire rides. Returns False

@@ -73,6 +73,26 @@ _LOG_VERSION = "v1"
 # ~10 batch files between swaps regardless of append count.
 COMPACT_INTERVAL = 10
 
+# Grace before a superseded log batch (id below a covering compact) is
+# physically deleted by ``prune_log`` — the sink-log ``cleanupDelay``
+# analog. Resolution NEVER reads below the latest compact
+# (``_replay_order``), so pruned batches are invisible to every
+# consistent reader; the grace exists for readers that LISTED before a
+# compact landed and are still mid-replay (read_fileset's re-list
+# detects the deletions and re-resolves), and for streaming
+# checkpoints whose tip lags the compact (``manifest_source`` answers
+# an unresolvable start with a full gated re-delivery — correct, just
+# not the cheap delta). Same magnitude as the version-GC grace.
+LOG_PRUNE_GRACE_SECONDS: float = 600.0
+
+# Fixed-name poison sentinel inside the log dir — the PORTABLE
+# invalidation marker (``invalidate``'s object-store path, taken when
+# ``fsio.ATOMIC_DIR_RENAME`` is False). Its presence makes
+# ``_batch_files`` answer [] — one conditional PUT hides the whole log
+# from every engine reader and appender atomically, standing in for
+# the directory rename object stores cannot do.
+_POISON = ".invalidated"
+
 # data_dir -> (freshness key over the log dir listing, relpaths).
 # Batch files are immutable once published (CAS create), so the sorted
 # name tuple is a sound freshness key; invalidate() empties the
@@ -110,7 +130,9 @@ def _note_fallback(data_dir: str, reason: str) -> None:
     _LIST_FALLBACKS[data_dir] = _LIST_FALLBACKS.get(data_dir, 0) + 1
     logging.getLogger(__name__).warning(
         "fileset log at %s is present but unusable (%s); reads fall "
-        "back to the directory LIST — re-swap or repair the table to "
+        "back to the directory LIST — run "
+        "operators.maintenance.repair_relocated_log(spark, table) to "
+        "rewrite a relocated log in place, or re-swap the table, to "
         "restore manifest planning",
         data_dir,
         reason,
@@ -149,16 +171,23 @@ def walk_data_files(root: str) -> list[str]:
     return sorted(out)
 
 
+def _is_batch_name(name: str) -> bool:
+    base = name[: -len(".compact")] if name.endswith(".compact") else name
+    return base.isdigit()
+
+
 def _batch_files(data_dir: str) -> list[str]:
     """Log batch file names, Spark-filtered: a name is a batch iff it
     parses as ``<int>`` or ``<int>.compact`` (tmp siblings and junk are
-    ignored, as Spark's own batchFilesFilter ignores them)."""
-    out = []
-    for name in fsio.listdir(_log_dir(data_dir)):
-        base = name[: -len(".compact")] if name.endswith(".compact") else name
-        if base.isdigit():
-            out.append(name)
-    return out
+    ignored, as Spark's own batchFilesFilter ignores them). A POISONED
+    log (portable invalidate's sentinel — see ``_POISON``) answers []:
+    the one listing carries the sentinel and the batch names together,
+    so the hiding is atomic per observation — no reader can see the
+    dying batches without seeing the poison."""
+    names = fsio.listdir(_log_dir(data_dir))
+    if _POISON in names:
+        return []
+    return [name for name in names if _is_batch_name(name)]
 
 
 def _batch_id(name: str) -> int:
@@ -352,6 +381,19 @@ def write_base(data_dir: str, rels: list[str] | None = None) -> None:
         rels = walk_data_files(data_dir)
     d = _log_dir(data_dir)
     fsio.makedirs(d)
+    names = fsio.listdir(d)
+    if _POISON in names:
+        # a poison-invalidated prior incarnation (portable invalidate,
+        # fsio.ATOMIC_DIR_RENAME False): clear the sentinel and every
+        # dead batch file under the CALLER's fence before recording the
+        # new base — a surviving sentinel would hide the fresh manifest
+        # forever, and a crashed appender's orphan batch must not join
+        # it as phantom history. Safe only because every write_base
+        # caller holds the whole-table scope (no appender can be
+        # mid-publish while the sentinel comes off).
+        for n in names:
+            if n == _POISON or _is_batch_name(n):
+                fsio.remove(os.path.join(d, n))
     fsio.atomic_write_text(os.path.join(d, "0"), _entries_text(data_dir, rels))
     fsio.atomic_write_text(os.path.join(d, _EPOCH_FILE), uuid.uuid4().hex)
     _FILESET_CACHE.pop(data_dir, None)
@@ -433,8 +475,79 @@ def append_batch(data_dir: str, rels: list[str]) -> int | None:
                 _FILESET_CACHE.pop(data_dir, None)
                 return None
             _FILESET_CACHE.pop(data_dir, None)
+            if compact and prior is not None:
+                # opportunistic grace-bounded prune right where batches
+                # DIE (a fresh compact supersedes everything below it):
+                # bounds the log dir on append-heavy tables that never
+                # see scheduled maintenance, at the cost of one extra
+                # listing every COMPACT_INTERVAL-th append
+                prune_log(data_dir)
             return nid
         # CAS lost: another appender claimed this id — re-derive
+
+
+def prune_log(data_dir: str, grace_seconds: float | None = None) -> int:
+    """Delete log batches DEAD to every reader — the sink-log
+    ``cleanupDelay`` analog that bounds the log dir's file count.
+
+    ``_replay_order`` (this module's readers, the streaming source's
+    twin, AND Spark's own FileStreamSinkLog resolution) replays the
+    latest ``.compact`` plus LATER plain batches only, so once a
+    compact with id >= b exists, plain batch ``b`` can never be read
+    again — and a compact is itself superseded by any LATER compact.
+    Without pruning those dead files accumulate one per append forever
+    (O(total appends) listing per read/trigger on exactly the
+    highest-traffic tables: streaming bronze, one append per
+    micro-batch) — the same growth disease the manifest cured for data
+    files, one level down.
+
+    Supersession clock: the COVERING compact's own mtime (the oldest
+    compact whose id covers the batch) — it was created at the moment
+    the batch died, so no separate clock file is needed (object-store
+    mapping: the compact object's Last-Modified). A batch is deleted
+    only ``grace_seconds`` after its covering compact landed, so a
+    reader that listed just before the compact finishes its replay
+    inside the grace; after it, ``read_fileset``'s post-resolution
+    re-list turns any observed deletion into a clean re-resolve, and a
+    streaming checkpoint whose tip predates the pruned ids resolves to
+    None and takes the full gated re-delivery (correct, documented).
+    The latest compact and everything after it are NEVER touched, so
+    ``append_batch``'s id derivation and its lone-batch predecessor
+    check are unaffected. Needs no fence (deletes only dead-to-all
+    files); idempotent. Returns the number of files removed."""
+    import time
+
+    grace = LOG_PRUNE_GRACE_SECONDS if grace_seconds is None else grace_seconds
+    names = _batch_files(data_dir)
+    compact_ids = sorted(
+        _batch_id(n) for n in names if n.endswith(".compact")
+    )
+    if not compact_ids:
+        return 0
+    d = _log_dir(data_dir)
+    now = time.time()
+    cover_mtime: dict[int, float | None] = {}
+    removed = 0
+    for n in names:
+        bid = _batch_id(n)
+        if n.endswith(".compact"):
+            cover = next((c for c in compact_ids if c > bid), None)
+        else:
+            cover = next((c for c in compact_ids if c >= bid), None)
+        if cover is None:
+            continue  # live under _replay_order: never pruned
+        if cover not in cover_mtime:
+            cover_mtime[cover] = fsio.mtime(
+                os.path.join(d, f"{cover}.compact")
+            )
+        m = cover_mtime[cover]
+        if m is None or now - m < grace:
+            continue  # covering compact vanished mid-scan / in grace
+        if fsio.remove(os.path.join(d, n)):
+            removed += 1
+    if removed:
+        _FILESET_CACHE.pop(data_dir, None)
+    return removed
 
 
 _INVALIDATED_PREFIX = ".invalidated_log."
@@ -480,31 +593,93 @@ def invalidate(data_dir: str) -> None:
     every reader (hidden prefix) and reclaimed by the next invalidate
     or ``maintenance.vacuum_uncommitted``.
 
-    Object-store mapping: stores have no atomic directory rename, so a
-    port deletes the log objects newest-id-first (every id-prefix of
-    an add-only log is a committed historical fileset) and accepts the
-    bounded-staleness crash window this rename eliminates on POSIX —
-    or hides the log behind a same-key poison object where the store
-    supports conditional writes. Idempotent."""
+    Object-store port (``fsio.ATOMIC_DIR_RENAME`` False): stores have
+    no atomic directory rename, so the invalidation step becomes a
+    conditional-write POISON sentinel inside the log dir
+    (``_POISON``, via ``fsio.create_exclusive`` — one ``If-None-Match``
+    PUT): ``_batch_files`` answers [] the instant the sentinel exists,
+    which hides the whole log from every ENGINE reader and appender in
+    one atomic step (the same listing that returns batch names returns
+    the sentinel). The batch files are then deleted newest-id-first
+    and the sentinel last; see ``_poison_invalidate`` for the crash
+    analysis. Idempotent on both paths."""
     import uuid
 
     d = _log_dir(data_dir)
-    doomed = os.path.join(
-        data_dir,
-        f"{_INVALIDATED_PREFIX}{os.getpid()}.{uuid.uuid4().hex[:6]}",
-    )
-    try:
-        os.rename(d, doomed)  # THE invalidation: atomic disappearance
-    except FileNotFoundError:
-        pass  # already log-less (idempotent re-run / lost a race)
-    except NotADirectoryError:
-        pass  # junk file squatting the log name: not a manifest
+    if fsio.ATOMIC_DIR_RENAME:
+        doomed = os.path.join(
+            data_dir,
+            f"{_INVALIDATED_PREFIX}{os.getpid()}.{uuid.uuid4().hex[:6]}",
+        )
+        try:
+            fsio.rename_dir(d, doomed)  # THE invalidation: atomic
+        except FileNotFoundError:
+            pass  # already log-less (idempotent re-run / lost a race)
+        except NotADirectoryError:
+            pass  # junk file squatting the log name: not a manifest
+    else:
+        _poison_invalidate(d)
     _FILESET_CACHE.pop(data_dir, None)
     # sweep the renamed dir and any prior crash's residue — data-plane
-    # cleanup, correctness already committed by the rename above
+    # cleanup, correctness already committed by the rename/poison above
     for name in fsio.listdir(data_dir):
         if name.startswith(_INVALIDATED_PREFIX):
             fsio.remove_tree(os.path.join(data_dir, name))
+
+
+def _poison_invalidate(log_dir: str) -> None:
+    """The portable invalidation protocol (no atomic directory
+    rename). Steps and why each crash window is sound:
+
+    1. Conditional-create the ``_POISON`` sentinel — THE invalidation.
+       From this observation on, every engine reader's ``_batch_files``
+       is [] (LIST fallback; never a stale manifest PREFIX, closing the
+       mid-deletion race the POSIX rename closes), and every appender's
+       post-publish predecessor check sees [] and WITHDRAWS its batch
+       (closing the lone-surviving-batch race). A crash after this step
+       leaves the sentinel in place: engine reads stay exactly correct;
+       the next ``invalidate`` re-run, ``write_base``, fenced
+       ``vacuum_uncommitted``, or ``repair_stranded_log`` completes the
+       cleanup.
+    2. Delete batch files newest-id-first, re-listing until no batch
+       remains — newest-first so Spark's NATIVE reader (which does not
+       understand the sentinel) degrades through committed historical
+       prefixes during the deletion, never a torn set. That native-
+       reader bounded-staleness window is the honest residual cost of
+       the port (on POSIX the rename closes it for native readers
+       too); ENGINE readers see none of it.
+    3. Delete the epoch stamp, then the sentinel, then rmdir. The
+       sentinel comes off only after a listing shows zero batch files;
+       a concurrently-published straggler batch either lands before
+       that listing (deleted by the loop) or after it (its own writer's
+       predecessor re-check withdraws it — engine appends additionally
+       hold scopes that exclude invalidators, so this is
+       defense-in-depth, not the primary guard)."""
+    try:
+        created = fsio.create_exclusive(
+            os.path.join(log_dir, _POISON), b""
+        )
+    except FileNotFoundError:
+        return  # no log dir at all: already log-less
+    del created  # False = already poisoned: continue the cleanup
+    for _ in range(8):
+        names = sorted(
+            (n for n in fsio.listdir(log_dir) if _is_batch_name(n)),
+            key=_batch_id,
+            reverse=True,
+        )
+        if not names:
+            break
+        for n in names:
+            fsio.remove(os.path.join(log_dir, n))
+    else:
+        return  # sustained publish churn: leave the sentinel standing
+    fsio.remove(os.path.join(log_dir, _EPOCH_FILE))
+    fsio.remove(os.path.join(log_dir, _POISON))
+    try:
+        os.rmdir(log_dir)
+    except OSError:
+        pass  # tmp residue in flight: swept by vacuum/repair later
 
 
 def foreign_log_rels(data_dir: str) -> list[str] | None:
@@ -553,23 +728,43 @@ def foreign_log_rels(data_dir: str) -> list[str] | None:
 
 
 def repair_stranded_log(data_dir: str) -> bool:
-    """Remove a STRANDED EMPTY log dir — the residue of a crash inside
-    ``invalidate``'s final microseconds (or ``write_base``'s
-    makedirs-to-first-write window). An existing-but-empty
-    ``_spark_metadata`` makes Spark's reader plan ZERO files while the
-    data sits on disk — silently wrong — so engine dir-reads call this
-    before handing Spark the directory. ``os.rmdir`` only removes an
-    EMPTY dir: a live ``write_base`` mid-write keeps a tmp file inside
-    (rmdir then fails, harmless), and the sub-microsecond
-    makedirs-but-no-tmp-yet race at worst fails that writer LOUDLY
-    (its batch-0 write errors; the swap aborts pre-flip / the adopt
-    re-runs) — never silently empties a read. Returns True when a
-    stranded dir was removed."""
+    """Remove a STRANDED log dir holding no batch files — the residue
+    of a crash inside ``invalidate``'s final microseconds,
+    ``write_base``'s makedirs-to-first-write window (which can orphan
+    a ``0.tmp.<pid>.<hex>`` sibling between the tmp write and its
+    rename), or a portable poison-invalidate that died between its
+    batch sweep and its rmdir. A ``_spark_metadata`` that exists but
+    resolves no batches makes Spark's NATIVE reader plan ZERO files
+    while the data sits on disk — silently wrong, and permanent if an
+    orphan tmp keeps the dir from ever being rmdir-able — so engine
+    dir-reads call this before handing Spark the directory.
+
+    Residue (orphan ``*.tmp.*`` / ``.pub.*`` siblings, the poison
+    sentinel, the epoch stamp) is swept ONLY when the raw listing
+    holds no batch file at all: with batches present the dir is (or
+    may become) a live manifest — in particular a poisoned dir whose
+    batch sweep hasn't finished must keep its sentinel, since removing
+    it would resurrect the dying batches. Sweeping a tmp can at worst
+    fail a concurrent ``write_base`` LOUDLY pre-flip (its rename
+    errors; the swap aborts / the adopt re-runs) — never silently
+    empties a read; the permanently-bricked alternative is strictly
+    worse. Returns True when the stranded dir was removed."""
     d = _log_dir(data_dir)
-    if not os.path.isdir(d) or _batch_files(data_dir):
+    if not os.path.isdir(d):
         return False
+    names = fsio.listdir(d)
+    if any(_is_batch_name(n) for n in names):
+        return False
+    for n in names:
+        if (
+            ".tmp." in n
+            or n.startswith(".pub.")
+            or n == _POISON
+            or n == _EPOCH_FILE
+        ):
+            fsio.remove(os.path.join(d, n))
     try:
         os.rmdir(d)
         return True
     except OSError:
-        return False  # not empty after all (tmp in flight) or racing
+        return False  # not empty after all (writer in flight) / racing

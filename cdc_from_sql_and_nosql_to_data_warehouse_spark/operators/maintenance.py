@@ -448,6 +448,14 @@ def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
     # any tmp here is a dead writer's — pure junk, invisible to both
     # batch filters but accumulating forever otherwise
     log_dir = os.path.join(data, fileset.LOG_DIR)
+    if fileset._POISON in fsio.listdir(log_dir):
+        # a crashed PORTABLE invalidate left its sentinel standing
+        # (engine reads already take the LIST fallback — exact; Spark's
+        # native reader would plan the dying prefix): complete the
+        # protocol under this fence — dead batches and epoch first,
+        # the sentinel last, rmdir when clean
+        fileset._poison_invalidate(log_dir)
+        removed += 1
     for name in fsio.listdir(log_dir):
         if name.startswith(".pub."):
             fsio.remove(os.path.join(log_dir, name))
@@ -519,6 +527,10 @@ class MaintenanceConfig:
     vacuum_versions: bool = True
     # reclaim crashed appends' unlogged files + stale staging dirs
     vacuum_uncommitted: bool = True
+    # grace-bounded deletion of fileset-log batches below the latest
+    # compact (fileset.prune_log — the sink-log cleanupDelay analog);
+    # bounds the log dir on append-heavy tables
+    prune_fileset_log: bool = True
     # TTL (seconds) for processed staging files under `staging_paths`
     expire_staging_after_seconds: float | None = None
     staging_paths: tuple[str, ...] = ()
@@ -533,6 +545,7 @@ class MaintenanceReport:
     versions_retained: int
     uncommitted_removed: int
     staging_expired: int
+    log_batches_pruned: int
     compacted: bool
     # live-fileset file count — measured ONLY when the compaction gate
     # is configured (None otherwise: a per-tick full-table walk just to
@@ -550,7 +563,10 @@ def run_maintenance(
     deployment relied on an operator remembering three separate
     calls). Ordering: version GC first (dropping whole superseded dirs
     makes the later walks cheaper), then the uncommitted-junk sweep,
-    then staging TTL expiry, then — only when the live fileset is
+    then the fileset-log prune (grace-bounded deletion of log batches
+    below the latest compact — bounds the per-read/per-trigger log
+    listing on append-heavy tables), then staging TTL expiry, then —
+    only when the live fileset is
     fragmented past ``compact_when_files_exceed`` — a compaction pass.
     Each step takes its own whole-table scope, so a swap-per-batch
     writer interleaves between steps instead of stalling for the whole
@@ -561,6 +577,13 @@ def run_maintenance(
     retained = vacuum_versions(spark, path) if cfg.vacuum_versions else 0
     removed = (
         vacuum_uncommitted(spark, path) if cfg.vacuum_uncommitted else 0
+    )
+    # log pruning needs no fence (deletes only files dead to every
+    # reader — see fileset.prune_log) and costs one log-dir listing
+    pruned = (
+        fileset.prune_log(table_data_dir(path))
+        if cfg.prune_fileset_log
+        else 0
     )
     expired = 0
     if cfg.expire_staging_after_seconds is not None:
@@ -592,6 +615,7 @@ def run_maintenance(
         versions_retained=retained,
         uncommitted_removed=removed,
         staging_expired=expired,
+        log_batches_pruned=pruned,
         compacted=compacted,
         n_files=n_files,
     )

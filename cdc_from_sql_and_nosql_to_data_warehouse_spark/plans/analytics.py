@@ -371,7 +371,13 @@ def suppliers_with_shipments_semi(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# Set operations: UNION / INTERSECT / EXCEPT over derived key sets.
+# Set operations: UNION / INTERSECT / EXCEPT over derived key sets, plus
+# the ALL (duplicate-cardinality) variants over the raw event streams.
+# (Round-12: the 'both_all'/'click_surplus' cohorts re-certify
+# INTERSECT ALL / EXCEPT ALL multiset semantics — min-multiplicity and
+# multiplicity-difference respectively — after multiset_ops_purchase_click's
+# round-11 retirement left the ALL variants without an oracle; the
+# advisor asked for them folded into this query rather than a new row.)
 # ---------------------------------------------------------------------------
 @register_query(
     "set_ops_purchasers_vs_clickers",
@@ -380,6 +386,10 @@ def suppliers_with_shipments_semi(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
     ), clickers AS (
       SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), raw_p AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    ), raw_c AS (
+      SELECT user_id FROM events WHERE event_type = 'click'
     )
     SELECT 'both' AS cohort, user_id FROM (
       SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM clickers
@@ -388,20 +398,44 @@ def suppliers_with_shipments_semi(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT 'click_only' AS cohort, user_id FROM (
       SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers
     )
+    UNION ALL
+    SELECT 'both_all' AS cohort, user_id FROM (
+      SELECT user_id FROM raw_c INTERSECT ALL SELECT user_id FROM raw_p
+    )
+    UNION ALL
+    SELECT 'click_surplus' AS cohort, user_id FROM (
+      SELECT user_id FROM raw_c EXCEPT ALL SELECT user_id FROM raw_p
+    )
     ORDER BY cohort, user_id
     """,
 )
 def set_ops_purchasers_vs_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    raw_p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    raw_c = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = raw_p.distinct()
+    clickers = raw_c.distinct()
     both = clickers.intersect(purchasers).select(
         F.lit("both").alias("cohort"), "user_id"
     )
     click_only = clickers.exceptAll(purchasers).select(
         F.lit("click_only").alias("cohort"), "user_id"
     )
-    return both.unionAll(click_only).orderBy("cohort", "user_id")
+    # duplicate-cardinality variants: a user with 3 clicks and 1
+    # purchase contributes min(3,1)=1 row to both_all and 3-1=2 rows to
+    # click_surplus
+    both_all = raw_c.intersectAll(raw_p).select(
+        F.lit("both_all").alias("cohort"), "user_id"
+    )
+    click_surplus = raw_c.exceptAll(raw_p).select(
+        F.lit("click_surplus").alias("cohort"), "user_id"
+    )
+    return (
+        both.unionAll(click_only)
+        .unionAll(both_all)
+        .unionAll(click_surplus)
+        .orderBy("cohort", "user_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2080,7 +2114,11 @@ def daily_orders_vs_events_full_outer(spark: SparkSession, sf_dir: str) -> DataF
 # shape, and both were driver-green every round since landing (last:
 # r10 window + judge drive). `intersectAll`/`exceptAll` remain plain
 # DataFrame API calls available to users; nothing was removed from
-# the engine.
+# the engine. ROUND-12 UPDATE (advisor follow-up): the ALL variants'
+# duplicate-cardinality semantics are oracle-certified again — folded
+# into `set_ops_purchasers_vs_clickers` as the 'both_all' /
+# 'click_surplus' cohorts over the raw (duplicate-bearing) event
+# streams, zero new registry rows.
 # ---------------------------------------------------------------------------
 
 

@@ -71,16 +71,24 @@ def schedule_maintenance(
         # the 'configured once, fires forever' scheduler: every sweep
         # is idempotent, so log and let the next tick retry. The
         # lifecycle-rule analogue has the same posture — a skipped
-        # evaluation is retried on the next cycle, never fatal.
+        # evaluation is retried on the next cycle, never fatal. Each
+        # outcome is counted in metrics.maintenance_tick_counts so a
+        # silently-always-failing loop is VISIBLE, not just greppable
+        # (round-11 verdict #4).
+        from . import metrics
+
         try:
             run_maintenance(spark, path, eff)
         except Exception:
+            metrics.note_maintenance_tick(path, ok=False)
             logging.getLogger(__name__).warning(
                 "scheduled maintenance tick for %s failed; retrying "
                 "on the next trigger",
                 path,
                 exc_info=True,
             )
+        else:
+            metrics.note_maintenance_tick(path, ok=True)
 
     def _start() -> StreamingQuery:
         writer = (

@@ -744,3 +744,287 @@ def test_repair_relocated_log(spark, tmp_path):
     ) == ["1", "2"]
     # idempotent: a second call is a no-op
     assert repair_relocated_log(spark, copy) == 0
+
+
+# --- round 12: log pruning + portable (poison) invalidate -------------------
+
+
+def test_prune_log_bounds_append_heavy_log(tmp_path, monkeypatch):
+    """Round-11 verdict #1: plain batches below the latest compact are
+    dead to every reader (_replay_order replays latest-compact-plus-
+    later only) but were retained forever — O(total appends) listing
+    per read on exactly the highest-traffic tables. prune_log deletes
+    them after the grace; resolution is bit-identical across the
+    prune, and the default grace retains everything (in-flight-reader
+    safety)."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    for i in range(25):
+        name = f"f{i:02d}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        fileset.append_batch(d, [name])
+    expected = fileset.read_fileset(d)
+    log = os.path.join(d, fileset.LOG_DIR)
+    n_before = len(fileset._batch_files(d))
+    assert n_before == 26  # base 0 + 25 appends (two compacts among them)
+
+    # default grace: everything is younger than 600s -> nothing pruned
+    assert fileset.prune_log(d) == 0
+    assert len(fileset._batch_files(d)) == n_before
+
+    # grace elapsed: everything below the latest compact (19.compact)
+    # goes; resolution unchanged
+    pruned = fileset.prune_log(d, grace_seconds=0.0)
+    assert pruned > 0
+    names = fileset._batch_files(d)
+    assert "19.compact" in names
+    assert all(
+        fileset._batch_id(n) >= 19 for n in names
+    ), names  # only latest compact + later survive
+    assert len(names) == 1 + (25 - 19)  # compact + ids 20..25
+    assert fileset.read_fileset(d) == expected
+    # idempotent
+    assert fileset.prune_log(d, grace_seconds=0.0) == 0
+
+
+def test_appends_alone_bound_the_log(tmp_path, monkeypatch):
+    """The opportunistic prune at compact-publish time bounds the log
+    dir even on tables that never see scheduled maintenance (streaming
+    bronze: one append per micro-batch forever)."""
+    monkeypatch.setattr(fileset, "LOG_PRUNE_GRACE_SECONDS", 0.0)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    for i in range(95):
+        name = f"f{i:02d}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        fileset.append_batch(d, [name])
+        # bounded at every step: never more than one compact interval
+        # plus the in-grace tail (grace 0 here -> interval + 1)
+        assert len(fileset._batch_files(d)) <= fileset.COMPACT_INTERVAL + 1
+    got = fileset.read_fileset(d)
+    assert got == sorted(
+        ["a.parquet"] + [f"f{i:02d}.parquet" for i in range(95)]
+    )
+
+
+def test_prune_log_native_reader_still_plans(spark, tmp_path, monkeypatch):
+    """Spark's own MetadataLogFileIndex resolves latest-compact-plus-
+    later (its sink-log cleanupDelay deletes the same files prune_log
+    deletes), so a pruned log must keep planning natively."""
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [(0, 0.0, 0)]), wh, "k", mode="history",
+    )
+    for i in range(1, 13):
+        apply_changes(
+            spark, _env(spark, [(i, float(i), i)]), wh, "k",
+            mode="history",
+        )
+    d = table_data_dir(wh)
+    assert any(
+        n.endswith(".compact") for n in fileset._batch_files(d)
+    )
+    assert fileset.prune_log(d, grace_seconds=0.0) > 0
+    df = read_warehouse(spark, wh)
+    assert "MetadataLogFileIndex" in _plan_str(df)
+    assert sorted(int(r["k"]) for r in df.collect()) == list(range(13))
+
+
+def test_run_maintenance_prunes_log(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(fileset, "LOG_PRUNE_GRACE_SECONDS", 0.0)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        MaintenanceConfig,
+        run_maintenance,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    # publish plain batches around a compact WITHOUT the opportunistic
+    # prune firing (simulate by restoring grace for the appends)
+    monkeypatch.setattr(fileset, "LOG_PRUNE_GRACE_SECONDS", 600.0)
+    for i in range(12):
+        name = f"f{i:02d}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        fileset.append_batch(d, [name])
+    monkeypatch.setattr(fileset, "LOG_PRUNE_GRACE_SECONDS", 0.0)
+    before = fileset.read_fileset(d)
+    rep = run_maintenance(spark, d, MaintenanceConfig())
+    assert rep.log_batches_pruned > 0
+    assert fileset.read_fileset(d) == before
+
+
+def _no_rename(monkeypatch):
+    monkeypatch.setattr(fsio, "ATOMIC_DIR_RENAME", False)
+
+
+def test_poison_invalidate_same_outcomes_as_rename(tmp_path, monkeypatch):
+    """Round-11 verdict #3: the portable (no-atomic-dir-rename)
+    invalidate must drive test_invalidate_single_step_and_residue_sweep's
+    scenarios to the same outcomes: log dropped for every engine
+    reader, appenders withdraw, idempotent, re-adoptable."""
+    _no_rename(monkeypatch)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    assert fileset.read_fileset(d) == ["a.parquet"]
+
+    fileset.invalidate(d)
+    assert fileset.read_fileset(d) is None
+    assert not fileset.has_log(d)
+    # terminal state matches POSIX: the log dir is gone entirely
+    assert not os.path.isdir(os.path.join(d, fileset.LOG_DIR))
+    # appender post-invalidate: stays log-less (the invalidation
+    # contract), never creates a lone-batch manifest
+    with open(os.path.join(d, "b.parquet"), "wb") as f:
+        f.write(b"x")
+    assert fileset.append_batch(d, ["b.parquet"]) is None
+    # idempotent
+    fileset.invalidate(d)
+    assert fileset.read_fileset(d) is None
+    # re-adopt records a fresh base over the full directory
+    fileset.write_base(d)
+    assert fileset.read_fileset(d) == ["a.parquet", "b.parquet"]
+
+
+def test_poison_crash_mid_deletion_serves_no_stale_prefix(
+    tmp_path, monkeypatch
+):
+    """Crash window 1 the rename closed: a poison invalidate that died
+    mid-batch-deletion must leave NO valid-looking manifest prefix for
+    engine readers — the sentinel hides the dying batches atomically —
+    and every completion path (re-run, fenced write_base, stranded-log
+    repair) converges."""
+    _no_rename(monkeypatch)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    for i in range(3):
+        name = f"f{i}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        if i == 0:
+            fileset.write_base(d, [name])
+        else:
+            fileset.append_batch(d, [name])
+    log = os.path.join(d, fileset.LOG_DIR)
+
+    # simulate the crash: sentinel landed, deletion never ran
+    assert fsio.create_exclusive(os.path.join(log, fileset._POISON), b"")
+    assert os.path.exists(os.path.join(log, "0"))  # batches still there
+    assert fileset.read_fileset(d) is None  # NOT the stale prefix
+    assert not fileset.has_log(d)
+    assert fileset.append_batch(d, ["f1.parquet"]) is None  # withdraws
+
+    # completion path A: idempotent invalidate re-run finishes the job
+    fileset.invalidate(d)
+    assert not os.path.isdir(log)
+
+    # completion path B: a fenced write_base clears a poisoned dir
+    fileset.write_base(d)
+    assert fsio.create_exclusive(os.path.join(log, fileset._POISON), b"")
+    assert fileset.read_fileset(d) is None
+    fileset.write_base(d)  # the re-adopt (fenced in production)
+    assert fileset.read_fileset(d) == sorted(
+        f"f{i}.parquet" for i in range(3)
+    )
+
+
+def test_poison_lone_batch_race_withdrawn(tmp_path, monkeypatch):
+    """Crash window 2 the rename closed: a publish that lands while the
+    poison invalidate is deleting predecessors must not survive as the
+    entire manifest — the appender's post-publish predecessor check
+    sees the poisoned listing ([]) and withdraws."""
+    _no_rename(monkeypatch)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+    with open(os.path.join(d, "b.parquet"), "wb") as f:
+        f.write(b"x")
+    log = os.path.join(d, fileset.LOG_DIR)
+
+    real = fsio.publish_exclusive
+
+    def racing(path, text):
+        # the poison lands between the appender's listing and its
+        # publish; the publish itself still succeeds (dir exists)
+        fsio.create_exclusive(os.path.join(log, fileset._POISON), b"")
+        return real(path, text)
+
+    monkeypatch.setattr(fsio, "publish_exclusive", racing)
+    assert fileset.append_batch(d, ["b.parquet"]) is None
+    monkeypatch.setattr(fsio, "publish_exclusive", real)
+    # the racing publish ("1") was withdrawn; the dying base ("0") is
+    # hidden by the sentinel until the invalidate completes
+    assert "1" not in os.listdir(log)
+    assert fileset.read_fileset(d) is None
+    fileset.invalidate(d)  # the invalidator finishes its job
+    assert not os.path.isdir(log)
+
+
+def test_vacuum_uncommitted_completes_poisoned_invalidate(
+    spark, tmp_path, monkeypatch
+):
+    _no_rename(monkeypatch)
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators.maintenance import (
+        vacuum_uncommitted,
+    )
+
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [(1, 1.0, 1), (2, 2.0, 2)]), wh, "k",
+        mode="upsert",
+    )
+    d = table_data_dir(wh)
+    log = os.path.join(d, fileset.LOG_DIR)
+    # crashed portable invalidate: sentinel + dying batches
+    assert fsio.create_exclusive(os.path.join(log, fileset._POISON), b"")
+    assert vacuum_uncommitted(spark, wh) >= 1
+    assert not os.path.isdir(log)  # protocol completed under the fence
+    got = sorted(r["k"] for r in read_warehouse(spark, wh).collect())
+    assert got == ["1", "2"]  # LIST fallback serves the table exactly
+
+
+def test_repair_stranded_log_sweeps_orphan_tmp(spark, tmp_path):
+    """Advisor finding (round 11, medium): a crash in write_base
+    between the tmp write and its rename strands a log dir holding
+    only '0.tmp.<pid>.<hex>' — rmdir fails on the non-empty dir and
+    Spark's native reader plans ZERO files over live data permanently.
+    repair_stranded_log now sweeps orphan tmp residue when the dir
+    holds no batch file."""
+    wh = str(tmp_path / "wh")
+    apply_changes(
+        spark, _env(spark, [(1, 1.0, 1), (2, 2.0, 2)]), wh, "k",
+        mode="upsert",
+    )
+    d = table_data_dir(wh)
+    log = os.path.join(d, fileset.LOG_DIR)
+    for name in os.listdir(log):
+        os.remove(os.path.join(log, name))
+    # the crashed write_base's orphan tmp (the advisor's exact shape)
+    with open(os.path.join(log, "0.tmp.12345.abcdef"), "w") as f:
+        f.write("v1\n")
+    assert fileset.repair_stranded_log(d) is True
+    assert not os.path.isdir(log)
+    got = sorted(r["k"] for r in read_warehouse(spark, wh).collect())
+    assert got == ["1", "2"]
+    # with a batch file present the dir is a live manifest: refused
+    fileset.write_base(d)
+    with open(os.path.join(log, "1.tmp.12345.abcdef"), "w") as f:
+        f.write("v1\n")
+    assert fileset.repair_stranded_log(d) is False
+    assert os.path.exists(os.path.join(log, "0"))

@@ -883,5 +883,15 @@ def test_schedule_maintenance_runs_on_cadence(spark, tmp_path, monkeypatch):
             time.sleep(0.5)
         vdirs = [n for n in os.listdir(wh) if n.startswith("v_")]
         assert len(vdirs) == 1  # the cadence swept superseded versions
+        # round-12 verdict #4: tick outcomes are queryable from the
+        # metrics layer, not just greppable from logs
+        from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.metrics import (
+            engine_health,
+        )
+
+        health = engine_health()
+        assert health["maintenance_ticks"][wh]["ok"] >= 1
+        assert health["maintenance_ticks"][wh]["failed"] == 0
+        assert "fileset_list_fallbacks" in health
     finally:
         q.stop()
