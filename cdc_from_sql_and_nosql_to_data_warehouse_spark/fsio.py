@@ -164,10 +164,14 @@ def listdir(path: str) -> list[str]:
     small, so a single page suffices in practice and pagination is the
     provider SDK's problem, not a semantic one. Data-plane listing
     (parquet scans) stays with Spark's Hadoop connectors — this is for
-    the engine's own control namespace only."""
+    the engine's own control namespace only. A plain FILE squatting
+    ``path`` is an empty listing, not an error — on a store, an object
+    at key ``path`` and keys under ``path/`` are unrelated namespaces,
+    so the LIST page is simply empty; POSIX's NotADirectoryError is a
+    local-ism the mapping erases."""
     try:
         return os.listdir(path)
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
         return []
 
 

@@ -384,16 +384,23 @@ def write_base(data_dir: str, rels: list[str] | None = None) -> None:
     names = fsio.listdir(d)
     if _POISON in names:
         # a poison-invalidated prior incarnation (portable invalidate,
-        # fsio.ATOMIC_DIR_RENAME False): clear the sentinel and every
-        # dead batch file under the CALLER's fence before recording the
-        # new base — a surviving sentinel would hide the fresh manifest
-        # forever, and a crashed appender's orphan batch must not join
-        # it as phantom history. Safe only because every write_base
-        # caller holds the whole-table scope (no appender can be
-        # mid-publish while the sentinel comes off).
+        # fsio.ATOMIC_DIR_RENAME False): clear every dead batch file
+        # FIRST and the sentinel LAST under the CALLER's fence before
+        # recording the new base — a surviving sentinel would hide the
+        # fresh manifest forever, and a crashed appender's orphan batch
+        # must not join it as phantom history. The ordering is
+        # load-bearing (review finding): a crash after a listing-order
+        # sweep removed the sentinel but not yet the dead batches would
+        # leave those batches resolving as THE committed fileset; with
+        # batches-first, every crash point leaves either a poisoned dir
+        # (no log — the invalidation contract) or a clean one. Safe
+        # only because every write_base caller holds the whole-table
+        # scope (no appender can be mid-publish while the sentinel
+        # comes off).
         for n in names:
-            if n == _POISON or _is_batch_name(n):
+            if _is_batch_name(n):
                 fsio.remove(os.path.join(d, n))
+        fsio.remove(os.path.join(d, _POISON))
     fsio.atomic_write_text(os.path.join(d, "0"), _entries_text(data_dir, rels))
     fsio.atomic_write_text(os.path.join(d, _EPOCH_FILE), uuid.uuid4().hex)
     _FILESET_CACHE.pop(data_dir, None)
@@ -513,8 +520,18 @@ def prune_log(data_dir: str, grace_seconds: float | None = None) -> int:
     None and takes the full gated re-delivery (correct, documented).
     The latest compact and everything after it are NEVER touched, so
     ``append_batch``'s id derivation and its lone-batch predecessor
-    check are unaffected. Needs no fence (deletes only dead-to-all
-    files); idempotent. Returns the number of files removed."""
+    check are unaffected.
+
+    Fencing (review finding): safe against READERS and concurrent
+    appenders/prunes with no lock at all — but the CALLER must hold a
+    scope that excludes log REBASES (``invalidate`` + ``write_base``
+    restart batch ids at 0 over a different base, so a prune holding a
+    pre-rebase kill list could delete the NEW incarnation's base under
+    a colliding name). Both engine call sites qualify: the
+    opportunistic ``append_batch`` hook runs under the engine append
+    token (which table-scoped invalidators conflict with), and
+    ``run_maintenance`` takes the whole-table scope for its prune
+    step. Idempotent. Returns the number of files removed."""
     import time
 
     grace = LOG_PRUNE_GRACE_SECONDS if grace_seconds is None else grace_seconds
@@ -661,6 +678,14 @@ def _poison_invalidate(log_dir: str) -> None:
         )
     except FileNotFoundError:
         return  # no log dir at all: already log-less
+    except NotADirectoryError:
+        # junk FILE squatting the log name: not a manifest. The rename
+        # path carries the squatter away wholesale and sweeps it; match
+        # that end state (no log at all — the invalidation contract,
+        # and the next write_base's makedirs must not trip on it)
+        # rather than merely tolerating (review finding).
+        fsio.remove(log_dir)
+        return
     del created  # False = already poisoned: continue the cleanup
     for _ in range(8):
         names = sorted(

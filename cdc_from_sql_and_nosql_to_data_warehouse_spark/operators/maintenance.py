@@ -411,6 +411,18 @@ def vacuum_versions(spark: SparkSession, path: str) -> int:
 
 
 @_locked_on_path
+def prune_fileset_log(spark: SparkSession, path: str) -> int:
+    """``fileset.prune_log`` under the whole-table scope — the fence
+    exists to exclude log REBASES (an in-place rewrite's invalidate +
+    re-adopt restarts batch ids over a different base; an unfenced
+    prune holding a pre-rebase kill list could delete the new
+    incarnation's base under a colliding name — review finding).
+    Readers and appenders need no exclusion (prune deletes only files
+    dead to every reader)."""
+    return fileset.prune_log(table_data_dir(path))
+
+
+@_locked_on_path
 def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
     """Reclaim uncommitted residue from a fileset-manifest table: data
     files on disk but absent from the manifest (a crashed append's
@@ -578,12 +590,9 @@ def run_maintenance(
     removed = (
         vacuum_uncommitted(spark, path) if cfg.vacuum_uncommitted else 0
     )
-    # log pruning needs no fence (deletes only files dead to every
-    # reader — see fileset.prune_log) and costs one log-dir listing
+    # fenced against log rebases only; costs one log-dir listing
     pruned = (
-        fileset.prune_log(table_data_dir(path))
-        if cfg.prune_fileset_log
-        else 0
+        prune_fileset_log(spark, path) if cfg.prune_fileset_log else 0
     )
     expired = 0
     if cfg.expire_staging_after_seconds is not None:

@@ -526,21 +526,27 @@ class _ManifestFeedReader(DataSourceStreamReader):
             # wholly in memory per task; iter_batches bounds per-task
             # peak memory to one row group regardless of file size
             with pf:
+                # the column plan is per FILE, not per batch (a file's
+                # schema cannot change between its batches): -1 marks
+                # schema evolution — files written before a column was
+                # added read as nulls, like mergeSchema
+                file_names = pf.schema_arrow.names
+                plan = [
+                    (
+                        field,
+                        file_names.index(field.name)
+                        if field.name in file_names
+                        else -1,
+                    )
+                    for field in target
+                ]
                 for rb in pf.iter_batches():
-                    names = rb.schema.names
-                    cols = []
-                    for field in target:
-                        if field.name in names:
-                            col = self._align(
-                                rb.column(names.index(field.name)),
-                                field.type,
-                            )
-                        else:
-                            # schema evolution: files written before a
-                            # column was added read as nulls, like
-                            # mergeSchema
-                            col = pa.nulls(len(rb), field.type)
-                        cols.append(col)
+                    cols = [
+                        self._align(rb.column(idx), field.type)
+                        if idx >= 0
+                        else pa.nulls(len(rb), field.type)
+                        for field, idx in plan
+                    ]
                     yield pa.RecordBatch.from_arrays(
                         cols, schema=target
                     )

@@ -23,6 +23,7 @@ module-local dicts one grep away from invisible:
 from __future__ import annotations
 
 import json
+import threading
 
 from dataclasses import dataclass, field
 
@@ -31,25 +32,31 @@ from pyspark.sql.streaming import StreamingQueryListener
 # path -> {"ok": n, "failed": n}: outcomes of scheduled maintenance
 # ticks (streaming.manager.schedule_maintenance). Bounded like the
 # fileset caches — paths are table roots, a long-lived session over
-# many tables must not leak one entry per table forever.
+# many tables must not leak one entry per table forever. Lock-guarded
+# (review finding): writers run on micro-batch threads while
+# engine_health() reads from wherever the operator calls it — an
+# unguarded dict iteration racing an insert/evict raises.
 _MAINTENANCE_TICKS: dict = {}
 _MAINTENANCE_TICKS_MAX = 64
+_TICKS_LOCK = threading.Lock()
 
 
 def note_maintenance_tick(path: str, ok: bool) -> None:
     """Record one scheduled-maintenance tick outcome (called by
     ``manager.schedule_maintenance``'s foreachBatch body)."""
-    if path not in _MAINTENANCE_TICKS:
-        while len(_MAINTENANCE_TICKS) >= _MAINTENANCE_TICKS_MAX:
-            _MAINTENANCE_TICKS.pop(next(iter(_MAINTENANCE_TICKS)))
-        _MAINTENANCE_TICKS[path] = {"ok": 0, "failed": 0}
-    _MAINTENANCE_TICKS[path]["ok" if ok else "failed"] += 1
+    with _TICKS_LOCK:
+        if path not in _MAINTENANCE_TICKS:
+            while len(_MAINTENANCE_TICKS) >= _MAINTENANCE_TICKS_MAX:
+                _MAINTENANCE_TICKS.pop(next(iter(_MAINTENANCE_TICKS)))
+            _MAINTENANCE_TICKS[path] = {"ok": 0, "failed": 0}
+        _MAINTENANCE_TICKS[path]["ok" if ok else "failed"] += 1
 
 
 def maintenance_tick_counts() -> dict:
     """{table path: {"ok": n, "failed": n}} for this session's
     scheduled maintenance ticks."""
-    return {k: dict(v) for k, v in _MAINTENANCE_TICKS.items()}
+    with _TICKS_LOCK:
+        return {k: dict(v) for k, v in _MAINTENANCE_TICKS.items()}
 
 
 def engine_health() -> dict:

@@ -51,6 +51,8 @@ from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import (
 
 N_FILES = 32
 ROWS_PER_FILE = 150_000
+PAYLOAD = "x" * 64  # widen rows so per-task read work dominates the
+# fixed ~1.3s query-start cost and the scaling is visible
 
 
 def _build() -> str:
@@ -63,7 +65,7 @@ def _build() -> str:
         base = i * ROWS_PER_FILE
         t = pa.table(
             {
-                "k": [str(base + j) for j in range(ROWS_PER_FILE)],
+                "k": [str(base + j) + PAYLOAD for j in range(ROWS_PER_FILE)],
                 "v": [float(j) for j in range(ROWS_PER_FILE)],
             }
         )
@@ -104,6 +106,7 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .appName("probe_redelivery")
         .getOrCreate()
     )

@@ -1028,3 +1028,70 @@ def test_repair_stranded_log_sweeps_orphan_tmp(spark, tmp_path):
         f.write("v1\n")
     assert fileset.repair_stranded_log(d) is False
     assert os.path.exists(os.path.join(log, "0"))
+
+
+def test_write_base_poison_clear_removes_sentinel_last(
+    tmp_path, monkeypatch
+):
+    """Review finding (round 12): write_base's poisoned-dir sweep must
+    remove the dead batch files BEFORE the sentinel — a crash after a
+    listing-order sweep dropped the sentinel but not the batches would
+    leave those batches resolving as THE committed fileset. Pinned by
+    recording the removal order."""
+    _no_rename(monkeypatch)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    for i in range(3):
+        name = f"f{i}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        if i == 0:
+            fileset.write_base(d, [name])
+        else:
+            fileset.append_batch(d, [name])
+    log = os.path.join(d, fileset.LOG_DIR)
+    # crashed portable invalidate: sentinel + all dying batches remain
+    assert fsio.create_exclusive(os.path.join(log, fileset._POISON), b"")
+
+    removed = []
+    real = fsio.remove
+
+    def recording(path):
+        if os.path.dirname(path) == log:
+            removed.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(fsio, "remove", recording)
+    fileset.write_base(d)  # the fenced re-adopt
+    monkeypatch.setattr(fsio, "remove", real)
+
+    assert fileset._POISON in removed
+    batch_removals = [n for n in removed if fileset._is_batch_name(n)]
+    assert len(batch_removals) == 3  # all dead batches swept
+    # the sentinel comes off strictly AFTER every dead batch
+    assert removed.index(fileset._POISON) > max(
+        removed.index(n) for n in batch_removals
+    )
+    assert fileset.read_fileset(d) == sorted(
+        f"f{i}.parquet" for i in range(3)
+    )
+
+
+def test_poison_invalidate_tolerates_junk_file_squatting_log_name(
+    tmp_path, monkeypatch
+):
+    """Review finding (round 12): a junk FILE squatting the
+    _spark_metadata name is 'not a manifest' on the rename path
+    (NotADirectoryError tolerated) — the portable path must match
+    instead of raising out of the in-place rewrite that invalidates."""
+    _no_rename(monkeypatch)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, fileset.LOG_DIR), "w") as f:
+        f.write("junk")
+    fileset.invalidate(d)  # must not raise
+    # same end state as the rename path: the squatter is GONE (the
+    # next write_base's makedirs must not trip on it) and reads fall
+    # back to the directory LIST
+    assert not os.path.exists(os.path.join(d, fileset.LOG_DIR))
+    assert fileset.read_fileset(d) is None

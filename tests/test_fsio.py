@@ -104,3 +104,30 @@ def test_no_orphan_visible_to_spark_listing(tmp_path):
     fsio.atomic_write_text(p, "{}")
     for name in os.listdir(tmp_path):
         assert name.startswith("_"), name
+
+
+def test_rename_dir_honest_about_atomicity(tmp_path, monkeypatch):
+    """rename_dir is the POSIX fast path of fileset.invalidate; on a
+    store without atomic directory rename it must REFUSE (callers take
+    the poison-marker protocol) rather than silently emulate with a
+    non-atomic copy+delete that re-opens the torn-state windows."""
+    import pytest
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a)
+    fsio.rename_dir(a, b)
+    assert os.path.isdir(b) and not os.path.exists(a)
+    monkeypatch.setattr(fsio, "ATOMIC_DIR_RENAME", False)
+    with pytest.raises(NotImplementedError):
+        fsio.rename_dir(b, a)
+    assert os.path.isdir(b)  # untouched on refusal
+
+
+def test_listdir_file_squat_is_empty_page(tmp_path):
+    """A plain file squatting a listed path is an empty listing, not a
+    NotADirectoryError — the object-store LIST mapping (an object at
+    key `path` and keys under `path/` are unrelated namespaces)."""
+    p = str(tmp_path / "squat")
+    with open(p, "w") as f:
+        f.write("junk")
+    assert fsio.listdir(p) == []
