@@ -400,6 +400,16 @@ def write_base(data_dir: str, rels: list[str] | None = None) -> None:
         for n in names:
             if _is_batch_name(n):
                 fsio.remove(os.path.join(d, n))
+        # the OLD incarnation's epoch stamp dies with its batches,
+        # while still poisoned (review finding): were it left behind, a
+        # crash between the batch-0 write below and the epoch overwrite
+        # would publish the NEW incarnation under the OLD epoch — a
+        # streaming consumer checkpointed against the old incarnation
+        # would see same-epoch, diff empty, and silently never deliver
+        # the rewrite's files. With the stamp gone, that crash point
+        # reads epoch '' — detected as a change, full gated re-delivery
+        # (the same state a crashed rename-path re-adopt leaves).
+        fsio.remove(os.path.join(d, _EPOCH_FILE))
         fsio.remove(os.path.join(d, _POISON))
     fsio.atomic_write_text(os.path.join(d, "0"), _entries_text(data_dir, rels))
     fsio.atomic_write_text(os.path.join(d, _EPOCH_FILE), uuid.uuid4().hex)
@@ -519,8 +529,17 @@ def prune_log(data_dir: str, grace_seconds: float | None = None) -> int:
     streaming checkpoint whose tip predates the pruned ids resolves to
     None and takes the full gated re-delivery (correct, documented).
     The latest compact and everything after it are NEVER touched, so
-    ``append_batch``'s id derivation and its lone-batch predecessor
-    check are unaffected.
+    ``append_batch``'s id derivation is unaffected. The newest
+    compact's immediate PREDECESSOR (the highest-id batch below it) is
+    also never deleted, whatever the grace (review finding):
+    ``append_batch``'s post-publish lone-batch check reads "no batch
+    below mine" as "an invalidate raced me" and WITHDRAWS its
+    just-published compact — a prune called with an elapsed/zero grace
+    right after a fresh compact landed would otherwise delete every
+    predecessor and trigger that withdrawal, destroying the entire
+    log. Retaining exactly one predecessor keeps the check sound at
+    O(1) extra files; it becomes deletable again once a newer compact
+    supersedes it.
 
     Fencing (review finding): safe against READERS and concurrent
     appenders/prunes with no lock at all — but the CALLER must hold a
@@ -541,11 +560,27 @@ def prune_log(data_dir: str, grace_seconds: float | None = None) -> int:
     )
     if not compact_ids:
         return 0
+    newest = compact_ids[-1]
+    # the lone-batch-check keeper: highest-id batch strictly below the
+    # newest compact (prefer the compact on an id tie — richer)
+    keeper = max(
+        (n for n in names if _batch_id(n) < newest),
+        key=lambda n: (_batch_id(n), n.endswith(".compact")),
+        default=None,
+    )
     d = _log_dir(data_dir)
     now = time.time()
     cover_mtime: dict[int, float | None] = {}
-    removed = 0
+    # two passes — resolve every covering compact's mtime BEFORE the
+    # first deletion: a straggler's cover (a non-newest compact, e.g. a
+    # keeper aged past its retention) may itself be on this pass's kill
+    # list, and listdir order is arbitrary, so a single interleaved
+    # pass could delete the cover first, find it "vanished", and skip
+    # the straggler on every future pass too (it accumulates forever)
+    kill: list[str] = []
     for n in names:
+        if n == keeper:
+            continue  # see the predecessor-retention rule above
         bid = _batch_id(n)
         if n.endswith(".compact"):
             cover = next((c for c in compact_ids if c > bid), None)
@@ -559,7 +594,10 @@ def prune_log(data_dir: str, grace_seconds: float | None = None) -> int:
             )
         m = cover_mtime[cover]
         if m is None or now - m < grace:
-            continue  # covering compact vanished mid-scan / in grace
+            continue  # cover vanished (concurrent prune) / in grace
+        kill.append(n)
+    removed = 0
+    for n in kill:
         if fsio.remove(os.path.join(d, n)):
             removed += 1
     if removed:

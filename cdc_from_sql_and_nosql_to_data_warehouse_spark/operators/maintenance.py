@@ -460,7 +460,8 @@ def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
     # any tmp here is a dead writer's — pure junk, invisible to both
     # batch filters but accumulating forever otherwise
     log_dir = os.path.join(data, fileset.LOG_DIR)
-    if fileset._POISON in fsio.listdir(log_dir):
+    log_names = fsio.listdir(log_dir)  # ONE list serves both sweeps
+    if fileset._POISON in log_names:
         # a crashed PORTABLE invalidate left its sentinel standing
         # (engine reads already take the LIST fallback — exact; Spark's
         # native reader would plan the dying prefix): complete the
@@ -468,7 +469,7 @@ def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
         # the sentinel last, rmdir when clean
         fileset._poison_invalidate(log_dir)
         removed += 1
-    for name in fsio.listdir(log_dir):
+    for name in log_names:
         if name.startswith(".pub."):
             fsio.remove(os.path.join(log_dir, name))
             removed += 1

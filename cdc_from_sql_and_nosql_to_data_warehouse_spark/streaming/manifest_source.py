@@ -178,10 +178,13 @@ _POISON = ".invalidated"  # twin of fileset._POISON
 
 def _batch_files(data_dir: str) -> list[str]:
     """Twin of ``fileset._batch_files`` (including the portable
-    invalidate's poison sentinel: a poisoned log is no log)."""
+    invalidate's poison sentinel: a poisoned log is no log, and a
+    plain FILE squatting the log name is an empty listing — the
+    object-store LIST mapping ``fsio.listdir`` applies — not a query-
+    killing NotADirectoryError)."""
     try:
         names = os.listdir(os.path.join(data_dir, _LOG_DIR))
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
         return []
     if _POISON in names:
         return []

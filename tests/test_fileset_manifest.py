@@ -777,15 +777,16 @@ def test_prune_log_bounds_append_heavy_log(tmp_path, monkeypatch):
     assert len(fileset._batch_files(d)) == n_before
 
     # grace elapsed: everything below the latest compact (19.compact)
-    # goes; resolution unchanged
+    # goes EXCEPT its immediate predecessor (the lone-batch-check
+    # keeper — see prune_log's predecessor-retention rule); resolution
+    # unchanged
     pruned = fileset.prune_log(d, grace_seconds=0.0)
     assert pruned > 0
     names = fileset._batch_files(d)
     assert "19.compact" in names
-    assert all(
-        fileset._batch_id(n) >= 19 for n in names
-    ), names  # only latest compact + later survive
-    assert len(names) == 1 + (25 - 19)  # compact + ids 20..25
+    below = [n for n in names if fileset._batch_id(n) < 19]
+    assert below == ["18"]  # exactly the keeper, nothing else
+    assert len(names) == 1 + (25 - 19) + 1  # compact + ids 20..25 + keeper
     assert fileset.read_fileset(d) == expected
     # idempotent
     assert fileset.prune_log(d, grace_seconds=0.0) == 0
@@ -1095,3 +1096,101 @@ def test_poison_invalidate_tolerates_junk_file_squatting_log_name(
     # back to the directory LIST
     assert not os.path.exists(os.path.join(d, fileset.LOG_DIR))
     assert fileset.read_fileset(d) is None
+
+
+def test_prune_keeps_lone_batch_check_sound_at_zero_grace(
+    tmp_path, monkeypatch
+):
+    """Review finding (round 12, reproduced pre-fix): a prune with an
+    elapsed/zero grace landing EXACTLY between a fresh compact's
+    publish and the appender's lone-batch predecessor check must not
+    delete every predecessor — the appender would read 'no batch below
+    mine' as an invalidate race, WITHDRAW the compact, and destroy the
+    whole log. The interleave is injected by running the prune from
+    inside publish_exclusive's success path."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d)
+
+    real_publish = fsio.publish_exclusive
+    real_prune = fileset.prune_log
+
+    def racing_publish(target, text):
+        ok = real_publish(target, text)
+        if ok and target.endswith(".compact"):
+            # the adversarial interleave: a concurrent maintenance
+            # prune fires the instant the compact lands, before the
+            # appender's post-publish predecessor re-list
+            real_prune(d, grace_seconds=0.0)
+        return ok
+
+    monkeypatch.setattr(fsio, "publish_exclusive", racing_publish)
+    monkeypatch.setattr(
+        fileset, "prune_log", lambda *a, **k: 0
+    )  # silence the opportunistic in-append prune: the injected one
+    # above already ran at the worst possible moment
+    for i in range(12):
+        name = f"f{i:02d}.parquet"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"x")
+        assert fileset.append_batch(d, [name]) is not None  # no withdraw
+    monkeypatch.setattr(fsio, "publish_exclusive", real_publish)
+    monkeypatch.setattr(fileset, "prune_log", real_prune)
+
+    names = fileset._batch_files(d)
+    assert "9.compact" in names  # the compact SURVIVED the race
+    assert any(fileset._batch_id(n) < 9 for n in names)  # the keeper
+    assert fileset.read_fileset(d) == sorted(
+        ["a.parquet"] + [f"f{i:02d}.parquet" for i in range(12)]
+    )
+
+
+def test_write_base_poison_clear_buries_old_epoch(tmp_path, monkeypatch):
+    """Review finding (round 12, reproduced pre-fix): write_base's
+    poisoned-dir sweep must remove the OLD incarnation's epoch stamp
+    while still poisoned — otherwise a crash between the new batch-0
+    write and the epoch overwrite publishes the new incarnation under
+    the old epoch, and a streaming consumer checkpointed against the
+    old incarnation sees same-epoch + empty diff and silently never
+    delivers the rewrite's files."""
+    _no_rename(monkeypatch)
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "old.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d, ["old.parquet"])
+    old_epoch = fileset.log_epoch(d)
+    assert old_epoch
+    log = os.path.join(d, fileset.LOG_DIR)
+    # crashed portable invalidate: sentinel stands, epoch survives
+    assert fsio.create_exclusive(os.path.join(log, fileset._POISON), b"")
+
+    # the fenced re-adopt CRASHES between the batch-0 write and the
+    # epoch overwrite (the narrowest window)
+    real_write = fsio.atomic_write_text
+
+    def crashing_write(path, text):
+        if os.path.basename(path) == fileset._EPOCH_FILE:
+            raise RuntimeError("crash before epoch overwrite")
+        return real_write(path, text)
+
+    monkeypatch.setattr(fsio, "atomic_write_text", crashing_write)
+    with open(os.path.join(d, "new.parquet"), "wb") as f:
+        f.write(b"x")
+    try:
+        fileset.write_base(d, ["new.parquet"])
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(fsio, "atomic_write_text", real_write)
+
+    # the crash point must read epoch '' (an incarnation CHANGE to any
+    # consumer holding the old epoch -> full gated re-delivery), never
+    # the old epoch over the new base
+    assert fileset.log_epoch(d) == ""
+    assert fileset.log_epoch(d) != old_epoch
+    # and the re-adopt retried to completion heals everything
+    fileset.write_base(d, ["new.parquet"])
+    assert fileset.log_epoch(d) not in ("", old_epoch)
+    assert fileset.read_fileset(d) == ["new.parquet"]

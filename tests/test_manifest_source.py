@@ -910,3 +910,22 @@ def test_held_trigger_visible_in_listener(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in read_warehouse(spark, dst).collect()
     ) == [("a", 1.0)]
+
+
+def test_twin_batch_files_tolerates_file_squat(tmp_path):
+    """Review finding (round 12): a plain FILE squatting the
+    _spark_metadata name must read as 'no log' in the streaming twin
+    exactly as it does in fileset._batch_files (via fsio.listdir's
+    object-store LIST mapping) — a NotADirectoryError here would kill
+    a continuous manifest-planned stream on a state the batch plane
+    treats as benign."""
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming import (
+        manifest_source as ms,
+    )
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, ms._LOG_DIR), "w") as f:
+        f.write("junk")
+    assert ms._batch_files(d) == []
+    assert fileset._batch_files(d) == []  # twin parity
