@@ -400,17 +400,23 @@ def write_base(data_dir: str, rels: list[str] | None = None) -> None:
         for n in names:
             if _is_batch_name(n):
                 fsio.remove(os.path.join(d, n))
-        # the OLD incarnation's epoch stamp dies with its batches,
-        # while still poisoned (review finding): were it left behind, a
-        # crash between the batch-0 write below and the epoch overwrite
-        # would publish the NEW incarnation under the OLD epoch — a
-        # streaming consumer checkpointed against the old incarnation
-        # would see same-epoch, diff empty, and silently never deliver
-        # the rewrite's files. With the stamp gone, that crash point
-        # reads epoch '' — detected as a change, full gated re-delivery
-        # (the same state a crashed rename-path re-adopt leaves).
-        fsio.remove(os.path.join(d, _EPOCH_FILE))
         fsio.remove(os.path.join(d, _POISON))
+    # any prior incarnation's epoch stamp dies BEFORE the new batch-0
+    # write — unconditionally, not just on the poison branch (review
+    # finding): were a stale stamp left behind (a crashed
+    # repair_stranded_log can strand one in an unpoisoned batch-less
+    # dir), a crash between the batch-0 write and the epoch overwrite
+    # below would publish the NEW incarnation under the OLD epoch — a
+    # streaming consumer checkpointed against the old incarnation
+    # would see same-epoch, diff empty, and silently never deliver
+    # the rewrite's files. With the stamp gone, every crash point
+    # reads epoch '' — detected as a change, full gated re-delivery
+    # (the same state a crashed rename-path re-adopt leaves). No-op on
+    # fresh dirs. On the poison branch this runs while still poisoned
+    # (the sweep above is ordered batches -> sentinel, and the epoch
+    # removal is idempotent either side of the sentinel given the
+    # batches are already gone).
+    fsio.remove(os.path.join(d, _EPOCH_FILE))
     fsio.atomic_write_text(os.path.join(d, "0"), _entries_text(data_dir, rels))
     fsio.atomic_write_text(os.path.join(d, _EPOCH_FILE), uuid.uuid4().hex)
     _FILESET_CACHE.pop(data_dir, None)
@@ -818,14 +824,16 @@ def repair_stranded_log(data_dir: str) -> bool:
     names = fsio.listdir(d)
     if any(_is_batch_name(n) for n in names):
         return False
+    # sentinel LAST (review finding): a crash after an unordered sweep
+    # removed _POISON but not _EPOCH_FILE would leave an unpoisoned
+    # batch-less dir with a stale epoch stamp — write_base's
+    # unconditional epoch burial now backstops that, but keeping every
+    # crash point either poisoned or stamp-free closes it at the source
     for n in names:
-        if (
-            ".tmp." in n
-            or n.startswith(".pub.")
-            or n == _POISON
-            or n == _EPOCH_FILE
-        ):
+        if ".tmp." in n or n.startswith(".pub.") or n == _EPOCH_FILE:
             fsio.remove(os.path.join(d, n))
+    if _POISON in names:
+        fsio.remove(os.path.join(d, _POISON))
     try:
         os.rmdir(d)
         return True

@@ -1194,3 +1194,45 @@ def test_write_base_poison_clear_buries_old_epoch(tmp_path, monkeypatch):
     fileset.write_base(d, ["new.parquet"])
     assert fileset.log_epoch(d) not in ("", old_epoch)
     assert fileset.read_fileset(d) == ["new.parquet"]
+
+
+def test_write_base_buries_stale_epoch_without_poison(
+    tmp_path, monkeypatch
+):
+    """Review finding (round 12, third pass): the epoch burial must be
+    unconditional, not poison-branch-only — a crashed
+    repair_stranded_log sweep can strand a stale epoch stamp in an
+    UNpoisoned batch-less log dir, and a re-adopt crashing between its
+    batch-0 write and epoch overwrite would then publish the new
+    incarnation under the old epoch (same silent-non-delivery class as
+    the poison-path bug)."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "old.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d, ["old.parquet"])
+    old_epoch = fileset.log_epoch(d)
+    log = os.path.join(d, fileset.LOG_DIR)
+    # the stranded state: batches gone, NO sentinel, stale stamp left
+    for n in fsio.listdir(log):
+        if fileset._is_batch_name(n):
+            os.remove(os.path.join(log, n))
+    assert fileset.log_epoch(d) == old_epoch
+
+    real_write = fsio.atomic_write_text
+
+    def crashing_write(path, text):
+        if os.path.basename(path) == fileset._EPOCH_FILE:
+            raise RuntimeError("crash before epoch overwrite")
+        return real_write(path, text)
+
+    monkeypatch.setattr(fsio, "atomic_write_text", crashing_write)
+    with open(os.path.join(d, "new.parquet"), "wb") as f:
+        f.write(b"x")
+    try:
+        fileset.write_base(d, ["new.parquet"])
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(fsio, "atomic_write_text", real_write)
+    # the crash point reads '' (incarnation change), never the old epoch
+    assert fileset.log_epoch(d) == ""
