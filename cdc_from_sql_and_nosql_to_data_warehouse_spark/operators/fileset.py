@@ -533,7 +533,11 @@ def prune_log(data_dir: str, grace_seconds: float | None = None) -> int:
     inside the grace; after it, ``read_fileset``'s post-resolution
     re-list turns any observed deletion into a clean re-resolve, and a
     streaming checkpoint whose tip predates the pruned ids resolves to
-    None and takes the full gated re-delivery (correct, documented).
+    None and takes the full gated re-delivery (correct, documented) —
+    except a tip that IS the retained keeper batch (below), which
+    resolves to that batch's own adds: a strict subset of what the
+    consumer already received, so the delta math can only
+    over-deliver, inside the at-least-once gate — never lose files.
     The latest compact and everything after it are NEVER touched, so
     ``append_batch``'s id derivation is unaffected. The newest
     compact's immediate PREDECESSOR (the highest-id batch below it) is
