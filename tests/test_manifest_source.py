@@ -929,3 +929,51 @@ def test_twin_batch_files_tolerates_file_squat(tmp_path):
         f.write("junk")
     assert ms._batch_files(d) == []
     assert fileset._batch_files(d) == []  # twin parity
+
+
+def test_stream_converges_under_aggressive_pruning(spark, tmp_path):
+    """Round 12: the manifest-planned stream must stay exact while
+    `prune_log` fires between drains with a zero grace — the
+    adversarial schedule for the new pruning. Checkpoint tips land on
+    every resolution class: live batch (O(new files) window-adds),
+    pruned id (resolves None -> gated full re-delivery), and the
+    retained keeper (partial set -> subset over-delivery) — all inside
+    the at-least-once gate, so the replica converges bit-equal while
+    the log dir stays bounded."""
+    src, dst, ck = (
+        str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "ck")
+    )
+    apply_changes(
+        spark, _env(spark, [("seed", "INSERT", 0, 0)]), src, "k",
+        mode="history",
+    )
+    d = table_data_dir(src)
+    q = stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=True)
+    q.awaitTermination()
+
+    pruned_total = 0
+    for i in range(1, 26):  # crosses two compact cadences (ids 9, 19)
+        apply_changes(
+            spark, _env(spark, [(f"k{i:02d}", "INSERT", i, i)]), src,
+            "k", mode="history",
+        )
+        pruned_total += fileset.prune_log(d, grace_seconds=0.0)
+        if i % 5 == 0:  # drain mid-churn so tips land across classes
+            q = stream_sync_changes(
+                spark, src, dst, ck, "k", plan_from_manifest=True
+            )
+            q.awaitTermination()
+    assert pruned_total > 0  # the prunes really deleted log batches
+    # bounded: latest compact + later + keeper (+ in-flight slack)
+    assert len(fileset._batch_files(d)) <= fileset.COMPACT_INTERVAL + 2
+
+    q = stream_sync_changes(spark, src, dst, ck, "k", plan_from_manifest=True)
+    q.awaitTermination()
+    want = sorted(
+        (r["k"], r["v"]) for r in read_warehouse(spark, src).collect()
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in read_warehouse(spark, dst).collect()
+    )
+    assert got == want
+    assert len(got) == 26  # seed + 25 appended keys
