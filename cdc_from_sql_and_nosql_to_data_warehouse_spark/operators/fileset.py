@@ -498,6 +498,26 @@ def append_batch(data_dir: str, rels: list[str]) -> int | None:
                 _FILESET_CACHE.pop(data_dir, None)
                 return None
             _FILESET_CACHE.pop(data_dir, None)
+            # heal a missing epoch stamp (crash/race residue: a
+            # write_base that died between batch 0 and its stamp, or a
+            # stale-listing repair sweep). A log without identity reads
+            # epoch '' — and two ''-epoch incarnations of the same
+            # version dir would compare same-incarnation to a streaming
+            # consumer, the exact hazard the stamp exists to close.
+            # Stamping here is safe (this appender holds the append
+            # token, which every rebase excludes) and makes ''
+            # transient: consumers see an epoch CHANGE and take one
+            # full gated re-delivery. One O_EXCL create attempt per
+            # append; a present stamp makes it a cheap no-op.
+            import uuid as _uuid
+
+            try:
+                fsio.create_exclusive(
+                    os.path.join(d, _EPOCH_FILE),
+                    _uuid.uuid4().hex.encode(),
+                )
+            except (FileNotFoundError, NotADirectoryError):
+                pass  # log vanished concurrently: nothing to stamp
             if compact and prior is not None:
                 # opportunistic grace-bounded prune right where batches
                 # DIE (a fresh compact supersedes everything below it):
@@ -828,15 +848,29 @@ def repair_stranded_log(data_dir: str) -> bool:
     names = fsio.listdir(d)
     if any(_is_batch_name(n) for n in names):
         return False
-    # sentinel LAST (review finding): a crash after an unordered sweep
-    # removed _POISON but not _EPOCH_FILE would leave an unpoisoned
-    # batch-less dir with a stale epoch stamp — write_base's
-    # unconditional epoch burial now backstops that, but keeping every
-    # crash point either poisoned or stamp-free closes it at the source
+    # tmp/.pub junk from the ORIGINAL listing (the documented
+    # worst-case: fail a concurrent write_base LOUDLY pre-flip)...
     for n in names:
-        if ".tmp." in n or n.startswith(".pub.") or n == _EPOCH_FILE:
+        if ".tmp." in n or n.startswith(".pub."):
             fsio.remove(os.path.join(d, n))
-    if _POISON in names:
+    # ...but the correctness-bearing removals gate on a FRESH listing
+    # (review finding): a fenced write_base re-adopt may have landed
+    # between our first listing and now, and deleting ITS just-written
+    # epoch stamp by name from the stale list would strand a LIVE
+    # manifest at epoch '' — two ''-epoch incarnations of the same
+    # version dir would then compare same-incarnation to a streaming
+    # consumer and yield a silently wrong delta. write_base writes
+    # batch 0 BEFORE its epoch, so a fresh batch-less check bounds the
+    # race to the list-to-remove syscall gap (and append_batch heals
+    # any residual '' on the next publish). Sentinel LAST: a crash
+    # mid-sweep must leave the dir poisoned or stamp-free, never an
+    # unpoisoned dir with a stale stamp.
+    fresh = fsio.listdir(d)
+    if any(_is_batch_name(n) for n in fresh):
+        return False  # became a live manifest: hands off
+    if _EPOCH_FILE in fresh:
+        fsio.remove(os.path.join(d, _EPOCH_FILE))
+    if _POISON in fresh:
         fsio.remove(os.path.join(d, _POISON))
     try:
         os.rmdir(d)

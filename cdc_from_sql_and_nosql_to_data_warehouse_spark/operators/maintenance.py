@@ -461,6 +461,17 @@ def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
     # batch filters but accumulating forever otherwise
     log_dir = os.path.join(data, fileset.LOG_DIR)
     log_names = fsio.listdir(log_dir)  # ONE list serves both sweeps
+    # residue FIRST (dead writers' junk — under this fence no publish
+    # or atomic write can be mid-flight), THEN the poison completion
+    # (review finding): the reverse order let _poison_invalidate's
+    # final rmdir fail on the residue after the sentinel was already
+    # gone, leaving an EMPTY unpoisoned _spark_metadata — the state
+    # where Spark's native reader plans ZERO files over live data,
+    # manufactured by the maintenance op itself
+    for name in log_names:
+        if name.startswith(".pub.") or ".tmp." in name:
+            fsio.remove(os.path.join(log_dir, name))
+            removed += 1
     if fileset._POISON in log_names:
         # a crashed PORTABLE invalidate left its sentinel standing
         # (engine reads already take the LIST fallback — exact; Spark's
@@ -469,10 +480,6 @@ def vacuum_uncommitted(spark: SparkSession, path: str) -> int:
         # the sentinel last, rmdir when clean
         fileset._poison_invalidate(log_dir)
         removed += 1
-    for name in log_names:
-        if name.startswith(".pub."):
-            fsio.remove(os.path.join(log_dir, name))
-            removed += 1
     logged = fileset.read_fileset(data)
     if logged is None:
         return removed

@@ -141,11 +141,20 @@ class PipelineMetrics(StreamingQueryListener):
         """Micro-batches whose manifest-feed source HELD its offset
         because the source table's manifest vanished mid-stream (the
         starve-don't-move posture, ``manifest_source`` module doc): the
-        held offset carries ``h: 1``. One counted batch per hold
-        episode per trigger-advance — a growing count means a source
-        table was invalidated and never re-swapped, and its consumers
-        are starving by design; remediation is a swap/compaction on
-        the source (records a fresh manifest base)."""
+        held offset carries ``h: 1``. Also counts the RESTARTED shape
+        of the same episode (review finding): a query that restarts
+        into a still-vanished manifest commits the regressed offset
+        ``{v, b: -1, e: ''}`` and then never calls partitions again,
+        so no ``h``-flagged offset is ever emitted for the rest of the
+        outage — the ``b: -1`` end offset itself is the starvation
+        signal there (the manifest feed is only ever selected for
+        tables that HAVE a manifest, so a feed offset that cannot name
+        a log tip means the manifest is gone). One counted batch per
+        hold episode per trigger-advance — a growing count means a
+        source table was invalidated and never re-swapped, and its
+        consumers are starving by design; remediation is a
+        swap/compaction on the source (records a fresh manifest
+        base)."""
         n = 0
         for b in self.batches:
             if query_name is not None and b.query_name != query_name:
@@ -155,7 +164,10 @@ class PipelineMetrics(StreamingQueryListener):
                     off = json.loads(raw)
                 except (TypeError, ValueError):
                     continue
-                if isinstance(off, dict) and off.get("h"):
+                if isinstance(off, dict) and (
+                    off.get("h")
+                    or (off.get("v") is not None and off.get("b") == -1)
+                ):
                     n += 1
                     break
         return n

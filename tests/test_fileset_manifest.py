@@ -992,8 +992,17 @@ def test_vacuum_uncommitted_completes_poisoned_invalidate(
     )
     d = table_data_dir(wh)
     log = os.path.join(d, fileset.LOG_DIR)
-    # crashed portable invalidate: sentinel + dying batches
+    # crashed portable invalidate: sentinel + dying batches, PLUS a
+    # crashed publisher's .pub tmp and a crashed writer's orphan tmp
+    # (review finding: sweeping residue AFTER the poison completion
+    # left an empty unpoisoned _spark_metadata — the zero-files trap
+    # for Spark's native reader — because the completion's rmdir
+    # failed on the residue after the sentinel was already gone)
     assert fsio.create_exclusive(os.path.join(log, fileset._POISON), b"")
+    with open(os.path.join(log, ".pub.999.dead"), "w") as f:
+        f.write("junk")
+    with open(os.path.join(log, "0.tmp.999.dead"), "w") as f:
+        f.write("junk")
     assert vacuum_uncommitted(spark, wh) >= 1
     assert not os.path.isdir(log)  # protocol completed under the fence
     got = sorted(r["k"] for r in read_warehouse(spark, wh).collect())
@@ -1236,3 +1245,64 @@ def test_write_base_buries_stale_epoch_without_poison(
     monkeypatch.setattr(fsio, "atomic_write_text", real_write)
     # the crash point reads '' (incarnation change), never the old epoch
     assert fileset.log_epoch(d) == ""
+
+
+def test_repair_stranded_log_wont_eat_fresh_readopt_epoch(
+    tmp_path, monkeypatch
+):
+    """Review finding (round 12, fourth pass): the unfenced stranded-
+    log repair must gate its correctness-bearing removals (epoch,
+    sentinel) on a FRESH listing — a fenced write_base re-adopt can
+    land between the repair's first listing and its removes, and
+    deleting the re-adopt's just-written epoch by name from the stale
+    list would strand a LIVE manifest at epoch ''. Simulated by
+    re-adopting from inside the repair's first listdir."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d, ["a.parquet"])
+    log = os.path.join(d, fileset.LOG_DIR)
+    # the stranded state the repair targets: epoch-only dir
+    for n in os.listdir(log):
+        if n != fileset._EPOCH_FILE:
+            os.remove(os.path.join(log, n))
+
+    real_listdir = fsio.listdir
+    fired = []
+
+    def racing_listdir(path):
+        names = real_listdir(path)
+        if path == log and not fired:
+            fired.append(True)
+            # the fenced re-adopt lands AFTER the stale listing
+            fileset.write_base(d, ["a.parquet"])
+        return names
+
+    monkeypatch.setattr(fsio, "listdir", racing_listdir)
+    assert fileset.repair_stranded_log(d) is False  # live now: hands off
+    monkeypatch.setattr(fsio, "listdir", real_listdir)
+    # the re-adopt's manifest AND its epoch identity both survive
+    assert fileset.read_fileset(d) == ["a.parquet"]
+    assert fileset.log_epoch(d) != ""
+
+
+def test_append_heals_missing_epoch(tmp_path):
+    """Review finding (round 12, fourth pass): a log stranded at epoch
+    '' (crashed write_base / stale-listing repair residue) regains an
+    identity on the next successful append — two ''-epoch incarnations
+    of the same version dir must never persist long enough to compare
+    same-incarnation to a streaming consumer."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.parquet"), "wb") as f:
+        f.write(b"x")
+    fileset.write_base(d, ["a.parquet"])
+    log = os.path.join(d, fileset.LOG_DIR)
+    os.remove(os.path.join(log, fileset._EPOCH_FILE))
+    assert fileset.log_epoch(d) == ""
+    with open(os.path.join(d, "b.parquet"), "wb") as f:
+        f.write(b"x")
+    assert fileset.append_batch(d, ["b.parquet"]) == 1
+    assert fileset.log_epoch(d) != ""  # healed, fresh identity
+    assert fileset.read_fileset(d) == ["a.parquet", "b.parquet"]

@@ -977,3 +977,36 @@ def test_stream_converges_under_aggressive_pruning(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 26  # seed + 25 appended keys
+
+
+def test_starvation_metric_counts_restarted_hold_shape():
+    """Review finding (round 12, fourth pass): a query that RESTARTS
+    into a still-vanished manifest commits the regressed offset
+    {v, b: -1, e: ''} and never calls partitions again, so no h-flagged
+    offset is ever emitted for the rest of the outage — the b: -1 end
+    offset itself must count as starvation, or the episode goes dark
+    after the second restart. Raw-source offsets (no feed shape) must
+    not count."""
+    import json as _json
+
+    from cdc_from_sql_and_nosql_to_data_warehouse_spark.streaming.metrics import (
+        BatchMetric,
+        PipelineMetrics,
+    )
+
+    m = PipelineMetrics()
+
+    def _b(i, off):
+        return BatchMetric(
+            query_name="q", batch_id=i, num_input_rows=0,
+            sink_description="s", watermark=None,
+            source_end_offsets=[_json.dumps(off)],
+        )
+
+    m.batches.append(_b(0, {"v": "v_1", "b": 3, "e": "abc"}))  # healthy
+    m.batches.append(_b(1, {"v": "v_1", "b": 3, "e": "abc", "h": 1}))
+    m.batches.append(_b(2, {"v": "v_1", "b": -1, "e": ""}))  # restarted
+    m.batches.append(_b(3, {"logOffset": 7}))  # raw file source
+    assert m.held_manifest_triggers() == 2
+    assert m.held_manifest_triggers("q") == 2
+    assert m.held_manifest_triggers("other") == 0
