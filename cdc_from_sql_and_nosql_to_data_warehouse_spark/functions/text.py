@@ -58,13 +58,22 @@ def stopword_hits(col, lang: str) -> Column:
     return F.size(F.array_intersect(distinct_tokens(col), stop))
 
 
-def lang_id(col) -> Column:
-    """Argmax language by stopword hits; ties break by language-code
-    order; zero hits everywhere -> 'und' (undetermined)."""
-    hits = {lang: stopword_hits(col, lang) for lang in sorted(LANG_STOPWORDS)}
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax language over per-language hit COLUMNS; ties break by
+    language-code order; zero hits everywhere -> 'und'.
+
+    Split out from ``lang_id``/``lang_id_trigram`` (round 12, guide
+    §7.2 "duplicated subtrees"): inlining the hit EXPRESSIONS into this
+    argmax chain copies each one's whole subtree once per comparison —
+    the duplicated-subtree plan disease (measured: ~34 copies of the
+    trigram-array build per row in text_lang_id_trigram's Project).
+    Callers stage the hits as aliases in a prior select; multiply-
+    referenced non-trivial aliases survive CollapseProject, so each
+    hit count is computed once per row and this chain compares plain
+    attributes."""
     best = None
     best_hits = None
-    for lang in sorted(LANG_STOPWORDS):  # later langs must beat, not tie
+    for lang in sorted(hits):  # later langs must beat, not tie
         if best is None:
             best, best_hits = F.lit(lang), hits[lang]
         else:
@@ -72,6 +81,20 @@ def lang_id(col) -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
     return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+
+def lang_id(col) -> Column:
+    """Argmax language by stopword hits; ties break by language-code
+    order; zero hits everywhere -> 'und' (undetermined).
+
+    NOTE (plan cost): this single-Column form inlines every language's
+    stopword-hit subtree into the argmax chain — fine in a filter or a
+    one-off projection, but a query that ALSO projects the per-language
+    hit columns should stage them once and call ``lang_id_from_hits``
+    on the aliases instead (see that docstring)."""
+    return lang_id_from_hits(
+        {lang: stopword_hits(col, lang) for lang in sorted(LANG_STOPWORDS)}
+    )
 
 
 def n_tokens(col) -> Column:
@@ -181,12 +204,16 @@ def unigram_logprob_scores(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("_tok"),
     )
-    model = (
-        tok.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= int(min_count))
-    )
-    total = tok.agg(F.count(F.lit(1)).alias("_total"))
+    # The corpus token total is derived from the UNFILTERED model
+    # aggregate instead of a third explode pass over the corpus
+    # (round 12, guide §2.4): sum of all per-token counts == count of
+    # all tokens, and the model branch and the total branch now share
+    # one canonical Exchange(hash(_tok)) subtree, which ReuseExchange
+    # dedupes — the corpus is tokenized/exploded twice per run (model +
+    # per-doc scoring), not three times.
+    model_full = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    model = model_full.filter(F.col("_cnt") >= int(min_count))
+    total = model_full.agg(F.sum("_cnt").alias("_total"))
     per_doc = (
         tok.join(F.broadcast(model), "_tok", "left")
         .groupBy("doc_id")
@@ -227,18 +254,12 @@ def unigram_logprob_scores(
 
 def lang_id_trigram(col) -> Column:
     """Argmax language by trigram-profile hits; ties break by language
-    code; zero hits everywhere -> 'und'."""
-    best = None
-    best_hits = None
-    for lang in sorted(LANG_TRIGRAMS):
-        h = trigram_hits(col, lang)
-        if best is None:
-            best, best_hits = F.lit(lang), h
-        else:
-            cond = h > best_hits
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_hits = F.when(cond, h).otherwise(best_hits)
-    return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+    code; zero hits everywhere -> 'und'. Same plan-cost note as
+    ``lang_id``: queries that also project the hit columns should stage
+    them and use ``lang_id_from_hits``."""
+    return lang_id_from_hits(
+        {lang: trigram_hits(col, lang) for lang in sorted(LANG_TRIGRAMS)}
+    )
 
 
 def corpus_frequent_ngrams(
@@ -267,18 +288,22 @@ def corpus_frequent_ngrams(
     codegen. Ties at the k boundary break by n-gram text so the final
     cut is deterministic (the oracle orders identically).
     """
-    toks = tokens(F.col(text_col))
-    sz = F.size(toks)
+    # tokens staged as a column: an inline split in the transform
+    # lambda would be re-evaluated once PER GRAM by the interpreted
+    # HOF path (guide §7.2/§4, round 12)
+    staged = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    tk = F.col("_tk")
+    sz = F.size(tk)
     grams = F.when(
         sz >= n,
         F.transform(
             F.sequence(F.lit(0), sz - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(
-        F.col(id_col).alias("_id"), F.explode(grams).alias("ngram")
-    )
+    exploded = staged.select("_id", F.explode(grams).alias("ngram"))
     hashed = exploded.withColumn("_h", F.xxhash64("ngram"))
     # pass-1 tie-break must mirror the final (count desc, text asc)
     # order or boundary ties would cut by hash instead of text: carry

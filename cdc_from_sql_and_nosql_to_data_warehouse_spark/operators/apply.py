@@ -1483,6 +1483,39 @@ def _canonical_seq_py(seq) -> str:
     return str(seq).rjust(40, "0")
 
 
+_BAD_OP_MARKER = "unexpected change-event op"
+
+
+def _guarded_op(op: F.Column) -> F.Column:
+    """``op`` with the VALID_OPS check riding inline (round 12): every
+    evaluating job raises on an unknown op instead of a dedicated
+    pre-flight scan paying one extra pass per apply. NULL ops pass,
+    exactly as they passed the old three-valued ``~isin`` probe (the
+    mode filters downstream drop them). ``raise_error``'s message is
+    restored to the documented ValueError by ``_reraise_bad_op``."""
+    return F.when(
+        op.isNull() | op.isin(*VALID_OPS), op
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit(_BAD_OP_MARKER + ": '"), op, F.lit("'"))
+        ).cast("string")
+    )
+
+
+def _reraise_bad_op(exc: Exception) -> None:
+    """Re-raise the op-guard's job failure as the documented
+    ``ValueError`` (no-op for every other exception — caller re-raises
+    the original)."""
+    if isinstance(exc, ValueError):
+        return
+    text = str(exc)
+    idx = text.find(_BAD_OP_MARKER)
+    if idx < 0:
+        return
+    line = text[idx:].splitlines()[0].strip()
+    raise ValueError(line) from exc
+
+
 def append_to_table(
     df: DataFrame,
     target_path: str,
@@ -1877,17 +1910,31 @@ def apply_changes(
     creation, the null-partition-REMOVE fallback) keep the exclusive
     single-writer fence.
     """
-    bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
-    if bad:
-        raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
-    kind, parts, probed = _scope_for(
-        changes, target_path, mode, propagate_deletes, partition_by
-    )
-    with _retrying_mutation_scope(target_path, kind, partition_by, parts):
-        _apply_changes_locked(
-            spark, changes, target_path, key, mode, propagate_deletes,
-            partition_by, scope_touched=probed,
+    # Op validation rides INSIDE the batch's own jobs (round 12, guide
+    # §1.2: don't pay a separate pass): the old eager
+    # ``filter(~isin).limit(1).collect()`` probe cost one full extra
+    # scan of every envelope batch per apply — at 100 TB a whole extra
+    # pass per micro-batch. The guard column raises from whichever job
+    # first evaluates the batch; ``_reraise_bad_op`` restores the
+    # documented ValueError. A NULL op passes the guard exactly as it
+    # passed the old probe (three-valued ~isin dropped it) and is then
+    # dropped by the mode filters downstream, as before. Crash shape on
+    # a bad op: the staged write dies BEFORE any commit point (staged
+    # dirs/orphan versions are reader-invisible junk the next commit or
+    # vacuum reclaims), so no committed state can carry poison rows.
+    changes = changes.withColumn("op", _guarded_op(F.col("op")))
+    try:
+        kind, parts, probed = _scope_for(
+            changes, target_path, mode, propagate_deletes, partition_by
         )
+        with _retrying_mutation_scope(target_path, kind, partition_by, parts):
+            _apply_changes_locked(
+                spark, changes, target_path, key, mode, propagate_deletes,
+                partition_by, scope_touched=probed,
+            )
+    except Exception as exc:
+        _reraise_bad_op(exc)
+        raise
 
 
 def _scope_for(
@@ -2041,12 +2088,20 @@ def _apply_changes_locked(
     # padded representation may be unpadded — both get normalized here
     # and again at lift time, so mixed-era tables arbitrate correctly
     # instead of lexicographically comparing '5' against '00…19'.
-    incoming = latest_per_key(
-        incoming.select(
-            "key", "op", "after", _canonical_seq(F.col("seq")).alias("seq")
-        ),
-        "key",
-        "seq",
+    #
+    # ONE max-seq window per merge (round 12, guide §2.4): the batch
+    # used to be pre-deduped by its own latest_per_key window and then
+    # merged through _merge_latest's second window — two Exchanges on
+    # the same key, with the batch's rows crossing the wire twice (raw,
+    # then deduped). Feeding the raw batch straight into the merge
+    # window shuffles every row exactly once and drops a whole
+    # Exchange+Sort stage. Identical output: the single window's
+    # max-seq winner per key is the same row the two-stage form picked
+    # (row_number over the union of ALL batch rows + the stored row ==
+    # row_number over (deduped batch + stored row) — same ordering,
+    # same arbitrary-among-equal-seq tie class as before).
+    incoming = incoming.select(
+        "key", "op", "after", _canonical_seq(F.col("seq")).alias("seq")
     )
 
     exists = _table_exists(data_dir)
@@ -2144,9 +2199,11 @@ def _apply_changes_locked(
         if existing is not None:
             merged = _merge_latest(incoming, _lift_stored(existing, key))
         else:
-            merged = incoming
+            # nothing stored to merge against: the single max-seq
+            # window runs over the batch alone
+            merged = latest_per_key(incoming, "key", "seq")
     else:
-        merged = incoming
+        merged = latest_per_key(incoming, "key", "seq")
 
     result = _stored_form(merged, key, propagate_deletes)
 
@@ -2283,35 +2340,35 @@ def apply_changes_bucketed(
     columns; as with every bucketed layout, the bucket count is fixed
     at table creation.
     """
-    bad = changes.filter(~F.col("op").isin(*VALID_OPS)).limit(1).collect()
-    if bad:
-        raise ValueError(f"unexpected change-event op: {bad[0]['op']!r}")
+    # inline op guard — same rationale and mechanics as apply_changes
+    changes = changes.withColumn("op", _guarded_op(F.col("op")))
     recover_bucketed_table(spark, table_name)
     incoming = changes if propagate_deletes else changes.filter(
         F.col("op") != "REMOVE"
     )
-    incoming = latest_per_key(
-        incoming.select(
-            "key", "op", "after", _canonical_seq(F.col("seq")).alias("seq")
-        ),
-        "key",
-        "seq",
+    incoming = incoming.select(
+        "key", "op", "after", _canonical_seq(F.col("seq")).alias("seq")
     )
+    # one max-seq window total — see _apply_changes_locked's upsert note
     if spark.catalog.tableExists(table_name):
         merged = _merge_latest(incoming, _lift_stored(spark.table(table_name), key))
     else:
-        merged = incoming
+        merged = latest_per_key(incoming, "key", "seq")
     result = _stored_form(merged, key, propagate_deletes)
 
     from .maintenance import write_bucketed
 
-    swap_staged_table(
-        spark,
-        table_name,
-        lambda staged: write_bucketed(
-            result, staged, bucket_cols, n_buckets=n_buckets, sort_cols=bucket_cols
-        ),
-    )
+    try:
+        swap_staged_table(
+            spark,
+            table_name,
+            lambda staged: write_bucketed(
+                result, staged, bucket_cols, n_buckets=n_buckets, sort_cols=bucket_cols
+            ),
+        )
+    except Exception as exc:
+        _reraise_bad_op(exc)
+        raise
 
 
 def swap_staged_table(spark: SparkSession, table_name: str, write_staged) -> None:

@@ -55,13 +55,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def token_ngrams(col, n: int) -> Column:
-    """Distinct word n-gram shingles; n=1 -> distinct tokens.
+def token_ngrams_of(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a PREPARED tokens column.
 
-    SQL twin (DuckDB): list comprehension over token positions."""
+    ``toks`` must be a cheap reference (a staged attribute), not an
+    inline ``split(...)`` expression: anything inlined into the
+    transform lambda below is re-evaluated PER ELEMENT by Spark's
+    interpreted higher-order-function path — an inline split costs
+    O(n_grams) tokenizations per document (round 12, guide §7.2/§4;
+    measured 2.4x on the window stage of span dedup)."""
     if n == 1:
-        return distinct_tokens(col)
-    toks = F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+        return F.array_distinct(toks)
     count = F.size(toks) - (n - 1)
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
     return F.when(count < 1, F.array().cast("array<string>")).otherwise(
@@ -71,6 +75,44 @@ def token_ngrams(col, n: int) -> Column:
                 lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
             )
         )
+    )
+
+
+def token_ngrams(col, n: int) -> Column:
+    """Distinct word n-gram shingles; n=1 -> distinct tokens.
+
+    SQL twin (DuckDB): list comprehension over token positions.
+    For n > 1 prefer staging the tokens as a column and calling
+    ``token_ngrams_of`` — see its docstring for why."""
+    if n == 1:
+        return distinct_tokens(col)
+    toks = F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+    return token_ngrams_of(toks, n)
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(id, _sh) projection: the document's distinct token n-grams
+    hashed to sorted 64-bit longs — the one tokenization every minhash
+    funnel stage reuses. For n > 1 the tokens are STAGED as a column
+    before the n-gram transform (``token_ngrams_of``'s contract): an
+    inline split in the transform lambda is re-evaluated per gram by
+    the interpreted HOF path (guide §7.2/§4, round 12)."""
+    if ngram == 1:
+        grams = token_ngrams(text_col, 1)
+        base = df
+    else:
+        base = df.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_tk"),
+        )
+        grams = token_ngrams_of(F.col("_tk"), ngram)
+    return base.select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(grams, lambda s: F.xxhash64(s))
+        ).alias("_sh"),
     )
 
 
@@ -486,12 +528,9 @@ def minhash_near_dup_pairs(
             "num_hashes must be a positive multiple of 32 (the packed "
             f"prefilter packs 32 2-bit lanes per long), got {num_hashes}"
         )
-    shingled = df.select(
-        F.col(id_col),
-        F.array_sort(
-            F.transform(token_ngrams(text_col, ngram), lambda s: F.xxhash64(s))
-        ).alias("_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingled = hashed_shingles(df, id_col, text_col, ngram).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if bands is not None:
         rows = num_hashes // bands
     else:
@@ -741,6 +780,51 @@ def near_dup_clusters(
     # upstream — for the minhash funnel that is the exact-verify join,
     # measured at 2x ~2.3s on the sf0.1 corpus.
     base = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    if (
+        driver_finish_max_edges
+        and base.count() <= driver_finish_max_edges
+    ):
+        # RAW pairs already fit the central-finish cap: union-find them
+        # directly and skip the star-contraction pre-pass entirely
+        # (round 12) — contraction exists to SHRINK a too-big edge list
+        # down to the cap, so when the input is already under it the
+        # pre-pass is three driver-blocking jobs (two aggregates + a
+        # relabel join, each checkpointed) of pure overhead. Identical
+        # output: lo-root union-find keeps every component's root at
+        # its min id, so labels are min-reachable-id exactly as the
+        # contracted path resolves them. The cap (16 bytes/edge, ~16 MB
+        # default) is the same one the residual gate applies, so the
+        # 100 TB posture is unchanged — an over-cap pair graph still
+        # takes contraction + residual gate + distributed loop below.
+        rows = base.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = find(r["id_a"]), find(r["id_b"])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["id_a"], r["id_b"])}
+        from pyspark.sql import types as T
+
+        id_type = base.schema["id_a"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type, False),
+                T.StructField("cluster_id", id_type, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(v, find(v)) for v in sorted(nodes)], out_schema
+        )
     sym = base.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(base.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -971,14 +1055,7 @@ def _minhash_projections(
     back from disk) to derive the banding from it instead of
     re-tokenizing ``df``."""
     if shingled is None:
-        shingled = df.select(
-            F.col(id_col),
-            F.array_sort(
-                F.transform(
-                    token_ngrams(text_col, ngram), lambda s: F.xxhash64(s)
-                )
-            ).alias("_sh"),
-        )
+        shingled = hashed_shingles(df, id_col, text_col, ngram)
     sigs = shingled.select(
         F.col(id_col),
         minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
@@ -1280,8 +1357,18 @@ def duplicated_span_stats(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_win = F.size(toks) - F.lit(window - 1)
+    # Tokens are STAGED as a column before the window transform (round
+    # 12, guide §7.2/§4): an expression inlined into a higher-order
+    # lambda body is re-evaluated PER ELEMENT in Spark's interpreted
+    # HOF path — the old shape re-split the document once per sliding
+    # window (O(n_win) splits/doc; measured 2.4x on the window stage).
+    # The staged attribute is evaluated once per row.
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_tk"),
+    )
+    tk = F.col("_tk")
+    n_win = F.size(tk) - F.lit(window - 1)
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
     # (same pitfall token_ngrams guards), and slice rejects start 0
     win_structs = F.when(
@@ -1292,14 +1379,14 @@ def duplicated_span_stats(
             lambda i: F.struct(
                 i.alias("pos"),
                 F.xxhash64(
-                    F.concat_ws("\x1f", F.slice(toks, i, window))
+                    F.concat_ws("\x1f", F.slice(tk, i, window))
                 ).alias("h"),
             ),
         )
     )
-    wins = df.select(
+    wins = toked.select(
         F.col(id_col),
-        F.size(toks).alias("_n_tokens"),
+        F.size(tk).alias("_n_tokens"),
         F.explode(win_structs).alias("w"),
     ).select(id_col, "_n_tokens", "w.pos", "w.h")
     dup_h = (
@@ -1329,7 +1416,7 @@ def duplicated_span_stats(
             F.sum("_cov").alias("covered_tokens"),
         )
     )
-    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    base = toked.select(F.col(id_col), F.size(tk).alias("n_tokens"))
     return base.join(
         covered.withColumnRenamed("_n_tokens", "n_tokens"),
         [id_col, "n_tokens"],

@@ -293,13 +293,42 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged projections (round 12, guide §7.2): tokenize/distinct/
+    # compact ONCE per row, then derive the ratios from the integer
+    # attributes — the inlined TX.* composition re-ran the whitespace
+    # split ~6x and array_distinct 2x per row (before-plan:
+    # plans/r12/text_quality_scores_before.txt). The double arithmetic
+    # below is the SAME ops in the SAME order over the same exact ints
+    # as functions/text.py's quality_score, so values are bit-identical
+    # (oracle-pinned).
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    toks = docs.select(
         "doc_id",
-        TX.n_tokens(F.col("text")).alias("n_tokens"),
-        TX.lexical_diversity(F.col("text")).alias("lexical_diversity"),
-        TX.mean_token_length(F.col("text")).alias("mean_token_len"),
-        TX.quality_score(F.col("text")).alias("quality_score"),
+        TX.tokens("text").alias("_tk"),
+        F.length(
+            F.regexp_replace(F.trim(F.col("text")), TX.TOKEN_SPLIT_RE, "")
+        ).alias("_nc"),
+    )
+    counts = toks.select(
+        "doc_id",
+        F.size(F.col("_tk")).alias("_nt"),
+        F.size(F.array_distinct(F.col("_tk"))).alias("_nd"),
+        "_nc",
+    )
+    div = F.col("_nd").cast("double") / F.col("_nt")
+    mtl = F.col("_nc").cast("double") / F.col("_nt")
+    quality = (
+        F.lit(0.5) * div
+        + F.lit(0.1) * (F.least(mtl, F.lit(10.0)) / F.lit(10.0))
+        + F.lit(0.4)
+        * (F.least(F.col("_nt").cast("double"), F.lit(100.0)) / F.lit(100.0))
+    )
+    return counts.select(
+        "doc_id",
+        F.col("_nt").alias("n_tokens"),
+        div.alias("lexical_diversity"),
+        mtl.alias("mean_token_len"),
+        quality.alias("quality_score"),
     ).orderBy("doc_id")
 
 
@@ -708,14 +737,40 @@ def _trigram_hits_sql(lang: str) -> str:
     """,
 )
 def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged projections (round 12, guide §7.2): the trigram array is
+    # built ONCE per row and the four profile intersections once each;
+    # inlining lang_id_trigram(text) instead copied the whole
+    # trigram-array subtree into every argmax comparison (~34 copies
+    # per row in the before-plan — plans/r12/text_lang_id_trigram_*).
+    # Multiply-referenced non-trivial aliases survive CollapseProject,
+    # so the stages stay separate in the physical plan. Identical
+    # output: same hit values, same argmax/tie logic over them.
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    langs = sorted(TX.LANG_TRIGRAMS)
+    trig = docs.select(
+        "doc_id", TX.char_trigrams(F.col("text")).alias("_tg")
+    )
+    hits = trig.select(
         "doc_id",
-        TX.trigram_hits(F.col("text"), "de").alias("de_hits"),
-        TX.trigram_hits(F.col("text"), "en").alias("en_hits"),
-        TX.trigram_hits(F.col("text"), "es").alias("es_hits"),
-        TX.trigram_hits(F.col("text"), "fr").alias("fr_hits"),
-        TX.lang_id_trigram(F.col("text")).alias("lang_pred"),
+        *[
+            F.size(
+                F.array_intersect(
+                    F.col("_tg"),
+                    F.array(*[F.lit(g) for g in TX.LANG_TRIGRAMS[lang]]),
+                )
+            ).alias(f"{lang}_hits")
+            for lang in langs
+        ],
+    )
+    return hits.select(
+        "doc_id",
+        "de_hits",
+        "en_hits",
+        "es_hits",
+        "fr_hits",
+        TX.lang_id_from_hits(
+            {lang: F.col(f"{lang}_hits") for lang in langs}
+        ).alias("lang_pred"),
     ).orderBy("doc_id")
 
 
@@ -1022,9 +1077,16 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokens staged before the 13-gram transform (round 12, guide
+    # §7.2/§4): token_ngrams inlined the split into the transform
+    # lambda, re-tokenizing the document once per gram in the
+    # interpreted HOF path
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        "doc_id", F.explode(DD.token_ngrams("text", 13)).alias("gram")
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_tk")
+    )
+    grams = toked.select(
+        "doc_id", F.explode(DD.token_ngrams_of(F.col("_tk"), 13)).alias("gram")
     )
     banned = (
         grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
@@ -1068,21 +1130,31 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokens and the 3-gram array staged as columns (round 12, guide
+    # §7.2/§4): the old shape re-split the text ~4x per row at the top
+    # level and once per 3-gram inside the transform lambda
+    # (interpreted HOFs re-evaluate inlined subtrees per element)
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    count3 = F.size(toks) - 2
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_tk")
+    )
+    tk = F.col("_tk")
+    count3 = F.size(tk) - 2
     g3 = F.when(count3 < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(count3, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
         )
     )
-    return docs.select(
+    staged = toked.select("doc_id", "_tk", g3.alias("_g3"))
+    return staged.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (F.size(toks) - F.size(F.array_distinct(toks))).alias("dup_tokens"),
-        F.size(g3).alias("n_3grams"),
-        (F.size(g3) - F.size(F.array_distinct(g3))).alias("dup_3grams"),
+        F.size(tk).alias("n_tokens"),
+        (F.size(tk) - F.size(F.array_distinct(tk))).alias("dup_tokens"),
+        F.size(F.col("_g3")).alias("n_3grams"),
+        (
+            F.size(F.col("_g3")) - F.size(F.array_distinct(F.col("_g3")))
+        ).alias("dup_3grams"),
     ).orderBy("doc_id")
 
 
