@@ -204,16 +204,20 @@ def unigram_logprob_scores(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("_tok"),
     )
-    # The corpus token total is derived from the UNFILTERED model
-    # aggregate instead of a third explode pass over the corpus
-    # (round 12, guide §2.4): sum of all per-token counts == count of
-    # all tokens, and the model branch and the total branch now share
-    # one canonical Exchange(hash(_tok)) subtree, which ReuseExchange
-    # dedupes — the corpus is tokenized/exploded twice per run (model +
-    # per-doc scoring), not three times.
-    model_full = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
-    model = model_full.filter(F.col("_cnt") >= int(min_count))
-    total = model_full.agg(F.sum("_cnt").alias("_total"))
+    # (Round-12 note: deriving `total` from the unfiltered model
+    # aggregate so ReuseExchange shares one Exchange(hash(_tok)) was
+    # tried and REVERTED — the rule does not canonicalize the two
+    # Python-built branches as equal (verified on the executed AQE
+    # plan: 0 ReusedExchange), so the "shared" subtree just ran the
+    # vocabulary aggregate twice, strictly worse than the plain count
+    # below. The scorer stays at three corpus passes: model, total,
+    # per-doc.)
+    model = (
+        tok.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= int(min_count))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("_total"))
     per_doc = (
         tok.join(F.broadcast(model), "_tok", "left")
         .groupBy("doc_id")

@@ -703,12 +703,42 @@ def stream_sync_changes(
         return gate["state"]
 
     def _apply(batch: DataFrame, _epoch_id: int) -> None:
+        applied = _read_marker()
+        if applied is None:
+            # First drain of this checkpoint: no marker means no gate
+            # to arbitrate, so the pre-apply max-seq aggregate — a FULL
+            # extra pass over the delivered batch, re-reading every
+            # delta file (through Python workers on the manifest
+            # source) — is pure overhead (round 12, guide §1.2). The
+            # max rides an Observation on the apply's own job instead;
+            # emptiness keeps its early-exit via head(1) (reads one
+            # partition, not the batch).
+            if batch.isEmpty():
+                return  # empty trigger
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = batch.observe(
+                obs, F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")
+            )
+            apply_changes(
+                spark,
+                envelope_from_versions(observed),
+                target_path,
+                key,
+                mode=mode,
+                propagate_deletes=True,
+                partition_by=partition_by,
+            )
+            batch_max = obs.get["m"]
+            if batch_max is not None:
+                _write_marker(batch_max)
+            return
         batch_max = batch.agg(
             F.max(_canonical_seq(F.col(SEQ_COL))).alias("m")
         ).first()["m"]
         if batch_max is None:
             return  # empty trigger
-        applied = _read_marker()
         rows = batch
         if (
             applied is not None

@@ -59,9 +59,6 @@ def timed(spark, label: str, fn, n: int = 2):
 
 
 def profile_minhash(spark) -> None:
-    from cdc_from_sql_and_nosql_to_data_warehouse_spark.functions.text import (
-        token_ngrams,
-    )
     from cdc_from_sql_and_nosql_to_data_warehouse_spark.operators import (
         dedup as DD,
     )
@@ -74,14 +71,7 @@ def profile_minhash(spark) -> None:
     print(f"# geometry: rows={rows} bands={bands} max_diff={max_diff}")
 
     def shingled():
-        return docs.select(
-            F.col("doc_id"),
-            F.array_sort(
-                F.transform(
-                    DD.token_ngrams("text", 1), lambda s: F.xxhash64(s)
-                )
-            ).alias("_sh"),
-        )
+        return DD.hashed_shingles(docs, "doc_id", "text", 1)
 
     timed(spark, "mh1-shingle-hash", shingled)
 
