@@ -807,22 +807,25 @@ def near_dup_clusters(
     # upstream — for the minhash funnel that is the exact-verify join,
     # measured at 2x ~2.3s on the sf0.1 corpus.
     base = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-    if (
-        driver_finish_max_edges
-        and base.count() <= driver_finish_max_edges
-    ):
-        # RAW pairs already fit the central-finish cap: union-find them
-        # directly and skip the star-contraction pre-pass entirely
-        # (round 12) — contraction exists to SHRINK a too-big edge list
-        # down to the cap, so when the input is already under it the
-        # pre-pass is three driver-blocking jobs (two aggregates + a
-        # relabel join, each checkpointed) of pure overhead. Identical
-        # output: lo-root union-find keeps every component's root at
-        # its min id, so labels are min-reachable-id exactly as the
-        # contracted path resolves them. The cap (16 bytes/edge, ~16 MB
-        # default) is the same one the residual gate applies, so the
-        # 100 TB posture is unchanged — an over-cap pair graph still
-        # takes contraction + residual gate + distributed loop below.
+    # RAW-pairs central-finish gate (round 12): far STRICTER than
+    # driver_finish_max_edges. Contraction exists to shrink a too-big
+    # edge list, so on a SMALL graph the pre-pass is three
+    # driver-blocking jobs (two aggregates + a relabel join, each
+    # checkpointed) of pure overhead and union-finding the raw pairs
+    # directly wins (~1-2 s of job latency saved). But the crossover is
+    # low: a driver union-find is interpreted Python (dict find/union
+    # per edge), so at the residual gate's 1M-edge cap it costs seconds
+    # — slower than the distributed contraction it skips (measured:
+    # dedup_fuzzy_clusters at sf0.1, 965k raw pairs, +3.7 s through the
+    # shortcut vs the contracted path). 64k edges keeps the driver work
+    # in the tens of milliseconds while covering the
+    # every-job-counts small-graph case. Identical output either way:
+    # lo-root union-find keeps every component's root at its min id,
+    # the same resolution the contracted path produces (equivalence
+    # pinned across all four paths by
+    # test_near_dup_clusters_contraction_equivalence).
+    raw_finish_cap = min(driver_finish_max_edges or 0, 65536)
+    if raw_finish_cap and base.count() <= raw_finish_cap:
         rows = base.collect()
         parent: dict = {}
 
