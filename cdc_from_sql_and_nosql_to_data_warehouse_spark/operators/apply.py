@@ -1255,7 +1255,15 @@ def _mutation_scope(
 # conflicts that persisted through the full backoff budget — genuinely
 # long-held fences (a large compaction) or a stuck foreign writer.
 
-OCC_MAX_ATTEMPTS = 8
+# Budget sizing (round 12): the worst sound hold a loser must outwait
+# is a COLD-SESSION whole-table mutation — first-job JIT can hold the
+# creation fence 7-12s (measured on both the r11 and r12 trees; the
+# two-racing-first-appends pin flaked standalone on either tree when
+# the jittered sum landed at the low end of the old 8-attempt budget,
+# ~3-10s). 10 attempts put the guaranteed minimum above that window
+# (sleep sum >= 0.05+0.1+...+2+2+2+2 ≈ 9.2s, jittering up to ~18s)
+# while warm-path conflicts still resolve in milliseconds.
+OCC_MAX_ATTEMPTS = 10
 OCC_BACKOFF_BASE_SECONDS = 0.05
 OCC_BACKOFF_CAP_SECONDS = 2.0
 
